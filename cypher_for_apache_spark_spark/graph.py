@@ -1,0 +1,276 @@
+"""Property graph container: one DataFrame per node label combination, one
+per relationship type.
+
+Re-expresses the reference's ScanGraph
+(okapi-relational/.../impl/graph/ScanGraph.scala:43): ``scan_nodes`` /
+``scan_rels`` select every element table embedding the requested pattern,
+align each to a common header and union them (ScanGraph.scala:59-87,
+alignment rules RelationalPlanner.scala:447-515).
+
+Spark-first design decisions (not a port):
+- Element ids are ``LongType`` (reference: binary varints, SURVEY.md §1.5 —
+  long equi-joins are at least as fast and AQE-friendly).
+- Instead of one boolean column per label (reference RecordHeader.scala:47-60),
+  each node scan carries one ``array<string>`` labels column that is a
+  *constant per unioned branch* — Catalyst constant-folds predicates on it,
+  and per-branch pruning happens at plan time via the schema anyway.
+- Missing properties are null-padded and numeric types widened at union time,
+  exactly like the reference's alignExpressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, FrozenSet, Iterable, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from cypher_for_apache_spark_spark.schema import PropertyGraphSchema
+from cypher_for_apache_spark_spark.types import from_spark_type, to_spark_type
+
+ID, SRC, DST = "id", "src", "dst"
+_CANONICAL_REL = {ID, SRC, DST}
+
+
+def _lift(df: DataFrame) -> DataFrame:
+    """Lift ints to long / floats to double so unions and joins line up
+    (reference: castToLong SparkTable.scala:404-419)."""
+    out = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType)):
+            out.append(F.col(f.name).cast("long").alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, T.FloatType):
+            out.append(F.col(f.name).cast("double").alias(f.name))
+            changed = True
+        else:
+            out.append(F.col(f.name))
+    return df.select(*out) if changed else df
+
+
+@dataclass
+class NodeTable:
+    """A node element table: ``id`` column + property columns."""
+
+    labels: FrozenSet[str]
+    df: DataFrame
+
+    @staticmethod
+    def create(labels: Iterable[str], df: DataFrame, id_col: str = ID) -> "NodeTable":
+        if id_col != ID:
+            df = df.withColumnRenamed(id_col, ID)
+        return NodeTable(frozenset(labels), _lift(df))
+
+    @property
+    def property_columns(self) -> List[str]:
+        return [c for c in self.df.columns if c != ID]
+
+
+@dataclass
+class RelationshipTable:
+    """A relationship element table: ``id, src, dst`` + property columns."""
+
+    rel_type: str
+    df: DataFrame
+
+    @staticmethod
+    def create(
+        rel_type: str,
+        df: DataFrame,
+        id_col: str = ID,
+        src_col: str = SRC,
+        dst_col: str = DST,
+    ) -> "RelationshipTable":
+        for old, new in ((id_col, ID), (src_col, SRC), (dst_col, DST)):
+            if old != new:
+                df = df.withColumnRenamed(old, new)
+        return RelationshipTable(rel_type, _lift(df))
+
+    @property
+    def property_columns(self) -> List[str]:
+        return [c for c in self.df.columns if c not in _CANONICAL_REL]
+
+
+def _common_prop_types(
+    dfs_and_cols: List[Tuple[DataFrame, List[str]]]
+) -> Dict[str, T.DataType]:
+    """Merged {prop -> spark type} across tables, widening numerics via the
+    Cypher type lattice (reference: alignExpressions null/label padding,
+    RelationalPlanner.scala:447-515)."""
+    merged: Dict[str, object] = {}
+    for df, cols in dfs_and_cols:
+        for f in df.schema.fields:
+            if f.name in cols:
+                ct = from_spark_type(f.dataType, f.nullable)
+                merged[f.name] = merged[f.name].join(ct) if f.name in merged else ct
+    return {k: to_spark_type(v) for k, v in sorted(merged.items())}
+
+
+def _aligned_select(
+    df: DataFrame,
+    fixed: List,
+    prop_types: Dict[str, T.DataType],
+    prop_prefix: str,
+) -> DataFrame:
+    cols = list(fixed)
+    have = set(df.columns)
+    for p, dt in prop_types.items():
+        if p in have:
+            src = F.col(p)
+            if df.schema[p].dataType != dt:
+                src = src.cast(dt)
+            cols.append(src.alias(prop_prefix + p))
+        else:
+            cols.append(F.lit(None).cast(dt).alias(prop_prefix + p))
+    return df.select(*cols)
+
+
+class PropertyGraph:
+    """A property graph = bag of node/relationship element tables."""
+
+    def __init__(
+        self,
+        node_tables: Iterable[NodeTable] = (),
+        rel_tables: Iterable[RelationshipTable] = (),
+        name: str = "graph",
+    ):
+        self.name = name
+        self.node_tables: Dict[FrozenSet[str], NodeTable] = {}
+        self.rel_tables: Dict[str, RelationshipTable] = {}
+        for nt in node_tables:
+            if nt.labels in self.node_tables:
+                raise ValueError(f"duplicate node table for labels {set(nt.labels)}")
+            self.node_tables[nt.labels] = nt
+        for rt in rel_tables:
+            if rt.rel_type in self.rel_tables:
+                raise ValueError(f"duplicate relationship table for type {rt.rel_type}")
+            self.rel_tables[rt.rel_type] = rt
+        self._schema: Optional[PropertyGraphSchema] = None
+        self._session = None  # set by CypherSession.read_from / catalog
+
+    # -- schema ------------------------------------------------------------
+    @property
+    def schema(self) -> PropertyGraphSchema:
+        if self._schema is None:
+            s = PropertyGraphSchema()
+            for combo, nt in self.node_tables.items():
+                s.with_node(combo, PropertyGraphSchema.props_from_df(nt.df, [ID]))
+            for rt in self.rel_tables.values():
+                s.with_relationship(
+                    rt.rel_type, PropertyGraphSchema.props_from_df(rt.df, _CANONICAL_REL)
+                )
+            self._schema = s
+        return self._schema
+
+    # -- scans (ScanGraph.scanOperator analogue) ---------------------------
+    def matching_node_tables(
+        self, labels: Iterable[str] = (), exact: bool = False
+    ) -> List[NodeTable]:
+        want = set(labels)
+        if exact:
+            return [nt for c, nt in self.node_tables.items() if c == frozenset(want)]
+        return [nt for c, nt in self.node_tables.items() if want <= c]
+
+    def scan_nodes(
+        self,
+        labels: Iterable[str] = (),
+        exact: bool = False,
+        out_id: str = ID,
+        out_labels: str = "labels",
+        prop_prefix: str = "",
+    ) -> Optional[DataFrame]:
+        """Union of all node tables whose label combo contains ``labels``.
+
+        Output columns: ``out_id`` (long), ``out_labels`` (array<string>,
+        constant per branch), plus one column per property key present in
+        any matching table (null-padded). Returns None when no table
+        matches — the planner turns that into EmptyRecords (reference
+        optimizer rule discardScansForNonexistentLabels,
+        LogicalOptimizer.scala:151-169).
+        """
+        tables = self.matching_node_tables(labels, exact)
+        if not tables:
+            return None
+        prop_types = _common_prop_types([(t.df, t.property_columns) for t in tables])
+        parts = []
+        for t in tables:
+            lbls = sorted(t.labels)
+            labels_col = (
+                F.array(*[F.lit(l) for l in lbls]) if lbls else F.array().cast("array<string>")
+            )
+            fixed = [F.col(ID).alias(out_id), labels_col.alias(out_labels)]
+            parts.append(_aligned_select(t.df, fixed, prop_types, prop_prefix))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def scan_rels(
+        self,
+        rel_types: Iterable[str] = (),
+        out_id: str = ID,
+        out_src: str = SRC,
+        out_dst: str = DST,
+        out_type: str = "rel_type",
+        prop_prefix: str = "",
+    ) -> Optional[DataFrame]:
+        """Union of all relationship tables with type in ``rel_types``
+        (all types when empty)."""
+        want = set(rel_types)
+        tables = [
+            rt for t, rt in self.rel_tables.items() if not want or t in want
+        ]
+        if not tables:
+            return None
+        prop_types = _common_prop_types([(t.df, t.property_columns) for t in tables])
+        parts = []
+        for t in tables:
+            fixed = [
+                F.col(ID).alias(out_id),
+                F.col(SRC).alias(out_src),
+                F.col(DST).alias(out_dst),
+                F.lit(t.rel_type).alias(out_type),
+            ]
+            parts.append(_aligned_select(t.df, fixed, prop_types, prop_prefix))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- user-facing table views (PropertyGraph.nodes/relationships,
+    #    okapi-api/.../graph/PropertyGraph.scala:69-78) --------------------
+    def nodes(self, labels: Iterable[str] = (), exact: bool = False) -> DataFrame:
+        df = self.scan_nodes(labels, exact)
+        if df is None:
+            raise ValueError(f"no node table matches labels {set(labels)}")
+        return df
+
+    def relationships(self, rel_types: Iterable[str] = ()) -> DataFrame:
+        df = self.scan_rels(rel_types)
+        if df is None:
+            raise ValueError(f"no relationship table matches types {set(rel_types)}")
+        return df
+
+    # -- misc ---------------------------------------------------------------
+    def cache(self) -> "PropertyGraph":
+        for nt in self.node_tables.values():
+            nt.df.cache()
+        for rt in self.rel_tables.values():
+            rt.df.cache()
+        return self
+
+    def unpersist(self) -> "PropertyGraph":
+        for nt in self.node_tables.values():
+            nt.df.unpersist()
+        for rt in self.rel_tables.values():
+            rt.df.unpersist()
+        return self
+
+    def cypher(self, query: str, parameters: Optional[dict] = None) -> "CypherResult":
+        if self._session is None:
+            from cypher_for_apache_spark_spark.session import CypherSession
+
+            spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+            self._session = CypherSession(spark)
+        return self._session.cypher_on_graph(self, query, parameters or {})

@@ -1,0 +1,77 @@
+"""RecordHeader analogue: variable -> physical columns catalog.
+
+The reference's load-bearing metadata structure is
+``RecordHeader(exprToColumn: Map[Expr, String])``
+(okapi-relational/.../impl/table/RecordHeader.scala:62). We keep the same
+idea one level simpler: a per-variable ``EntityMeta`` naming the id /
+labels / src / dst / type / property columns that belong to the variable.
+Never trust ``df.columns`` for semantics — the header is the source of
+truth; conflict-free physical names are generated here.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field, replace
+from typing import Dict, FrozenSet, List, Optional
+
+_counter = itertools.count()
+
+
+def fresh(prefix: str) -> str:
+    """Conflict-free physical column name (reference:
+    newConflictFreeColumnName, RecordHeader.scala:293-305)."""
+    return f"{prefix}#{next(_counter)}"
+
+
+@dataclass
+class EntityMeta:
+    """Physical layout of one bound Cypher variable."""
+
+    kind: str  # 'node' | 'rel' | 'value'
+    id_col: Optional[str] = None
+    labels_col: Optional[str] = None  # array<string> (nodes)
+    type_col: Optional[str] = None  # string (rels)
+    src_col: Optional[str] = None
+    dst_col: Optional[str] = None
+    prop_cols: Dict[str, str] = field(default_factory=dict)
+    col: Optional[str] = None  # value variables
+    labels: FrozenSet[str] = frozenset()  # statically guaranteed labels
+    types: FrozenSet[str] = frozenset()  # possible rel types (rels)
+
+    def columns(self) -> List[str]:
+        out = []
+        for c in (self.id_col, self.labels_col, self.type_col, self.src_col, self.dst_col, self.col):
+            if c is not None:
+                out.append(c)
+        out.extend(self.prop_cols.values())
+        return out
+
+    def renamed(self, mapping: Dict[str, str]) -> "EntityMeta":
+        def m(c):
+            return mapping.get(c, c) if c else c
+
+        return replace(
+            self,
+            id_col=m(self.id_col),
+            labels_col=m(self.labels_col),
+            type_col=m(self.type_col),
+            src_col=m(self.src_col),
+            dst_col=m(self.dst_col),
+            col=m(self.col),
+            prop_cols={k: m(v) for k, v in self.prop_cols.items()},
+        )
+
+
+Header = Dict[str, EntityMeta]
+
+
+def header_columns(header: Header) -> List[str]:
+    out: List[str] = []
+    seen = set()
+    for meta in header.values():
+        for c in meta.columns():
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+    return out

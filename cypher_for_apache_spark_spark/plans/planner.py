@@ -1,0 +1,953 @@
+"""Cypher AST -> DataFrame planner.
+
+Plans straight from the AST to DataFrame transformations, covering the
+reference's logical + relational operator inventory (SURVEY.md §2.2/2.3):
+scans, expand (directed/undirected/into), var-length expand (unrolled joins,
+VarLengthExpandPlanner.scala), filter, project, aggregate with Cypher's
+implicit grouping, distinct, order/skip/limit, unwind, union, OPTIONAL
+MATCH (left-outer recipe RelationalPlanner.scala:298-329) and EXISTS
+pattern predicates (marker left-join / semi-join,
+RelationalPlanner.scala:224-246).
+
+Catalyst handles everything classical (predicate pushdown, column pruning,
+join strategy, AQE); the graph-specific rewrites the reference's optimizer
+does (LogicalOptimizer.scala:39-226) fall out of planning here: nonexistent
+labels produce empty scans at plan time, and cross-join+equality becomes an
+equi-join inside Catalyst itself.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from cypher_for_apache_spark_spark import ast as A
+from cypher_for_apache_spark_spark.functions.compiler import (
+    CompileCtx,
+    CypherCompileError,
+    compile_aggregate,
+    compile_expr,
+    entity_column,
+)
+from cypher_for_apache_spark_spark.graph import PropertyGraph
+from cypher_for_apache_spark_spark.header import EntityMeta, Header
+from cypher_for_apache_spark_spark.plans.record import Record
+
+
+class CypherPlanningError(ValueError):
+    pass
+
+
+class Planner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        graph: Optional[PropertyGraph],
+        params: Optional[dict] = None,
+        cache_varlength_scans: bool = True,
+    ):
+        self.spark = spark
+        self.graph = graph
+        self.params = params or {}
+        self.cache_varlength_scans = cache_varlength_scans
+        self._uid = itertools.count()
+
+    # ------------------------------------------------------------------ utils
+    def _u(self, var: str) -> str:
+        return f"{var}@{next(self._uid)}"
+
+    def _anon(self) -> str:
+        return f" _anon{next(self._uid)}"
+
+    def _ctx(self, rec: Record) -> CompileCtx:
+        return CompileCtx(rec.df, rec.header, self.params)
+
+    def _unit_df(self) -> DataFrame:
+        return self.spark.range(1).select(F.lit(1).alias(" unit"))
+
+    def _materialize(self, rec: Record) -> Record:
+        if rec.df is None:
+            return Record(self._unit_df(), dict(rec.header))
+        return rec
+
+    # ------------------------------------------------------------- entry point
+    def plan(self, q) -> DataFrame:
+        if isinstance(q, A.UnionQuery):
+            dfs = [self.plan_single(sq) for sq in q.queries]
+            cols = dfs[0].columns
+            for d in dfs[1:]:
+                if set(d.columns) != set(cols):
+                    raise CypherPlanningError(
+                        f"UNION requires same return columns: {cols} vs {d.columns}"
+                    )
+            out = dfs[0]
+            for d, all_flag in zip(dfs[1:], q.all_flags):
+                out = out.unionByName(d)
+            if not all(q.all_flags):
+                # UNION dedupes the whole result (LogicalPlanner.scala:68-70)
+                out = out.dropDuplicates()
+            return out
+        return self.plan_single(q)
+
+    def plan_single(self, q: A.SingleQuery) -> DataFrame:
+        rec = Record(None, {})
+        final_df: Optional[DataFrame] = None
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                rec = self.plan_match(rec, clause)
+            elif isinstance(clause, A.UnwindClause):
+                rec = self.plan_unwind(rec, clause)
+            elif isinstance(clause, A.ProjectionClause):
+                rec = self.plan_projection(rec, clause)
+                if clause.is_return:
+                    final_df = self.finalize(rec)
+        if final_df is None:
+            raise CypherPlanningError("query has no RETURN clause")
+        return final_df
+
+    # ---------------------------------------------------------------- finalize
+    def finalize(self, rec: Record) -> DataFrame:
+        """Select exactly the output columns, entity vars rendered as structs
+        (driver-side value reassembly — reference rowToCypherMap.scala)."""
+        rec = self._materialize(rec)
+        cols = []
+        for name, meta in rec.header.items():
+            if meta.kind == "value":
+                cols.append(F.col(meta.col).alias(name))
+            elif meta.kind == "node":
+                parts = [
+                    F.col(meta.id_col).alias("id"),
+                    F.col(meta.labels_col).alias("labels"),
+                ]
+                parts += [F.col(c).alias(k) for k, c in sorted(meta.prop_cols.items())]
+                cols.append(F.struct(*parts).alias(name))
+            else:  # rel
+                parts = [
+                    F.col(meta.id_col).alias("id"),
+                    F.col(meta.src_col).alias("src"),
+                    F.col(meta.dst_col).alias("dst"),
+                    F.col(meta.type_col).alias("type"),
+                ]
+                parts += [F.col(c).alias(k) for k, c in sorted(meta.prop_cols.items())]
+                cols.append(F.struct(*parts).alias(name))
+        return rec.df.select(*cols)
+
+    # ------------------------------------------------------------------- MATCH
+    def plan_match(self, rec: Record, clause: A.MatchClause) -> Record:
+        if clause.optional:
+            return self.plan_optional_match(rec, clause)
+        rel_ids: List[Tuple[str, frozenset, bool]] = []  # (id col, types, is_list)
+        for part in clause.parts:
+            rec = self.plan_part(rec, part, rel_ids)
+        rec = self._rel_uniqueness(rec, rel_ids)
+        if clause.where is not None:
+            rec = self.plan_where(rec, clause.where)
+        return rec
+
+    def _rel_uniqueness(self, rec: Record, rel_ids) -> Record:
+        """Cypher relationship-isomorphism: rels within one MATCH are pairwise
+        distinct (reference: isomorphismFilter,
+        VarLengthExpandPlanner.scala:178-179)."""
+        conds = []
+        for i in range(len(rel_ids)):
+            for j in range(i + 1, len(rel_ids)):
+                ci, ti, li = rel_ids[i]
+                cj, tj, lj = rel_ids[j]
+                if ti and tj and not (ti & tj):
+                    continue  # statically disjoint types can't collide
+                if li and lj:
+                    conds.append(~F.arrays_overlap(F.col(ci), F.col(cj)))
+                elif li:
+                    conds.append(~F.array_contains(F.col(ci), F.col(cj)))
+                elif lj:
+                    conds.append(~F.array_contains(F.col(cj), F.col(ci)))
+                else:
+                    conds.append(F.col(ci) != F.col(cj))
+        if not conds:
+            return rec
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        return Record(rec.df.filter(cond), rec.header)
+
+    def plan_part(self, rec: Record, part: A.PatternPart, rel_ids) -> Record:
+        if part.path_var is not None:
+            raise CypherPlanningError("path values (p = ...) are not supported")
+        nodes = part.nodes
+        rels = part.rels
+        rec, prev_var = self.ensure_node(rec, nodes[0])
+        for i, rel in enumerate(rels):
+            rec, prev_var = self.expand(rec, prev_var, rel, nodes[i + 1], rel_ids)
+        return rec
+
+    # -- node scan / binding -------------------------------------------------
+    def scan_node_record(self, var: str, labels: Sequence[str]) -> Tuple[DataFrame, EntityMeta]:
+        u = self._u(var)
+        id_col, labels_col, prefix = f"{u}#id", f"{u}#labels", f"{u}#p#"
+        if self.graph is None:
+            raise CypherPlanningError("no graph in scope for MATCH")
+        df = self.graph.scan_nodes(
+            labels, out_id=id_col, out_labels=labels_col, prop_prefix=prefix
+        )
+        if df is None:
+            # MATCH on a label not in the schema -> empty records (reference
+            # rule discardScansForNonexistentLabels, LogicalOptimizer.scala:151)
+            schema = T.StructType(
+                [
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField(labels_col, T.ArrayType(T.StringType())),
+                ]
+            )
+            df = self.spark.createDataFrame([], schema)
+        prop_cols = {c[len(prefix):]: c for c in df.columns if c.startswith(prefix)}
+        meta = EntityMeta(
+            kind="node",
+            id_col=id_col,
+            labels_col=labels_col,
+            prop_cols=prop_cols,
+            labels=frozenset(labels),
+        )
+        return df, meta
+
+    @staticmethod
+    def _split_props(props: Optional[A.MapLit]):
+        """Split inline property constraints into self-contained ones
+        (literals/params — filterable on the scan, before the join, so the
+        predicate pushes into the file read) and ones referencing other
+        variables (must wait until after the join)."""
+        if props is None:
+            return [], []
+        simple, complex_ = [], []
+        for key, val in props.items:
+            if any(isinstance(n, A.Var) for n in val.walk()):
+                complex_.append((key, val))
+            else:
+                simple.append((key, val))
+        return simple, complex_
+
+    def _prop_filter(self, df: DataFrame, meta: EntityMeta, props: Optional[A.MapLit]) -> DataFrame:
+        simple, complex_ = self._split_props(props)
+        if complex_:
+            raise CypherPlanningError(
+                "inline property referencing another variable is not allowed here"
+            )
+        return self._filter_prop_items(df, meta, simple, {})
+
+    def _filter_prop_items(self, df: DataFrame, meta: EntityMeta, items, scope: Header) -> DataFrame:
+        ctx = CompileCtx(df, scope, self.params)
+        for key, val_expr in items:
+            c = meta.prop_cols.get(key)
+            target = F.col(c) if c is not None else F.lit(None)
+            df = df.filter(target == compile_expr(val_expr, ctx))
+        return df
+
+    def ensure_node(self, rec: Record, npat: A.NodePat) -> Tuple[Record, str]:
+        var = npat.var or self._anon()
+        meta = rec.header.get(var)
+        if meta is not None:
+            if meta.kind != "node":
+                raise CypherPlanningError(f"variable `{var}` is not a node")
+            df = rec.df
+            if npat.labels:
+                missing = [l for l in npat.labels if l not in meta.labels]
+                for l in missing:
+                    df = df.filter(F.array_contains(F.col(meta.labels_col), l))
+            simple, complex_ = self._split_props(npat.props)
+            df = self._filter_prop_items(df, meta, simple + complex_, rec.header)
+            return Record(df, rec.header), var
+        sdf, meta = self.scan_node_record(var, npat.labels)
+        simple, complex_ = self._split_props(npat.props)
+        sdf = self._filter_prop_items(sdf, meta, simple, {})
+        header = dict(rec.header)
+        header[var] = meta
+        if rec.df is None:
+            out = Record(sdf, header)
+        else:
+            # disconnected component -> cartesian product; Catalyst rewrites
+            # cross+equality-filter into an equi-join (reference does this
+            # itself: replaceCartesianWithValueJoin, LogicalOptimizer.scala:53)
+            out = Record(rec.df.crossJoin(sdf), header)
+        if complex_:
+            out = Record(self._filter_prop_items(out.df, meta, complex_, header), header)
+        return out, var
+
+    # -- expand ----------------------------------------------------------------
+    def scan_rel_frame(self, var: str, types: Sequence[str]) -> Tuple[Optional[DataFrame], EntityMeta]:
+        u = self._u(var)
+        idc, srcc, dstc, typec, prefix = (
+            f"{u}#id",
+            f"{u}#src",
+            f"{u}#dst",
+            f"{u}#type",
+            f"{u}#p#",
+        )
+        df = self.graph.scan_rels(
+            types, out_id=idc, out_src=srcc, out_dst=dstc, out_type=typec, prop_prefix=prefix
+        )
+        prop_cols = (
+            {c[len(prefix):]: c for c in df.columns if c.startswith(prefix)} if df is not None else {}
+        )
+        known = frozenset(types) if types else frozenset(self.graph.rel_tables)
+        meta = EntityMeta(
+            kind="rel",
+            id_col=idc,
+            src_col=srcc,
+            dst_col=dstc,
+            type_col=typec,
+            prop_cols=prop_cols,
+            types=known,
+        )
+        return df, meta
+
+    def _empty_like(self, rec: Record, extra_meta: List[EntityMeta]) -> Record:
+        header = dict(rec.header)
+        df = self._materialize(rec).df.filter(F.lit(False))
+        for m in extra_meta:
+            cols = []
+            if m.kind == "node":
+                cols = [
+                    F.lit(None).cast("long").alias(m.id_col),
+                    F.lit(None).cast("array<string>").alias(m.labels_col),
+                ]
+            elif m.kind == "rel":
+                cols = [
+                    F.lit(None).cast("long").alias(m.id_col),
+                    F.lit(None).cast("long").alias(m.src_col),
+                    F.lit(None).cast("long").alias(m.dst_col),
+                    F.lit(None).cast("string").alias(m.type_col),
+                ]
+            df = df.select("*", *cols)
+        return Record(df, header)
+
+    def expand(
+        self,
+        rec: Record,
+        src_var: str,
+        rel: A.RelPat,
+        tgt: A.NodePat,
+        rel_ids: List[Tuple[str, frozenset, bool]],
+    ) -> Tuple[Record, str]:
+        """(src)-[rel]->(tgt): source scan ⋈ rel table ⋈ target scan — the
+        reference's Expand (RelationalPlanner.scala:130-165); ExpandInto when
+        the target is already bound (:167-189); undirected = union of both
+        orientations with self-loop dedup."""
+        if rel.var_length is not None:
+            return self.var_length_expand(rec, src_var, rel, tgt, rel_ids)
+
+        rel_var = rel.var or self._anon()
+        if rel_var in rec.header:
+            return self._expand_bound_rel(rec, src_var, rel, tgt)
+
+        rdf, rmeta = self.scan_rel_frame(rel_var, rel.types)
+        src_meta = rec.header[src_var]
+        tgt_var = tgt.var or self._anon()
+        tgt_bound = tgt_var in rec.header
+
+        if rdf is None:
+            extra = [rmeta] if tgt_bound else [rmeta]
+            out = self._empty_like(rec, extra)
+            out.header[rel_var] = rmeta
+            if not tgt_bound:
+                _, tmeta = self.scan_node_record(tgt_var, tgt.labels)
+                out = self._empty_like(Record(out.df, out.header), [tmeta])
+                out.header[tgt_var] = tmeta
+            rel_ids.append((rmeta.id_col, rmeta.types, False))
+            return out, tgt_var
+
+        rsimple, rcomplex = self._split_props(rel.props)
+        rdf = self._filter_prop_items(rdf, rmeta, rsimple, {})
+
+        tsimple, tcomplex = self._split_props(tgt.props)
+        tgt_scan = None
+        tmeta = None
+        if not tgt_bound:
+            tgt_scan, tmeta = self.scan_node_record(tgt_var, tgt.labels)
+            tgt_scan = self._filter_prop_items(tgt_scan, tmeta, tsimple, {})
+
+        def one_branch(direction: str, dedup_self_loops: bool) -> DataFrame:
+            near = rmeta.src_col if direction == "out" else rmeta.dst_col
+            far = rmeta.dst_col if direction == "out" else rmeta.src_col
+            branch_rdf = rdf
+            if dedup_self_loops:
+                branch_rdf = rdf.filter(F.col(rmeta.src_col) != F.col(rmeta.dst_col))
+            d = rec.df.join(branch_rdf, F.col(src_meta.id_col) == F.col(near))
+            if tgt_bound:
+                t = rec.header[tgt_var]
+                if t.kind != "node":
+                    raise CypherPlanningError(f"variable `{tgt_var}` is not a node")
+                d = d.filter(F.col(far) == F.col(t.id_col))
+                if tgt.labels:
+                    for l in [x for x in tgt.labels if x not in t.labels]:
+                        d = d.filter(F.array_contains(F.col(t.labels_col), l))
+                d = self._filter_prop_items(d, t, tsimple + tcomplex, rec.header)
+            else:
+                d = d.join(tgt_scan, F.col(far) == F.col(tmeta.id_col))
+            return d
+
+        if rel.direction == "out":
+            df = one_branch("out", False)
+        elif rel.direction == "in":
+            df = one_branch("in", False)
+        else:  # both: union of orientations, self-loops only once
+            df = one_branch("out", False).unionByName(one_branch("in", True))
+
+        header = dict(rec.header)
+        header[rel_var] = rmeta
+        if not tgt_bound:
+            header[tgt_var] = tmeta
+        if rcomplex:
+            df = self._filter_prop_items(df, rmeta, rcomplex, header)
+        if tcomplex and not tgt_bound:
+            df = self._filter_prop_items(df, tmeta, tcomplex, header)
+        rel_ids.append((rmeta.id_col, rmeta.types, False))
+        return Record(df, header), tgt_var
+
+    def _expand_bound_rel(self, rec: Record, src_var: str, rel: A.RelPat, tgt: A.NodePat):
+        """Pattern reuses an already-bound relationship variable: constrain
+        its endpoints against the pattern instead of rescanning."""
+        rmeta = rec.header[rel.var]
+        if rmeta.kind != "rel":
+            raise CypherPlanningError(f"variable `{rel.var}` is not a relationship")
+        src_meta = rec.header[src_var]
+        tgt_var = tgt.var or self._anon()
+        df = rec.df
+        if tgt_var not in rec.header:
+            tgt_scan, tmeta = self.scan_node_record(tgt_var, tgt.labels)
+            tgt_scan = self._prop_filter(tgt_scan, tmeta, tgt.props)
+            header = dict(rec.header)
+            header[tgt_var] = tmeta
+            if rel.direction == "out":
+                df = df.filter(F.col(rmeta.src_col) == F.col(src_meta.id_col))
+                df = df.join(tgt_scan, F.col(rmeta.dst_col) == F.col(tmeta.id_col))
+            elif rel.direction == "in":
+                df = df.filter(F.col(rmeta.dst_col) == F.col(src_meta.id_col))
+                df = df.join(tgt_scan, F.col(rmeta.src_col) == F.col(tmeta.id_col))
+            else:
+                a = df.filter(F.col(rmeta.src_col) == F.col(src_meta.id_col)).join(
+                    tgt_scan, F.col(rmeta.dst_col) == F.col(tmeta.id_col)
+                )
+                b = df.filter(
+                    (F.col(rmeta.dst_col) == F.col(src_meta.id_col))
+                    & (F.col(rmeta.src_col) != F.col(rmeta.dst_col))
+                ).join(tgt_scan, F.col(rmeta.src_col) == F.col(tmeta.id_col))
+                df = a.unionByName(b)
+            return Record(df, header), tgt_var
+        t = rec.header[tgt_var]
+        if rel.direction == "out":
+            cond = (F.col(rmeta.src_col) == F.col(src_meta.id_col)) & (
+                F.col(rmeta.dst_col) == F.col(t.id_col)
+            )
+        elif rel.direction == "in":
+            cond = (F.col(rmeta.dst_col) == F.col(src_meta.id_col)) & (
+                F.col(rmeta.src_col) == F.col(t.id_col)
+            )
+        else:
+            cond = (
+                (F.col(rmeta.src_col) == F.col(src_meta.id_col))
+                & (F.col(rmeta.dst_col) == F.col(t.id_col))
+            ) | (
+                (F.col(rmeta.dst_col) == F.col(src_meta.id_col))
+                & (F.col(rmeta.src_col) == F.col(t.id_col))
+            )
+        return Record(df.filter(cond), rec.header), tgt_var
+
+    # -- var-length expand -------------------------------------------------------
+    def var_length_expand(
+        self,
+        rec: Record,
+        src_var: str,
+        rel: A.RelPat,
+        tgt: A.NodePat,
+        rel_ids: List[Tuple[str, frozenset, bool]],
+    ) -> Tuple[Record, str]:
+        """(a)-[r*lo..hi]->(b): unrolled at plan time into ``hi`` successive
+        joins with relationship-isomorphism filters, null-padded union of the
+        per-length results (reference: VarLengthExpandPlanner.scala:82-170).
+        The rel variable binds to the LIST of traversed relationship ids.
+        Unbounded upper is unsupported (parity: failing_blacklist:3-4)."""
+        lo, hi = rel.var_length
+        if hi is None:
+            raise CypherPlanningError(
+                "unbounded var-length expand (*..) is not supported; give an upper bound"
+            )
+        if lo < 0 or hi < lo:
+            raise CypherPlanningError(f"bad var-length range *{lo}..{hi}")
+        if hi == 0 and lo == 0 and tgt.var == src_var:
+            pass  # zero-length self: handled below
+
+        rel_var = rel.var or self._anon()
+        src_meta = rec.header[src_var]
+
+        rdf, rmeta = self.scan_rel_frame(rel_var, rel.types)
+        if rdf is None and lo > 0:
+            _, tmeta = self.scan_node_record(tgt.var or self._anon(), tgt.labels)
+            out = self._empty_like(rec, [tmeta])
+            tgt_var = tgt.var or self._anon()
+            out.header[tgt_var] = tmeta
+            list_col = f"{self._u(rel_var)}#ids"
+            out = Record(
+                out.df.select("*", F.lit(None).cast("array<long>").alias(list_col)),
+                out.header,
+            )
+            out.header[rel_var] = EntityMeta(kind="value", col=list_col)
+            return out, tgt_var
+        if rdf is not None:
+            rdf = self._prop_filter(rdf, rmeta, rel.props)
+            if self.cache_varlength_scans and hi > 1:
+                # the same scan is joined up to ``hi`` times — cache it or
+                # Spark recomputes per branch (reference:
+                # RelationalOptimizer.scala InsertCachingOperators)
+                rdf = rdf.persist()
+
+        u = self._u(rel_var)
+        ids_col, end_col = f"{u}#ids", f"{u}#end"
+
+        def orient(d: DataFrame, near: str, far: str, idc: str) -> DataFrame:
+            sel = [F.col(near).alias("_near"), F.col(far).alias("_far"), F.col(idc).alias("_rid")]
+            return d.select(sel)
+
+        if rdf is not None:
+            if rel.direction == "out":
+                step = orient(rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col)
+            elif rel.direction == "in":
+                step = orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col)
+            else:
+                step = orient(rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col).unionByName(
+                    orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col)
+                )
+            if self.cache_varlength_scans and hi > 1:
+                step = step.persist()
+        else:
+            step = None
+
+        levels: List[DataFrame] = []
+        if lo == 0:
+            zero = rec.df.select(
+                "*",
+                F.array().cast("array<long>").alias(ids_col),
+                F.col(src_meta.id_col).alias(end_col),
+            )
+            levels.append(zero)
+
+        if step is not None and hi >= 1:
+            s1 = step.select(
+                F.col("_near"),
+                F.array(F.col("_rid")).alias(ids_col),
+                F.col("_far").alias(end_col),
+            )
+            cur = rec.df.join(s1, F.col(src_meta.id_col) == F.col("_near")).drop("_near")
+            if lo <= 1:
+                levels.append(cur)
+            for depth in range(2, hi + 1):
+                nxt = cur.join(step, F.col(end_col) == F.col("_near")).filter(
+                    ~F.array_contains(F.col(ids_col), F.col("_rid"))
+                )
+                cur = nxt.select(
+                    *[c for c in cur.columns if c not in (ids_col, end_col)],
+                    F.concat(F.col(ids_col), F.array(F.col("_rid"))).alias(ids_col),
+                    F.col("_far").alias(end_col),
+                )
+                if depth >= lo:
+                    levels.append(cur)
+
+        if not levels:
+            raise CypherPlanningError("var-length expand produced no levels")
+        df = levels[0]
+        for l in levels[1:]:
+            df = df.unionByName(l)
+
+        header = dict(rec.header)
+        header[rel_var] = EntityMeta(kind="value", col=ids_col)
+        rel_ids.append((ids_col, rmeta.types if rdf is not None else frozenset(), True))
+
+        tgt_var = tgt.var or self._anon()
+        if tgt_var in header:
+            t = header[tgt_var]
+            df = df.filter(F.col(end_col) == F.col(t.id_col)).drop(end_col)
+            out = Record(df, header)
+            out = Record(self._prop_filter(out.df, t, tgt.props), header)
+            return out, tgt_var
+        tgt_scan, tmeta = self.scan_node_record(tgt_var, tgt.labels)
+        tgt_scan = self._prop_filter(tgt_scan, tmeta, tgt.props)
+        df = df.join(tgt_scan, F.col(end_col) == F.col(tmeta.id_col)).drop(end_col)
+        header[tgt_var] = tmeta
+        return Record(df, header), tgt_var
+
+    # ------------------------------------------------------------------ WHERE
+    def plan_where(self, rec: Record, expr: A.Expr) -> Record:
+        rec, expr = self._plan_pattern_predicates(rec, expr)
+        ctx = self._ctx(rec)
+        return Record(rec.df.filter(compile_expr(expr, ctx)), rec.header)
+
+    def _plan_pattern_predicates(self, rec: Record, expr: A.Expr) -> Tuple[Record, A.Expr]:
+        """Materialize each PatternPredicate into a boolean column (or a
+        semi/anti join when it is a top-level conjunct) and substitute a
+        variable reference (reference: ExistsSubQuery lowering,
+        RelationalPlanner.scala:224-246)."""
+        conjuncts = expr.items if isinstance(expr, A.Ands) else [expr]
+        remaining: List[A.Expr] = []
+        for c in conjuncts:
+            if isinstance(c, A.PatternPredicate):
+                rec = self._semi_join_predicate(rec, c)
+            else:
+                rec, c = self._replace_pattern_preds(rec, c)
+                remaining.append(c)
+        if not remaining:
+            return rec, A.Lit(True)
+        if len(remaining) == 1:
+            return rec, remaining[0]
+        return rec, A.Ands(remaining)
+
+    @staticmethod
+    def _key_col(meta: EntityMeta) -> str:
+        """The single column that determines a variable's identity within a
+        row: element id for nodes/rels, the value column otherwise."""
+        return meta.col if meta.kind == "value" else meta.id_col
+
+    def _rhs_for_pattern(self, rec: Record, pattern: A.PatternPart, where: Optional[A.Expr]):
+        """Plan a pattern against the graph starting from the distinct
+        projection of the lhs variables it references. Returns
+        (rhs_record, key_cols: identity columns shared with the lhs)."""
+        pat_vars = {n.var for n in pattern.nodes if n.var} | {
+            r.var for r in pattern.rels if r.var
+        }
+        used = set(pat_vars)
+        if where is not None:
+            used |= {v.name for v in where.walk() if isinstance(v, A.Var)}
+        common = sorted(v for v in used if v in rec.header)
+        key_cols: List[str] = []
+        if common and rec.df is not None:
+            join_cols: List[str] = []
+            for v in common:
+                join_cols.extend(rec.header[v].columns())
+                key_cols.append(self._key_col(rec.header[v]))
+            seen = set()
+            join_cols = [c for c in join_cols if not (c in seen or seen.add(c))]
+            key_cols = sorted(set(key_cols))
+            d = rec.df.select(*join_cols).dropDuplicates(key_cols)
+            rhs = Record(d, {v: rec.header[v] for v in common})
+        else:
+            rhs = Record(None, {})
+        rel_ids: List[Tuple[str, frozenset, bool]] = []
+        rhs = self.plan_part(rhs, pattern, rel_ids)
+        rhs = self._rel_uniqueness(rhs, rel_ids)
+        if where is not None:
+            rhs = self.plan_where(rhs, where)
+        return rhs, key_cols
+
+    def _semi_join_predicate(self, rec: Record, pred: A.PatternPredicate) -> Record:
+        rec_m = self._materialize(rec)
+        rhs, key_cols = self._rhs_for_pattern(rec_m, pred.pattern, pred.where)
+        how = "left_anti" if pred.negated else "left_semi"
+        if not key_cols:
+            keep = rhs.df.limit(1).count() > 0
+            want = keep if not pred.negated else not keep
+            df = rec_m.df if want else rec_m.df.filter(F.lit(False))
+            return Record(df, rec.header)
+        renames = {c: f"{c}#rhs{next(self._uid)}" for c in key_cols}
+        rdf = rhs.df.select([F.col(c).alias(renames[c]) for c in key_cols])
+        cond = None
+        for c in key_cols:
+            e = F.col(c).eqNullSafe(F.col(renames[c]))
+            cond = e if cond is None else cond & e
+        return Record(rec_m.df.join(rdf, cond, how), rec.header)
+
+    def _replace_pattern_preds(self, rec: Record, expr: A.Expr) -> Tuple[Record, A.Expr]:
+        preds = [n for n in expr.walk() if isinstance(n, A.PatternPredicate)]
+        for p in preds:
+            rec_m = self._materialize(rec)
+            rhs, key_cols = self._rhs_for_pattern(rec_m, p.pattern, p.where)
+            marker_var = self._anon()
+            marker_col = f"{self._u('exists')}#marker"
+            if not key_cols:
+                keep = rhs.df.limit(1).count() > 0
+                df = rec_m.df.select("*", F.lit(keep).alias(marker_col))
+            else:
+                renames = {c: f"{c}#rhs{next(self._uid)}" for c in key_cols}
+                rdf = (
+                    rhs.df.select([F.col(c).alias(renames[c]) for c in key_cols])
+                    .dropDuplicates()
+                    .select("*", F.lit(True).alias(marker_col))
+                )
+                cond = None
+                for c in key_cols:
+                    e = F.col(c).eqNullSafe(F.col(renames[c]))
+                    cond = e if cond is None else cond & e
+                df = rec_m.df.join(rdf, cond, "left_outer").drop(*renames.values())
+                df = df.withColumn(marker_col, F.col(marker_col).isNotNull())
+            header = dict(rec.header)
+            header[marker_var] = EntityMeta(kind="value", col=marker_col)
+            rec = Record(df, header)
+            repl: A.Expr = A.Var(marker_var)
+            if p.negated:
+                repl = A.Not(repl)
+            expr = A.substitute(expr, [(p, repl)])
+        return rec, expr
+
+    # --------------------------------------------------------------- OPTIONAL
+    def plan_optional_match(self, rec: Record, clause: A.MatchClause) -> Record:
+        """OPTIONAL MATCH: plan the pattern from the distinct lhs binding,
+        then left-outer-join it back (reference: planOptional,
+        RelationalPlanner.scala:298-329)."""
+        lhs = self._materialize(rec)
+        # variables referenced anywhere in the optional part
+        used = set()
+        for part in clause.parts:
+            used |= {n.var for n in part.nodes if n.var}
+            used |= {r.var for r in part.rels if r.var}
+        if clause.where is not None:
+            used |= {v.name for v in clause.where.walk() if isinstance(v, A.Var)}
+        common = sorted(v for v in used if v in lhs.header)
+
+        join_cols: List[str] = []
+        key_cols: List[str] = []
+        for v in common:
+            join_cols.extend(lhs.header[v].columns())
+            key_cols.append(self._key_col(lhs.header[v]))
+        seen = set()
+        join_cols = [c for c in join_cols if not (c in seen or seen.add(c))]
+        key_cols = sorted(set(key_cols))
+
+        if join_cols:
+            d = lhs.df.select(*join_cols).dropDuplicates(key_cols)
+            rhs = Record(d, {v: lhs.header[v] for v in common})
+        else:
+            rhs = Record(None, {})
+
+        rel_ids: List[Tuple[str, frozenset, bool]] = []
+        for part in clause.parts:
+            rhs = self.plan_part(rhs, part, rel_ids)
+        rhs = self._rel_uniqueness(rhs, rel_ids)
+        if clause.where is not None:
+            rhs = self.plan_where(rhs, clause.where)
+        rhs = self._materialize(rhs)
+
+        new_vars = {v: m for v, m in rhs.header.items() if v not in lhs.header}
+
+        if not join_cols:
+            keep_cols = []
+            for m in new_vars.values():
+                keep_cols.extend(m.columns())
+            seen2 = set()
+            keep_cols = [c for c in keep_cols if not (c in seen2 or seen2.add(c))]
+            rdf = rhs.df.select(*keep_cols) if keep_cols else rhs.df
+            df = lhs.df.join(rdf, F.lit(True), "left_outer")
+        else:
+            # identity (id) columns carry the join; the lhs copies of the
+            # shared vars' other columns are dropped from the rhs entirely
+            new_cols = []
+            for m in new_vars.values():
+                new_cols.extend(m.columns())
+            seen2 = set()
+            new_cols = [c for c in new_cols if not (c in seen2 or seen2.add(c))]
+            renames = {c: f"{c}#opt{next(self._uid)}" for c in key_cols}
+            rdf = rhs.df.select(
+                *[F.col(c).alias(renames[c]) for c in key_cols], *new_cols
+            )
+            cond = None
+            for c in key_cols:
+                e = F.col(c) == F.col(renames[c])
+                cond = e if cond is None else cond & e
+            df = lhs.df.join(rdf, cond, "left_outer").drop(*renames.values())
+
+        header = dict(lhs.header)
+        header.update(new_vars)
+        return Record(df, header)
+
+    # ----------------------------------------------------------------- UNWIND
+    def plan_unwind(self, rec: Record, clause: A.UnwindClause) -> Record:
+        rec = self._materialize(rec)
+        ctx = self._ctx(rec)
+        col = compile_expr(clause.expr, ctx)
+        out_col = f"{self._u(clause.var)}#val"
+        # explode drops null / empty lists — exactly UNWIND's semantics
+        df = rec.df.select("*", F.explode(col).alias(out_col))
+        header = dict(rec.header)
+        header[clause.var] = EntityMeta(kind="value", col=out_col)
+        return Record(df, header)
+
+    # ------------------------------------------------------------- projection
+    def _resolve_items(self, rec: Record, clause: A.ProjectionClause):
+        items: List[Tuple[A.Expr, str]] = []
+        if clause.star:
+            for v in rec.header:
+                if not v.startswith(" "):
+                    items.append((A.Var(v), v))
+        items.extend(clause.items)
+        return items
+
+    def plan_projection(self, rec: Record, clause: A.ProjectionClause) -> Record:
+        rec = self._materialize(rec)
+        items = self._resolve_items(rec, clause)
+        if any(A.contains_aggregate(e) for e, _ in items):
+            return self._plan_aggregation(rec, clause, items)
+
+        header_out: Header = {}
+        new_cols: List[Column] = []
+        ctx = self._ctx(rec)
+        for e, alias in items:
+            if isinstance(e, A.Var) and e.name in rec.header and rec.header[e.name].kind != "value":
+                header_out[alias] = rec.header[e.name]
+            else:
+                c = compile_expr(e, ctx)
+                phys = f"{self._u(alias)}#val"
+                new_cols.append(c.alias(phys))
+                header_out[alias] = EntityMeta(kind="value", col=phys)
+        df = rec.df.select("*", *new_cols) if new_cols else rec.df
+
+        # merged scope: output aliases shadow input vars (ORDER BY/WHERE may
+        # reference both per Cypher scoping)
+        merged: Header = dict(rec.header)
+        merged.update(header_out)
+
+        if clause.where is not None:
+            wrec, wexpr = self._plan_pattern_predicates(Record(df, merged), clause.where)
+            df, merged = wrec.df, wrec.header
+            df = df.filter(compile_expr(wexpr, CompileCtx(df, merged, self.params)))
+
+        out_cols = []
+        seen = set()
+        for m in header_out.values():
+            for c in m.columns():
+                if c not in seen:
+                    seen.add(c)
+                    out_cols.append(c)
+
+        if clause.distinct:
+            df = df.select(*out_cols).dropDuplicates()
+            scope_for_order = header_out
+        else:
+            scope_for_order = merged
+
+        df = self._order_skip_limit(df, clause, scope_for_order)
+        if not clause.distinct:
+            df = df.select(*out_cols)
+        return Record(df, header_out)
+
+    def _order_skip_limit(self, df: DataFrame, clause: A.ProjectionClause, scope: Header) -> DataFrame:
+        if clause.order_by:
+            ctx = CompileCtx(df, scope, self.params)
+            sort_cols = []
+            for oi in clause.order_by:
+                c = compile_expr(oi.expr, ctx)
+                sort_cols.append(c.asc() if oi.asc else c.desc())
+            df = df.orderBy(*sort_cols)
+        if clause.skip is not None:
+            df = df.offset(self._int_value(clause.skip))
+        if clause.limit is not None:
+            df = df.limit(self._int_value(clause.limit))
+        return df
+
+    def _int_value(self, e: A.Expr) -> int:
+        if isinstance(e, A.Lit) and isinstance(e.value, int):
+            return e.value
+        if isinstance(e, A.Param):
+            return int(self.params[e.name])
+        if isinstance(e, A.Neg):
+            return -self._int_value(e.expr)
+        raise CypherPlanningError("SKIP/LIMIT must be an integer literal or parameter")
+
+    # ------------------------------------------------------------- aggregation
+    def _plan_aggregation(self, rec: Record, clause: A.ProjectionClause, items) -> Record:
+        """Cypher implicit grouping: non-aggregate return items are the keys
+        (reference: AggregationBlock, IRBuilder.scala; entity keys group by
+        all owned columns, SparkTable.scala:140-149)."""
+        ctx = self._ctx(rec)
+
+        # collect aggregate subtrees from items and ORDER BY
+        agg_nodes: List[A.Expr] = []
+        for e, _ in items:
+            for a in A.aggregate_subtrees(e):
+                if a not in agg_nodes:
+                    agg_nodes.append(a)
+        for oi in clause.order_by:
+            for a in A.aggregate_subtrees(oi.expr):
+                if a not in agg_nodes:
+                    agg_nodes.append(a)
+
+        # group keys: non-aggregate items
+        key_items = [(e, alias) for e, alias in items if not A.contains_aggregate(e)]
+        group_cols: List[str] = []
+        pre_cols: List[Column] = []
+        header_out: Header = {}
+        key_subst: List[Tuple[A.Expr, A.Expr]] = []
+        for e, alias in key_items:
+            if isinstance(e, A.Var) and e.name in rec.header and rec.header[e.name].kind != "value":
+                meta = rec.header[e.name]
+                header_out[alias] = meta
+                group_cols.extend(meta.columns())
+            else:
+                phys = f"{self._u(alias)}#key"
+                pre_cols.append(compile_expr(e, ctx).alias(phys))
+                header_out[alias] = EntityMeta(kind="value", col=phys)
+                group_cols.append(phys)
+                key_subst.append((e, A.Var(alias)))
+
+        df = rec.df.select("*", *pre_cols) if pre_cols else rec.df
+
+        # aggregates
+        agg_cols: List[Column] = []
+        subst: List[Tuple[A.Expr, A.Expr]] = list(key_subst)
+        agg_var_meta: Header = {}
+        actx = CompileCtx(df, rec.header, self.params)
+        for i, a in enumerate(agg_nodes):
+            phys = f"agg{next(self._uid)}#val"
+            agg_cols.append(compile_aggregate(a, actx).alias(phys))
+            v = f" agg{i}"
+            agg_var_meta[v] = EntityMeta(kind="value", col=phys)
+            subst.append((a, A.Var(v)))
+
+        seen = set()
+        group_cols = [c for c in group_cols if not (c in seen or seen.add(c))]
+        if group_cols:
+            gdf = df.groupBy(*group_cols).agg(*agg_cols)
+        else:
+            gdf = df.agg(*agg_cols)
+
+        # post-projection: rebuild item expressions over aggregated columns
+        post_scope: Header = dict(header_out)
+        post_scope.update(agg_var_meta)
+        pctx = CompileCtx(gdf, post_scope, self.params)
+        post_cols: List[Column] = []
+        for e, alias in items:
+            if alias in header_out and not A.contains_aggregate(e):
+                continue  # key item, already a column (entity or value)
+            e2 = A.substitute(e, subst)
+            phys = f"{self._u(alias)}#val"
+            post_cols.append(compile_expr(e2, pctx).alias(phys))
+            header_out[alias] = EntityMeta(kind="value", col=phys)
+        gdf = gdf.select("*", *post_cols) if post_cols else gdf
+
+        if clause.where is not None:
+            wctx = CompileCtx(gdf, {**post_scope, **header_out}, self.params)
+            gdf = gdf.filter(compile_expr(A.substitute(clause.where, subst), wctx))
+
+        out_cols = []
+        seen2 = set()
+        for m in header_out.values():
+            for c in m.columns():
+                if c not in seen2:
+                    seen2.add(c)
+                    out_cols.append(c)
+
+        if clause.distinct:
+            gdf = gdf.select(*out_cols).dropDuplicates()
+
+        # ORDER BY with aggregate references -> substitute to agg columns
+        if clause.order_by:
+            octx = CompileCtx(gdf, {**post_scope, **header_out}, self.params)
+            sort_cols = []
+            for oi in clause.order_by:
+                c = compile_expr(A.substitute(oi.expr, subst), octx)
+                sort_cols.append(c.asc() if oi.asc else c.desc())
+            gdf = gdf.orderBy(*sort_cols)
+        if clause.skip is not None:
+            gdf = gdf.offset(self._int_value(clause.skip))
+        if clause.limit is not None:
+            gdf = gdf.limit(self._int_value(clause.limit))
+
+        if not clause.distinct:
+            gdf = gdf.select(*out_cols)
+        return Record(gdf, header_out)

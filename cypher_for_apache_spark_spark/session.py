@@ -1,0 +1,123 @@
+"""CypherSession: the user-facing entry point.
+
+Mirrors the reference's MorpheusSession / RelationalCypherSession surface
+(morpheus-spark-cypher/.../api/MorpheusSession.scala:77-110,
+okapi-relational/.../api/graph/RelationalCypherSession.scala:130-199):
+``read_from`` builds a ScanGraph from DataFrames, ``cypher`` parses, plans
+and lazily returns records; a catalog maps graph names to graphs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Mapping, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cypher_for_apache_spark_spark.graph import NodeTable, PropertyGraph, RelationshipTable
+from cypher_for_apache_spark_spark.parser import parse
+from cypher_for_apache_spark_spark.plans.planner import Planner
+
+
+class CypherResult:
+    """Lazy query result (reference: MorpheusRecords,
+    morpheus-spark-cypher/.../impl/MorpheusRecords.scala:91-138). Nothing
+    executes until a Spark action touches ``df``."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def collect(self):
+        return self.df.collect()
+
+    def to_maps(self):
+        """Bag-of-dicts view used by the acceptance tests (reference result
+        comparison convention, SURVEY.md §5)."""
+        return [row.asDict(recursive=True) for row in self.df.collect()]
+
+    def show(self, n: int = 20):
+        self.df.show(n, truncate=False)
+
+
+def _spark_tuning(spark: SparkSession) -> None:
+    """Session-level settings Cypher semantics rely on. All are
+    runtime-settable SQL confs."""
+    try:
+        # Cypher ternary logic wants null-on-error, not ANSI errors
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        # OPTIONAL MATCH with disjoint patterns needs cross joins (reference:
+        # MorpheusSession.scala:104 sets spark.sql.crossJoin.enabled)
+        spark.conf.set("spark.sql.crossJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+
+
+class CypherSession:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        _spark_tuning(spark)
+        self.catalog: Dict[str, PropertyGraph] = {}
+
+    # -- graph ingestion ----------------------------------------------------
+    def read_from(
+        self,
+        nodes: Mapping[Union[str, tuple, frozenset], DataFrame],
+        relationships: Optional[Mapping[str, DataFrame]] = None,
+        node_id: str = "id",
+        rel_id: str = "id",
+        rel_src: str = "src",
+        rel_dst: str = "dst",
+        name: str = "graph",
+    ) -> PropertyGraph:
+        """Build a property graph from DataFrames.
+
+        ``nodes``: {label or label-tuple -> DataFrame with an id column +
+        property columns}; ``relationships``: {type -> DataFrame with id,
+        src, dst + property columns}. Ints are lifted to long automatically.
+        """
+        node_tables = []
+        for labels, df in nodes.items():
+            if isinstance(labels, str):
+                labels = (labels,)
+            node_tables.append(NodeTable.create(labels, df, id_col=node_id))
+        rel_tables = []
+        for rel_type, df in (relationships or {}).items():
+            rel_tables.append(
+                RelationshipTable.create(rel_type, df, id_col=rel_id, src_col=rel_src, dst_col=rel_dst)
+            )
+        g = PropertyGraph(node_tables, rel_tables, name=name)
+        g._session = self
+        return g
+
+    def store_graph(self, name: str, graph: PropertyGraph) -> None:
+        graph._session = self
+        self.catalog[name] = graph
+
+    def graph(self, name: str) -> PropertyGraph:
+        return self.catalog[name]
+
+    # -- query --------------------------------------------------------------
+    def cypher(
+        self,
+        query: str,
+        parameters: Optional[dict] = None,
+        graph: Optional[PropertyGraph] = None,
+        graph_name: Optional[str] = None,
+    ) -> CypherResult:
+        if graph is None and graph_name is not None:
+            graph = self.catalog[graph_name]
+        if graph is None and len(self.catalog) == 1:
+            graph = next(iter(self.catalog.values()))
+        return self.cypher_on_graph(graph, query, parameters or {})
+
+    def cypher_on_graph(
+        self, graph: Optional[PropertyGraph], query: str, parameters: dict
+    ) -> CypherResult:
+        ast = parse(query)
+        planner = Planner(self.spark, graph, parameters)
+        return CypherResult(planner.plan(ast))
+
+    # -- SQL passthrough (reference: MorpheusSession.sql,
+    #    MorpheusSession.scala:84-85) ----------------------------------------
+    def sql(self, query: str) -> CypherResult:
+        return CypherResult(self.spark.sql(query))
