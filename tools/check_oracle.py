@@ -1,0 +1,103 @@
+"""Local replica of the driver's t2 correctness harness: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df):
+    """pandas DataFrame -> canonical multiset of row tuples."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for t in df.itertuples(index=False):
+        row = []
+        for v in t:
+            if isinstance(v, float):
+                row.append(f"{v:.10g}")
+            elif hasattr(v, "__len__") and not isinstance(v, str):
+                row.append(repr(list(v)))
+            else:
+                row.append(repr(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = 0
+    for name in qs:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {type(ex).__name__}: {str(ex)[:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {str(ex)[:200]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(f"columns spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        if not problems:
+            a, b = normalize(sdf), normalize(ddf)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, e.g. {diff}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+        if only and name in only:
+            print("spark:", sdf.head(10).to_string())
+            print("duck:", ddf.head(10).to_string())
+    print(f"\n{n_pass} passed, {n_fail} failed, {len(qs)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
