@@ -246,6 +246,253 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Pipeline operators (dedup / similarity / text analysis / events) as
+# queries; oracle SQL mirrors the exact arithmetic where SQL can express it.
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("doc_id")
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, num_hashes=32, bands=16, threshold=0.8).select("doc_id")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(simhash(docs), max_distance=3, chunks=4)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(docs).select(
+        "doc_id", "q_n_chars", "q_n_tokens", "q_avg_token_len", "q_alpha_ratio", "q_score"
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.similarity import knn_brute
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return knn_brute(emb.where("vec_id <> 0"), q, k=10)
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.similarity import knn_join_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join_lsh(emb, k=5, planes=10, dim=64)
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects — read nanos as long and rebuild a (microsecond)
+    timestamp column JVM-side."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return ev
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.events import sessionize
+
+    ev = _read_events(spark, sf_dir)
+    return (
+        sessionize(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def _q_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.events import topk_per_group
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return topk_per_group(
+        j, ["c_mktsegment"], "o_totalprice", 3, tiebreak_col="o_orderkey"
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.events import time_rollup
+
+    ev = _read_events(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 1000).cast("long")
+    )
+    return time_rollup(ev, bucket="day").select(
+        F.col("bucket_ts").cast("date").cast("string").alias("day"),
+        "event_type",
+        "n",
+        F.col("sum_value").alias("sum_value_milli"),
+    )
+
+
+_PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
+    "dedup_exact_docs": (
+        _q_dedup_exact,
+        f"""SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5({_NORM_SQL})""",
+    ),
+    "dedup_minhash_docs": (_q_dedup_minhash, None),
+    "dedup_simhash_pairs": (_q_simhash_pairs, None),
+    "ngram_jaccard_pairs": (_q_ngram_jaccard, None),
+    "text_quality": (
+        _q_text_quality,
+        f"""WITH n AS (
+              SELECT doc_id, {_NORM_SQL} AS norm, trim(text) AS t FROM documents),
+            f AS (
+              SELECT doc_id,
+                     CAST(length(norm) AS BIGINT) AS q_n_chars,
+                     CAST(CASE WHEN length(t) = 0 THEN 0
+                          ELSE len(string_split_regex(t, '\\s+')) END AS BIGINT) AS q_n_tokens,
+                     length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(norm, '[^.,;:!?''"()-]', '', 'g')) AS punct
+              FROM n)
+            SELECT doc_id, q_n_chars, q_n_tokens,
+                   round(CASE WHEN q_n_tokens > 0
+                         THEN (q_n_chars - (q_n_tokens - 1.0)) / q_n_tokens
+                         ELSE 0.0 END, 6) AS q_avg_token_len,
+                   round(CASE WHEN q_n_chars > 0 THEN alpha / CAST(q_n_chars AS DOUBLE)
+                         ELSE 0.0 END, 6) AS q_alpha_ratio,
+                   round((CASE WHEN q_n_tokens >= 10 AND q_n_tokens <= 100000
+                          THEN 1.0 ELSE 0.5 END)
+                         * (CASE WHEN q_n_chars > 0 THEN alpha / CAST(q_n_chars AS DOUBLE) ELSE 0.0 END)
+                         * (1 - CASE WHEN q_n_chars > 0 THEN punct / CAST(q_n_chars AS DOUBLE) ELSE 0.0 END), 6) AS q_score
+            FROM f""",
+    ),
+    "lang_id_docs": (
+        _q_lang_id,
+        f"""WITH p AS (
+              SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS s FROM documents),
+            sc AS (
+              SELECT doc_id,
+                (length(s)-length(replace(s,' the ','')))/5.0 + (length(s)-length(replace(s,' and ','')))/5.0
+                  + (length(s)-length(replace(s,' of ','')))/4.0 + (length(s)-length(replace(s,' to ','')))/4.0 AS en,
+                (length(s)-length(replace(s,' der ','')))/5.0 + (length(s)-length(replace(s,' und ','')))/5.0
+                  + (length(s)-length(replace(s,' die ','')))/5.0 + (length(s)-length(replace(s,' nicht ','')))/7.0 AS de,
+                (length(s)-length(replace(s,' le ','')))/4.0 + (length(s)-length(replace(s,' et ','')))/4.0
+                  + (length(s)-length(replace(s,' les ','')))/5.0 + (length(s)-length(replace(s,' est ','')))/5.0 AS fr,
+                (length(s)-length(replace(s,' el ','')))/4.0 + (length(s)-length(replace(s,' y ','')))/3.0
+                  + (length(s)-length(replace(s,' los ','')))/5.0 + (length(s)-length(replace(s,' es ','')))/4.0 AS es
+              FROM p)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                        ELSE 'es' END AS lang_guess
+            FROM sc""",
+    ),
+    "fingerprint_docs": (
+        _q_fingerprint,
+        f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+    ),
+    "knn_brute_embeddings": (
+        _q_knn_brute,
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+           s AS (
+             SELECT vec_id,
+                    list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+                      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(qe, qe))) AS sim
+             FROM embeddings, q WHERE vec_id <> 0)
+           SELECT vec_id, round(sim, 6) AS sim FROM s
+           ORDER BY sim DESC, vec_id LIMIT 10""",
+    ),
+    "knn_lsh_embeddings": (_q_knn_lsh, None),
+    "sessionize_events": (
+        _q_sessionize,
+        """WITH g AS (
+             SELECT user_id,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+           SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                  count(*) AS n_events
+           FROM g GROUP BY user_id""",
+    ),
+    "topk_orders_per_segment": (
+        _q_topk_per_segment,
+        """SELECT segment, orderkey, totalprice, rank FROM (
+             SELECT c_mktsegment AS segment, o_orderkey AS orderkey,
+                    o_totalprice AS totalprice,
+                    CAST(row_number() OVER (PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+             FROM orders JOIN customer ON o_custkey = c_custkey)
+           WHERE rank <= 3""",
+    ),
+    "time_rollup_events": (
+        _q_time_rollup,
+        """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                  event_type, count(*) AS n,
+                  CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+           FROM events GROUP BY 1, 2""",
+    ),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     g = _graph(spark, "/root/testdata/sf0.001")
@@ -260,8 +507,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (cypher, _sql) in _CYPHER_QUERIES.items():
         out[name] = _cypher(cypher)
+    for name, (fn, _sql) in _PIPELINE_QUERIES.items():
+        out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_cy, sql) in _CYPHER_QUERIES.items()}
+    out = {name: sql for name, (_cy, sql) in _CYPHER_QUERIES.items()}
+    for name, (_fn, sql) in _PIPELINE_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
+    return out

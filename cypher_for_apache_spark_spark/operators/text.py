@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side, codegen'd)
+— no Python UDFs. Each operator has a deterministic arithmetic definition so
+a DuckDB oracle can mirror it exactly.
+
+Beyond the reference's surface (it has no text pipeline); designed for
+100 TB corpora: every operator is a narrow projection over the text column
+(column pruning reaches the parquet scan) and nothing shuffles except the
+caller's own aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WHITESPACE = r"\s+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace runs, trim — the canonical form used
+    by exact dedup and fingerprinting."""
+    return F.lower(F.trim(F.regexp_replace(col, WHITESPACE, " ")))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (long)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, WHITESPACE))
+    ).cast("long")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (md5 exists in both Spark and DuckDB, so oracles can reproduce it)."""
+    return F.md5(normalize_text(col))
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Number of occurrences of a literal substring, via the length-diff
+    trick — identical semantics in Spark and DuckDB SQL."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+# marker-word profiles for the language-ID heuristic (padded with spaces so
+# they only match whole words)
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " nicht "],
+    "fr": [" le ", " et ", " les ", " est "],
+    "es": [" el ", " y ", " los ", " es "],
+}
+
+
+def lang_scores(col: Column) -> dict:
+    """Per-language marker-occurrence scores over the normalized text."""
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    return {
+        lang: sum((_occurrences(padded, m) for m in markers), F.lit(0.0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram/marker heuristic language guess with deterministic
+    tie-breaking (priority order en > de > fr > es, 'und' = unknown)."""
+    scores = lang_scores(col)
+    g = F.greatest(*scores.values())
+    out = F.when(g <= 0, F.lit("und"))
+    for lang in ("en", "de", "fr", "es"):
+        out = out.when(scores[lang] == g, F.lit(lang))
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds deterministic quality-scoring features:
+
+    - n_chars, n_tokens, avg_token_len
+    - punct_ratio: punctuation chars / total chars
+    - alpha_ratio: [a-z] chars / total chars (on normalized text)
+    - quality_score in [0, 1]: length band * alpha weighting
+    """
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    n_chars = F.length(norm).cast("long")
+    n_tokens = token_count(t)
+    avg_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct = F.length(F.regexp_replace(norm, r"[^.,;:!?'\"()-]", ""))
+    alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    len_band = F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    score = F.round(len_band * alpha_ratio * (1 - punct_ratio), 6)
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(avg_tok, 6).alias("q_avg_token_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(alpha_ratio, 6).alias("q_alpha_ratio"),
+        score.alias("q_score"),
+    )

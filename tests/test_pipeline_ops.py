@@ -1,0 +1,198 @@
+"""Pipeline operator tests: dedup, similarity, text analysis, multimodal
+plumbing, event ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_spark_spark.operators import dedup, events, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    near = base.replace("lazy", "sleepy")  # one token differs
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "  THE   quick brown fox jumps over the lazy dog again and again until done "),  # normalizes to 0
+        (3, near),  # near-dup of 0
+        (4, "completely different text about spark dataframes and cypher queries here"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 3, 4, 5]  # 1 and 2 collapse into 0
+
+
+def test_minhash_signatures_shape(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    rows = sigs.collect()
+    assert all(len(r["signature"]) == 16 for r in rows)
+    by_id = {r["doc_id"]: list(r["signature"]) for r in rows}
+    assert by_id[0] == by_id[1]  # identical docs, identical signatures
+    # near-dup shares most positions
+    same = sum(1 for a, b in zip(by_id[0], by_id[3]) if a == b)
+    assert same >= 8
+
+
+def test_minhash_dedup(docs):
+    out = dedup.minhash_dedup(docs, num_hashes=32, bands=16, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 1, 2 (exact) and 3 (near) deduplicate against 0
+    assert ids == [0, 4, 5]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got  # normalization makes them equal
+    assert (0, 3) in got and got[(0, 3)] < 1.0
+
+
+def test_simhash_and_pairs(docs):
+    fps = dedup.simhash(docs)
+    by_id = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+
+    def ham(a, b):
+        return bin((by_id[a] ^ by_id[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(0, 1) == 0 and ham(0, 2) == 0  # identical after normalization
+    assert ham(0, 3) < ham(0, 4)  # near-dup closer than unrelated text
+    # pigeonhole candidate join guarantees pairs with distance < chunks
+    pairs = dedup.simhash_pairs(fps, max_distance=3, chunks=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0 and got.get((0, 2)) == 0 and got.get((1, 2)) == 0
+
+
+def test_knn_brute(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_brute(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 1]
+    assert out[0]["sim"] == 1.0
+
+
+def test_knn_lsh_recall(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(100):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant a known near pair
+    rows.append((1000, [x + 0.01 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_join_lsh(df, k=3, planes=8, dim=16)
+    neigh = [r["neighbor"] for r in out.filter(F.col("vec_id") == 1000).collect()]
+    assert 0 in neigh
+
+
+def test_ivf(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train_centroids(df, n_centroids=4, iterations=1)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    q = rows[5][1]
+    got = similarity.ivf_search(df, q, cents, k=5, n_probes=4).collect()
+    # probing all 4 centroids == exact search; query vector itself wins
+    assert got[0]["vec_id"] == 5
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox!"), (1, "   "), (2, "word " * 20)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.quality_features(df).collect()}
+    assert out[0]["q_n_tokens"] == 4
+    assert out[1]["q_n_tokens"] == 0
+    assert out[2]["q_score"] > out[0]["q_score"]  # length band kicks in
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house went to the park"),
+            (1, "der hund und die katze und der vogel nicht hier"),
+            (2, "le chat et les chiens et le oiseau est ici"),
+            (3, "el gato y los perros y el pajaro es aqui"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_fingerprint_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([(0, "  Hello   World  ")], "doc_id long, text string")
+    got = df.select(text.fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
+    want = duckdb.sql(
+        "select md5(lower(trim(regexp_replace('  Hello   World  ', '\\s+', ' ', 'g'))))"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 11:30:00"),  # gap > 30min -> new session
+            (2, "2024-01-01 10:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = events.sessionize(df).collect()
+    sess = {(r["user_id"], str(r["ts"])): r["session_seq"] for r in out}
+    assert sess[(1, "2024-01-01 10:00:00")] == 1
+    assert sess[(1, "2024-01-01 10:10:00")] == 1
+    assert sess[(1, "2024-01-01 11:30:00")] == 2
+    assert sess[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp string, id long, v double",
+    )
+    out = events.topk_per_group(df, ["grp"], "v", 2, tiebreak_col="id").collect()
+    got = sorted((r["grp"], r["id"], r["rank"]) for r in out)
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1)]
+
+
+def test_multimodal_decode(spark):
+    media = multimodal.synthetic_media(spark, n=8)
+    out = multimodal.decode_media(media).collect()
+    assert len(out) == 8
+    assert all(r["decode_ok"] for r in out)
+    assert all(64 <= r["decoded_width"] < 256 for r in out)
+    # deterministic: same payload -> same decode
+    again = multimodal.decode_media(media).collect()
+    assert sorted((r["media_id"], r["decoded_width"]) for r in out) == sorted(
+        (r["media_id"], r["decoded_width"]) for r in again
+    )
+
+
+def test_multimodal_features_and_frames(spark):
+    media = multimodal.synthetic_media(spark, n=6)
+    feats = multimodal.media_features(media, dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    frames = multimodal.frame_sample(media).collect()
+    assert len(frames) >= 6
+    assert all(r["frame_idx"] >= 0 for r in frames)
