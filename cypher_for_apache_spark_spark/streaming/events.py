@@ -1,0 +1,115 @@
+"""Structured Streaming operators over the events table shape.
+
+Net-new versus the reference (batch-only, SURVEY.md §1.6): event-time
+windowed rollups with watermarked late-data handling, streaming
+sessionization via ``session_window``, and streaming dedup — the streaming
+counterparts of operators/events.py and operators/dedup.py.
+
+All helpers take a *streaming* DataFrame (``spark.readStream``) and return
+a transformed streaming DataFrame; sinks are the caller's choice. For
+tests, ``run_to_memory`` drives a file-backed stream to completion
+synchronously with the memory sink.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events parquet (nanos ts).
+
+    The file streaming source requires a directory, so stream the sf dir
+    with a glob filter selecting the events table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation (late data beyond the
+    watermark is dropped; state is bounded — this is what makes the operator
+    runnable forever at scale)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: the streaming counterpart of
+    operators/events.sessionize (gap-based sessions with bounded state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event ids within the watermark horizon
+    (dropDuplicatesWithinWatermark keeps state bounded)."""
+    w = events.withWatermark("ts", watermark)
+    try:
+        return w.dropDuplicatesWithinWatermark(["event_id"])
+    except Exception:  # older Spark fallback: unbounded-state dedup
+        return w.dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a (file-backed) stream to completion synchronously into an
+    in-memory table — the test/verification harness."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,56 @@
+"""Structured Streaming extension tests: drive file-backed streams to
+completion with the memory sink and compare against batch equivalents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_spark_spark.streaming import events as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return S.read_events_stream(spark, SF_DIR)
+
+
+def test_windowed_rollup_matches_batch(spark, stream):
+    # complete mode: append would hold back the final (still-open) windows
+    # that the watermark never closes on a finite file stream
+    S.run_to_memory(
+        S.windowed_rollup(stream, window="1 hour"), "rollup_out", output_mode="complete"
+    )
+    got = spark.sql(
+        "SELECT window_start, event_type, n FROM rollup_out"
+    ).collect()
+    assert len(got) > 0
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(SF_DIR + "/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {
+        (r["window"]["start"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    got_map = {(r["window_start"], r["event_type"]): r["n"] for r in got}
+    assert got_map == want
+
+
+def test_streaming_sessionize(spark, stream):
+    S.run_to_memory(S.streaming_sessionize(stream, gap="30 minutes"), "sess_out")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_streaming_dedup(spark, stream):
+    S.run_to_memory(S.streaming_dedup(stream), "dedup_out", output_mode="append")
+    n = spark.sql("SELECT count(*) AS c FROM dedup_out").collect()[0]["c"]
+    total = spark.read.parquet(SF_DIR + "/events.parquet").count()
+    # source has unique event ids; dedup must not drop or duplicate anything
+    assert n == total
