@@ -276,8 +276,48 @@ class ProjectionClause:
 
 
 @dataclass
+class FromGraphClause:
+    graph_name: str
+
+
+@dataclass
+class SetItem:
+    subject: str  # variable
+    key: Optional[str]  # property name; None for label set
+    labels: List[str] = field(default_factory=list)
+    value: Optional[Expr] = None
+
+
+@dataclass
+class ConstructClause:
+    """CONSTRUCT [ON g...] [CLONE v...] [NEW pattern...] [SET items]
+    (reference: ConstructGraphPlanner, Cypher 10 multiple-graph support)."""
+
+    on_graphs: List[str] = field(default_factory=list)
+    clones: List[str] = field(default_factory=list)
+    news: List["PatternPart"] = field(default_factory=list)
+    sets: List[SetItem] = field(default_factory=list)
+
+
+@dataclass
+class ReturnGraphClause:
+    pass
+
+
+@dataclass
+class CreateGraphStatement:
+    name: str
+    inner: object  # SingleQuery | UnionQuery
+
+
+@dataclass
+class DeleteGraphStatement:
+    name: str
+
+
+@dataclass
 class SingleQuery:
-    clauses: list  # MatchClause | UnwindClause | ProjectionClause
+    clauses: list  # MatchClause | UnwindClause | ProjectionClause | FromGraph...
 
 
 @dataclass

@@ -87,6 +87,12 @@ def entity_column(meta: EntityMeta) -> Column:
 def _lit(e: A.Lit, ctx: CompileCtx) -> Column:
     if e.value is None:
         return F.lit(None)
+    if isinstance(e.value, bool):
+        return F.lit(e.value)
+    if isinstance(e.value, int):
+        # all Cypher integers are 64-bit (CTInteger -> LongType,
+        # SparkConversions.scala:54-77); Catalyst folds the cast
+        return F.lit(e.value).cast("long")
     return F.lit(e.value)
 
 

@@ -267,10 +267,92 @@ class PropertyGraph:
             rt.df.unpersist()
         return self
 
-    def cypher(self, query: str, parameters: Optional[dict] = None) -> "CypherResult":
-        if self._session is None:
-            from cypher_for_apache_spark_spark.session import CypherSession
+    # -- multiple graphs ------------------------------------------------------
+    def with_prefixed_ids(self, prefix: int) -> "PropertyGraph":
+        """Shift every element id into a per-graph id space (reference:
+        PrefixedGraph / AddPrefix prepend a byte to binary ids,
+        okapi-relational/.../impl/graph/PrefixedGraph.scala; with long ids
+        we place the prefix in the top byte below the sign bit — valid while
+        original ids < 2^55)."""
+        shift = 55
 
-            spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-            self._session = CypherSession(spark)
-        return self._session.cypher_on_graph(self, query, parameters or {})
+        def pfx(col):
+            return F.col(col) + F.lit(prefix << shift)
+
+        nodes = [
+            NodeTable(nt.labels, nt.df.withColumn(ID, pfx(ID)))
+            for nt in self.node_tables.values()
+        ]
+        rels = [
+            RelationshipTable(
+                rt.rel_type,
+                rt.df.withColumn(ID, pfx(ID)).withColumn(SRC, pfx(SRC)).withColumn(DST, pfx(DST)),
+            )
+            for rt in self.rel_tables.values()
+        ]
+        g = PropertyGraph(nodes, rels, name=f"{self.name}_p{prefix}")
+        g._session = self._session
+        return g
+
+
+def union_graphs(
+    *graphs: "PropertyGraph", prefix_ids: bool = True, dedup_ids: bool = False
+) -> "PropertyGraph":
+    """Union of whole graphs (reference: UnionGraph / GraphUnionAll,
+    okapi-relational/.../impl/graph/UnionGraph.scala:46-116): member id
+    spaces are made disjoint by prefixing, matching tables are aligned and
+    unioned per label-combination / relationship type. With
+    ``dedup_ids`` (CONSTRUCT ON semantics) duplicate element ids collapse
+    instead of being prefixed apart."""
+    members = [
+        g.with_prefixed_ids(i) if prefix_ids else g for i, g in enumerate(graphs)
+    ]
+    node_acc: Dict[FrozenSet[str], List[NodeTable]] = {}
+    rel_acc: Dict[str, List[RelationshipTable]] = {}
+    for m in members:
+        for combo, nt in m.node_tables.items():
+            node_acc.setdefault(combo, []).append(nt)
+        for t, rt in m.rel_tables.items():
+            rel_acc.setdefault(t, []).append(rt)
+
+    def union_node(tables: List[NodeTable]) -> DataFrame:
+        prop_types = _common_prop_types([(t.df, t.property_columns) for t in tables])
+        parts = [
+            _aligned_select(t.df, [F.col(ID)], prop_types, "") for t in tables
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def union_rel(tables: List[RelationshipTable]) -> DataFrame:
+        prop_types = _common_prop_types([(t.df, t.property_columns) for t in tables])
+        parts = [
+            _aligned_select(t.df, [F.col(ID), F.col(SRC), F.col(DST)], prop_types, "")
+            for t in tables
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def maybe_dedup(df: DataFrame) -> DataFrame:
+        return df.dropDuplicates([ID]) if dedup_ids else df
+
+    nodes = [NodeTable(combo, maybe_dedup(union_node(ts))) for combo, ts in node_acc.items()]
+    rels = [RelationshipTable(t, maybe_dedup(union_rel(ts))) for t, ts in rel_acc.items()]
+    g = PropertyGraph(nodes, rels, name="union")
+    g._session = graphs[0]._session if graphs else None
+    return g
+
+
+def _graph_cypher(self, query: str, parameters: Optional[dict] = None):
+    if self._session is None:
+        from cypher_for_apache_spark_spark.session import CypherSession
+
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        self._session = CypherSession(spark)
+    return self._session.cypher_on_graph(self, query, parameters or {})
+
+
+PropertyGraph.cypher = _graph_cypher

@@ -35,7 +35,8 @@ KEYWORDS = {
     "starts", "ends", "contains", "is", "null", "true", "false", "case",
     "when", "then", "else", "end", "union", "all", "any", "none", "single",
     "exists", "asc", "ascending", "desc", "descending", "count", "filter",
-    "extract", "reduce",
+    "extract", "reduce", "from", "graph", "construct", "on", "clone", "new",
+    "set", "catalog", "create", "delete",
 }
 
 
@@ -204,6 +205,10 @@ class Parser:
 
     # -- query -------------------------------------------------------------
     def parse_query(self):
+        if self.at_kw("catalog") or (
+            self.at_kw("create") and self.peek().kind == "kw" and self.peek().value.lower() == "graph"
+        ):
+            return self.parse_catalog_statement()
         first = self.parse_single_query()
         queries, flags = [first], []
         while self.at_kw("union"):
@@ -234,15 +239,96 @@ class Parser:
             elif self.at_kw("with"):
                 self.advance()
                 clauses.append(self.parse_projection(is_return=False))
+            elif self.at_kw("from"):
+                self.advance()
+                self.eat_kw("graph")
+                clauses.append(A.FromGraphClause(self.qualified_name()))
+            elif self.at_kw("construct"):
+                self.advance()
+                clauses.append(self.parse_construct())
             elif self.at_kw("return"):
                 self.advance()
-                clauses.append(self.parse_projection(is_return=True))
+                if self.at_kw("graph"):
+                    self.advance()
+                    clauses.append(A.ReturnGraphClause())
+                else:
+                    clauses.append(self.parse_projection(is_return=True))
                 break
             else:
                 break
         if not clauses:
             raise CypherSyntaxError(f"expected clause at {self.tok!r}")
         return A.SingleQuery(clauses)
+
+    def qualified_name(self) -> str:
+        n = self.name()
+        while self.eat("."):
+            n += "." + self.name()
+        return n
+
+    def parse_construct(self) -> A.ConstructClause:
+        c = A.ConstructClause()
+        while True:
+            if self.at_kw("on"):
+                self.advance()
+                c.on_graphs.append(self.qualified_name())
+                while self.eat(","):
+                    c.on_graphs.append(self.qualified_name())
+            elif self.at_kw("clone"):
+                self.advance()
+                c.clones.append(self.name())
+                while self.eat(","):
+                    c.clones.append(self.name())
+            elif self.at_kw("new"):
+                self.advance()
+                c.news.append(self.parse_pattern_part())
+                while self.eat(","):
+                    c.news.append(self.parse_pattern_part())
+            elif self.at_kw("set"):
+                self.advance()
+                c.sets.append(self.parse_set_item())
+                while self.eat(","):
+                    c.sets.append(self.parse_set_item())
+            else:
+                break
+        return c
+
+    def parse_set_item(self) -> A.SetItem:
+        var = self.name()
+        if self.at(":"):
+            labels = []
+            while self.eat(":"):
+                labels.append(self.name())
+            return A.SetItem(var, None, labels)
+        self.expect(".")
+        key = self.name()
+        self.expect("=")
+        return A.SetItem(var, key, [], self.parse_expr())
+
+    def parse_catalog_statement(self):
+        self.eat_kw("catalog")
+        if self.eat_kw("create"):
+            self.expect_kw("graph")
+            name = self.qualified_name()
+            self.expect("{")
+            inner = self.parse_query_until_brace()
+            self.expect("}")
+            return A.CreateGraphStatement(name, inner)
+        if self.eat_kw("delete"):
+            self.expect_kw("graph")
+            return A.DeleteGraphStatement(self.qualified_name())
+        raise CypherSyntaxError(f"expected CREATE or DELETE after CATALOG at {self.tok!r}")
+
+    def parse_query_until_brace(self):
+        first = self.parse_single_query()
+        queries, flags = [first], []
+        while self.at_kw("union"):
+            self.advance()
+            flags.append(self.eat_kw("all"))
+            queries.append(self.parse_single_query())
+        if len(queries) == 1:
+            return first
+        return A.UnionQuery(queries, flags)
 
     def parse_match(self, optional: bool) -> A.MatchClause:
         parts = [self.parse_pattern_part()]

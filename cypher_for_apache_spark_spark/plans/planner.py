@@ -40,6 +40,15 @@ class CypherPlanningError(ValueError):
     pass
 
 
+class PlanResult:
+    """Either a table result (df) or a graph result (graph) — reference:
+    RelationalCypherResult exposes records OR a graph."""
+
+    def __init__(self, df: Optional[DataFrame] = None, graph: Optional[PropertyGraph] = None):
+        self.df = df
+        self.graph = graph
+
+
 class Planner:
     def __init__(
         self,
@@ -47,11 +56,15 @@ class Planner:
         graph: Optional[PropertyGraph],
         params: Optional[dict] = None,
         cache_varlength_scans: bool = True,
+        catalog: Optional[dict] = None,
+        driving_table: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.graph = graph
         self.params = params or {}
         self.cache_varlength_scans = cache_varlength_scans
+        self.catalog = catalog or {}
+        self.driving_table = driving_table
         self._uid = itertools.count()
 
     # ------------------------------------------------------------------ utils
@@ -73,9 +86,25 @@ class Planner:
         return rec
 
     # ------------------------------------------------------------- entry point
-    def plan(self, q) -> DataFrame:
+    def plan(self, q) -> PlanResult:
+        if isinstance(q, A.CreateGraphStatement):
+            inner = self.plan(q.inner)
+            if inner.graph is None:
+                raise CypherPlanningError(
+                    "CATALOG CREATE GRAPH requires the inner query to RETURN GRAPH"
+                )
+            self.catalog[q.name] = inner.graph
+            return inner
+        if isinstance(q, A.DeleteGraphStatement):
+            self.catalog.pop(q.name, None)
+            return PlanResult(df=self._unit_df().limit(0))
         if isinstance(q, A.UnionQuery):
-            dfs = [self.plan_single(sq) for sq in q.queries]
+            results = [self.plan_single(sq) for sq in q.queries]
+            if any(r.graph is not None for r in results):
+                from cypher_for_apache_spark_spark.graph import union_graphs
+
+                return PlanResult(graph=union_graphs(*[r.graph for r in results]))
+            dfs = [r.df for r in results]
             cols = dfs[0].columns
             for d in dfs[1:]:
                 if set(d.columns) != set(cols):
@@ -88,24 +117,40 @@ class Planner:
             if not all(q.all_flags):
                 # UNION dedupes the whole result (LogicalPlanner.scala:68-70)
                 out = out.dropDuplicates()
-            return out
+            return PlanResult(df=out)
         return self.plan_single(q)
 
-    def plan_single(self, q: A.SingleQuery) -> DataFrame:
+    def plan_single(self, q: A.SingleQuery) -> PlanResult:
         rec = Record(None, {})
-        final_df: Optional[DataFrame] = None
+        if self.driving_table is not None:
+            # driving-table parameter (reference: cypher(..., drivingTable),
+            # PropertyGraph.scala:99): each column binds a value variable
+            header = {
+                c: EntityMeta(kind="value", col=c) for c in self.driving_table.columns
+            }
+            rec = Record(self.driving_table, header)
+        constructed: Optional[PropertyGraph] = None
+        final: Optional[PlanResult] = None
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):
                 rec = self.plan_match(rec, clause)
             elif isinstance(clause, A.UnwindClause):
                 rec = self.plan_unwind(rec, clause)
+            elif isinstance(clause, A.FromGraphClause):
+                if clause.graph_name not in self.catalog:
+                    raise CypherPlanningError(f"graph `{clause.graph_name}` not in catalog")
+                self.graph = self.catalog[clause.graph_name]
+            elif isinstance(clause, A.ConstructClause):
+                constructed = self.plan_construct(rec, clause)
+            elif isinstance(clause, A.ReturnGraphClause):
+                final = PlanResult(graph=constructed or self.graph)
             elif isinstance(clause, A.ProjectionClause):
                 rec = self.plan_projection(rec, clause)
                 if clause.is_return:
-                    final_df = self.finalize(rec)
-        if final_df is None:
+                    final = PlanResult(df=self.finalize(rec))
+        if final is None:
             raise CypherPlanningError("query has no RETURN clause")
-        return final_df
+        return final
 
     # ---------------------------------------------------------------- finalize
     def finalize(self, rec: Record) -> DataFrame:
@@ -574,6 +619,182 @@ class Planner:
         df = df.join(tgt_scan, F.col(end_col) == F.col(tmeta.id_col)).drop(end_col)
         header[tgt_var] = tmeta
         return Record(df, header), tgt_var
+
+    # -------------------------------------------------------------- CONSTRUCT
+    def plan_construct(self, rec: Record, clause: A.ConstructClause) -> PropertyGraph:
+        """CONSTRUCT [ON ...] [CLONE ...] [NEW ...] [SET ...] -> a new graph
+        (reference: ConstructGraphPlanner,
+        okapi-relational/.../impl/planning/ConstructGraphPlanner.scala:
+        clones matched elements, creates new elements with generated ids,
+        applies SET items, extracts a ScanGraph). New-element ids are
+        monotonic row ids shifted to make room for a per-row element index
+        (reference: partitioned_id_assignment, MorpheusFunctions.scala:76)."""
+        from cypher_for_apache_spark_spark.graph import (
+            NodeTable,
+            PropertyGraph,
+            RelationshipTable,
+            union_graphs,
+        )
+
+        rec = self._materialize(rec)
+        sets_by_var: Dict[str, List[A.SetItem]] = {}
+        for s in clause.sets:
+            sets_by_var.setdefault(s.subject, []).append(s)
+
+        # assign names to anonymous NEW elements, collect specs
+        new_nodes: Dict[str, A.NodePat] = {}
+        new_rels: List[Tuple[str, A.RelPat, str, str]] = []  # (var, pat, src, dst)
+        clone_vars = list(clause.clones)
+        for part in clause.news:
+            nodes = part.nodes
+            for np_ in nodes:
+                if np_.var is None:
+                    np_.var = self._anon()
+                if np_.var in rec.header:
+                    if np_.var not in clone_vars:
+                        clone_vars.append(np_.var)
+                elif np_.var not in new_nodes:
+                    new_nodes[np_.var] = np_
+            for i, rp in enumerate(part.rels):
+                if rp.var is None:
+                    rp.var = self._anon()
+                left, right = nodes[i].var, nodes[i + 1].var
+                if rp.direction == "in":
+                    left, right = right, left
+                elif rp.direction == "both":
+                    raise CypherPlanningError("CONSTRUCT relationships must be directed")
+                if not rp.types:
+                    raise CypherPlanningError("CONSTRUCT relationships need a type")
+                new_rels.append((rp.var, rp, left, right))
+
+        # per-row ids for new elements
+        n_new = len(new_nodes) + len(new_rels)
+        bits = max(1, (max(n_new - 1, 1)).bit_length())
+        row_id = F.monotonically_increasing_id()
+        df = rec.df.select("*", row_id.alias(" row#id"))
+        ctx = CompileCtx(df, rec.header, self.params)
+
+        def new_id(k: int):
+            return (F.col(" row#id") * F.lit(1 << bits) + F.lit(k)).alias("id")
+
+        def props_for(var: str, pat_props: Optional[A.MapLit]) -> List:
+            cols = []
+            keys = set()
+            for s in sets_by_var.get(var, []):
+                if s.key is not None:
+                    cols.append(compile_expr(s.value, ctx).alias(s.key))
+                    keys.add(s.key)
+            if pat_props is not None:
+                for key, val in pat_props.items:
+                    if key not in keys:
+                        cols.append(compile_expr(val, ctx).alias(key))
+            return cols
+
+        def extra_labels(var: str) -> List[str]:
+            out = []
+            for s in sets_by_var.get(var, []):
+                out.extend(s.labels)
+            return out
+
+        node_acc: Dict[frozenset, List[DataFrame]] = {}
+        rel_acc: Dict[str, List[DataFrame]] = {}
+        id_col_of: Dict[str, object] = {}
+
+        for k, (var, np_) in enumerate(new_nodes.items()):
+            idc = new_id(k)
+            combo = frozenset(list(np_.labels) + extra_labels(var))
+            t = df.select(idc, *props_for(var, np_.props))
+            node_acc.setdefault(combo, []).append(t)
+            id_col_of[var] = F.col(" row#id") * F.lit(1 << bits) + F.lit(k)
+
+        for var in clone_vars:
+            meta = rec.header.get(var)
+            if meta is None:
+                raise CypherPlanningError(f"CLONE of unbound variable `{var}`")
+            if meta.kind == "node":
+                set_cols = props_for(var, None)
+                combos = [
+                    tuple(r[0]) if r[0] is not None else ()
+                    for r in df.select(meta.labels_col).distinct().collect()
+                ]
+                for combo in combos:
+                    sub = df.filter(
+                        F.col(meta.labels_col)
+                        == F.array(*[F.lit(l) for l in combo]).cast("array<string>")
+                    )
+                    names_set = [s.key for s in sets_by_var.get(var, []) if s.key]
+                    keep = [
+                        F.col(c).alias(p)
+                        for p, c in sorted(meta.prop_cols.items())
+                        if p not in names_set
+                    ]
+                    t = sub.select(
+                        F.col(meta.id_col).alias("id"), *keep, *set_cols
+                    ).dropDuplicates(["id"])
+                    node_acc.setdefault(
+                        frozenset(list(combo) + extra_labels(var)), []
+                    ).append(t)
+                id_col_of[var] = F.col(meta.id_col)
+            elif meta.kind == "rel":
+                types = [
+                    r[0] for r in df.select(meta.type_col).distinct().collect()
+                ]
+                for t_name in types:
+                    sub = df.filter(F.col(meta.type_col) == t_name)
+                    names_set = [s.key for s in sets_by_var.get(var, []) if s.key]
+                    keep = [
+                        F.col(c).alias(p)
+                        for p, c in sorted(meta.prop_cols.items())
+                        if p not in names_set
+                    ]
+                    t = sub.select(
+                        F.col(meta.id_col).alias("id"),
+                        F.col(meta.src_col).alias("src"),
+                        F.col(meta.dst_col).alias("dst"),
+                        *keep,
+                        *props_for(var, None),
+                    ).dropDuplicates(["id"])
+                    rel_acc.setdefault(t_name, []).append(t)
+                id_col_of[var] = F.col(meta.id_col)
+            else:
+                raise CypherPlanningError(f"cannot CLONE value variable `{var}`")
+
+        for j, (var, rp, left, right) in enumerate(new_rels):
+            k = len(new_nodes) + j
+            if left not in id_col_of or right not in id_col_of:
+                missing = left if left not in id_col_of else right
+                if missing in rec.header:
+                    id_col_of[missing] = F.col(rec.header[missing].id_col)
+                else:
+                    raise CypherPlanningError(
+                        f"CONSTRUCT relationship endpoint `{missing}` is unbound"
+                    )
+            t = df.select(
+                new_id(k),
+                id_col_of[left].alias("src"),
+                id_col_of[right].alias("dst"),
+                *props_for(var, rp.props),
+            )
+            rel_acc.setdefault(rp.types[0], []).append(t)
+
+        def union_all(dfs: List[DataFrame]) -> DataFrame:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+
+        node_tables = [NodeTable(c, union_all(ts)) for c, ts in node_acc.items()]
+        rel_tables = [RelationshipTable(t, union_all(ts)) for t, ts in rel_acc.items()]
+        out = PropertyGraph(node_tables, rel_tables, name="constructed")
+
+        if clause.on_graphs:
+            bases = []
+            for g in clause.on_graphs:
+                if g not in self.catalog:
+                    raise CypherPlanningError(f"graph `{g}` not in catalog")
+                bases.append(self.catalog[g])
+            out = union_graphs(*bases, out, prefix_ids=False, dedup_ids=True)
+        return out
 
     # ------------------------------------------------------------------ WHERE
     def plan_where(self, rec: Record, expr: A.Expr) -> Record:

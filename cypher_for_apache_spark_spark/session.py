@@ -21,10 +21,12 @@ from cypher_for_apache_spark_spark.plans.planner import Planner
 class CypherResult:
     """Lazy query result (reference: MorpheusRecords,
     morpheus-spark-cypher/.../impl/MorpheusRecords.scala:91-138). Nothing
-    executes until a Spark action touches ``df``."""
+    executes until a Spark action touches ``df``. Multiple-graph queries
+    (RETURN GRAPH) expose ``graph`` instead."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: Optional[DataFrame] = None, graph=None):
         self.df = df
+        self.graph = graph
 
     def collect(self):
         return self.df.collect()
@@ -34,8 +36,8 @@ class CypherResult:
         comparison convention, SURVEY.md §5)."""
         return [row.asDict(recursive=True) for row in self.df.collect()]
 
-    def show(self, n: int = 20):
-        self.df.show(n, truncate=False)
+    def show(self, n: int = 20, truncate=False):
+        self.df.show(n, truncate=truncate)
 
 
 def _spark_tuning(spark: SparkSession) -> None:
@@ -103,19 +105,34 @@ class CypherSession:
         parameters: Optional[dict] = None,
         graph: Optional[PropertyGraph] = None,
         graph_name: Optional[str] = None,
+        driving_table: Optional[DataFrame] = None,
     ) -> CypherResult:
         if graph is None and graph_name is not None:
             graph = self.catalog[graph_name]
         if graph is None and len(self.catalog) == 1:
             graph = next(iter(self.catalog.values()))
-        return self.cypher_on_graph(graph, query, parameters or {})
+        return self.cypher_on_graph(graph, query, parameters or {}, driving_table)
 
     def cypher_on_graph(
-        self, graph: Optional[PropertyGraph], query: str, parameters: dict
+        self,
+        graph: Optional[PropertyGraph],
+        query: str,
+        parameters: dict,
+        driving_table: Optional[DataFrame] = None,
     ) -> CypherResult:
         ast = parse(query)
-        planner = Planner(self.spark, graph, parameters)
-        return CypherResult(planner.plan(ast))
+        planner = Planner(
+            self.spark,
+            graph,
+            parameters,
+            catalog=self.catalog,
+            driving_table=driving_table,
+        )
+        result = planner.plan(ast)
+        if result.graph is not None:
+            result.graph._session = self
+            return CypherResult(graph=result.graph)
+        return CypherResult(df=result.df)
 
     # -- SQL passthrough (reference: MorpheusSession.sql,
     #    MorpheusSession.scala:84-85) ----------------------------------------
