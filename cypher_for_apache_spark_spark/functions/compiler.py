@@ -540,7 +540,9 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "haversin": lambda e, ctx: (F.lit(1.0) - F.cos(compile_expr(e.args[0], ctx))) / F.lit(2.0),
     "coalesce": lambda e, ctx: F.coalesce(*_args(e, ctx)),
     "date": lambda e, ctx: F.to_date(compile_expr(e.args[0], ctx)) if e.args else F.current_date(),
-    "localdatetime": lambda e, ctx: F.to_timestamp(compile_expr(e.args[0], ctx)) if e.args else F.current_timestamp(),
+    # wall-clock timestamp (TIMESTAMP_NTZ) so comparisons against parquet
+    # ntz columns stay cast-free and push down to the scan
+    "localdatetime": lambda e, ctx: F.to_timestamp_ntz(compile_expr(e.args[0], ctx)) if e.args else F.localtimestamp(),
     "timestamp": lambda e, ctx: (F.unix_micros(F.current_timestamp()) / F.lit(1000)).cast("long"),
     "duration": lambda e, ctx: _fn_duration(e, ctx),
 }

@@ -69,10 +69,20 @@ class NodeTable:
 
 @dataclass
 class RelationshipTable:
-    """A relationship element table: ``id, src, dst`` + property columns."""
+    """A relationship element table: ``id, src, dst`` + property columns.
+
+    ``src_labels`` / ``dst_labels`` are optional endpoint-label hints: when
+    set, every source (resp. target) node of this table carries exactly
+    that label combination. The planner uses them to prune union branches out
+    of relationship scans (the reference gets the same effect from
+    schemaPatterns, PropertyGraphSchema.scala:109) — at 100 TB this is the
+    difference between scanning one edge partition and scanning them all.
+    """
 
     rel_type: str
     df: DataFrame
+    src_labels: Optional[FrozenSet[str]] = None
+    dst_labels: Optional[FrozenSet[str]] = None
 
     @staticmethod
     def create(
@@ -81,15 +91,35 @@ class RelationshipTable:
         id_col: str = ID,
         src_col: str = SRC,
         dst_col: str = DST,
+        src_labels=None,
+        dst_labels=None,
     ) -> "RelationshipTable":
         for old, new in ((id_col, ID), (src_col, SRC), (dst_col, DST)):
             if old != new:
                 df = df.withColumnRenamed(old, new)
-        return RelationshipTable(rel_type, _lift(df))
+        return RelationshipTable(
+            rel_type,
+            _lift(df),
+            frozenset(src_labels) if src_labels else None,
+            frozenset(dst_labels) if dst_labels else None,
+        )
 
     @property
     def property_columns(self) -> List[str]:
         return [c for c in self.df.columns if c not in _CANONICAL_REL]
+
+    def compatible(self, src_required, dst_required) -> bool:
+        """Can this table contain edges whose source/target nodes carry the
+        required labels? (None hint = unknown = always compatible.)"""
+        if src_required and self.src_labels is not None and not (
+            set(src_required) <= self.src_labels
+        ):
+            return False
+        if dst_required and self.dst_labels is not None and not (
+            set(dst_required) <= self.dst_labels
+        ):
+            return False
+        return True
 
 
 def _common_prop_types(
@@ -137,15 +167,15 @@ class PropertyGraph:
     ):
         self.name = name
         self.node_tables: Dict[FrozenSet[str], NodeTable] = {}
-        self.rel_tables: Dict[str, RelationshipTable] = {}
+        # several tables may share a relationship type (e.g. split by
+        # endpoint labels — ScanGraph is a bag of element tables too)
+        self.rel_tables: Dict[str, List[RelationshipTable]] = {}
         for nt in node_tables:
             if nt.labels in self.node_tables:
                 raise ValueError(f"duplicate node table for labels {set(nt.labels)}")
             self.node_tables[nt.labels] = nt
         for rt in rel_tables:
-            if rt.rel_type in self.rel_tables:
-                raise ValueError(f"duplicate relationship table for type {rt.rel_type}")
-            self.rel_tables[rt.rel_type] = rt
+            self.rel_tables.setdefault(rt.rel_type, []).append(rt)
         self._schema: Optional[PropertyGraphSchema] = None
         self._session = None  # set by CypherSession.read_from / catalog
 
@@ -156,10 +186,11 @@ class PropertyGraph:
             s = PropertyGraphSchema()
             for combo, nt in self.node_tables.items():
                 s.with_node(combo, PropertyGraphSchema.props_from_df(nt.df, [ID]))
-            for rt in self.rel_tables.values():
-                s.with_relationship(
-                    rt.rel_type, PropertyGraphSchema.props_from_df(rt.df, _CANONICAL_REL)
-                )
+            for rts in self.rel_tables.values():
+                for rt in rts:
+                    s.with_relationship(
+                        rt.rel_type, PropertyGraphSchema.props_from_df(rt.df, _CANONICAL_REL)
+                    )
             self._schema = s
         return self._schema
 
@@ -214,12 +245,20 @@ class PropertyGraph:
         out_dst: str = DST,
         out_type: str = "rel_type",
         prop_prefix: str = "",
+        src_labels: Iterable[str] = (),
+        dst_labels: Iterable[str] = (),
     ) -> Optional[DataFrame]:
         """Union of all relationship tables with type in ``rel_types``
-        (all types when empty)."""
+        (all types when empty). Tables whose endpoint-label hints are
+        incompatible with the required src/dst labels are pruned from the
+        union at plan time (schema-aware scan pruning)."""
         want = set(rel_types)
         tables = [
-            rt for t, rt in self.rel_tables.items() if not want or t in want
+            rt
+            for t, rts in self.rel_tables.items()
+            if not want or t in want
+            for rt in rts
+            if rt.compatible(src_labels, dst_labels)
         ]
         if not tables:
             return None
@@ -252,18 +291,21 @@ class PropertyGraph:
             raise ValueError(f"no relationship table matches types {set(rel_types)}")
         return df
 
+    def all_rel_tables(self) -> List[RelationshipTable]:
+        return [rt for rts in self.rel_tables.values() for rt in rts]
+
     # -- misc ---------------------------------------------------------------
     def cache(self) -> "PropertyGraph":
         for nt in self.node_tables.values():
             nt.df.cache()
-        for rt in self.rel_tables.values():
+        for rt in self.all_rel_tables():
             rt.df.cache()
         return self
 
     def unpersist(self) -> "PropertyGraph":
         for nt in self.node_tables.values():
             nt.df.unpersist()
-        for rt in self.rel_tables.values():
+        for rt in self.all_rel_tables():
             rt.df.unpersist()
         return self
 
@@ -287,8 +329,10 @@ class PropertyGraph:
             RelationshipTable(
                 rt.rel_type,
                 rt.df.withColumn(ID, pfx(ID)).withColumn(SRC, pfx(SRC)).withColumn(DST, pfx(DST)),
+                rt.src_labels,
+                rt.dst_labels,
             )
-            for rt in self.rel_tables.values()
+            for rt in self.all_rel_tables()
         ]
         g = PropertyGraph(nodes, rels, name=f"{self.name}_p{prefix}")
         g._session = self._session
@@ -312,8 +356,8 @@ def union_graphs(
     for m in members:
         for combo, nt in m.node_tables.items():
             node_acc.setdefault(combo, []).append(nt)
-        for t, rt in m.rel_tables.items():
-            rel_acc.setdefault(t, []).append(rt)
+        for rt in m.all_rel_tables():
+            rel_acc.setdefault(rt.rel_type, []).append(rt)
 
     def union_node(tables: List[NodeTable]) -> DataFrame:
         prop_types = _common_prop_types([(t.df, t.property_columns) for t in tables])

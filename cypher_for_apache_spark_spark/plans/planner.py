@@ -319,7 +319,13 @@ class Planner:
         return out, var
 
     # -- expand ----------------------------------------------------------------
-    def scan_rel_frame(self, var: str, types: Sequence[str]) -> Tuple[Optional[DataFrame], EntityMeta]:
+    def scan_rel_frame(
+        self,
+        var: str,
+        types: Sequence[str],
+        src_labels: Sequence[str] = (),
+        dst_labels: Sequence[str] = (),
+    ) -> Tuple[Optional[DataFrame], EntityMeta]:
         u = self._u(var)
         idc, srcc, dstc, typec, prefix = (
             f"{u}#id",
@@ -329,7 +335,14 @@ class Planner:
             f"{u}#p#",
         )
         df = self.graph.scan_rels(
-            types, out_id=idc, out_src=srcc, out_dst=dstc, out_type=typec, prop_prefix=prefix
+            types,
+            out_id=idc,
+            out_src=srcc,
+            out_dst=dstc,
+            out_type=typec,
+            prop_prefix=prefix,
+            src_labels=src_labels,
+            dst_labels=dst_labels,
         )
         prop_cols = (
             {c[len(prefix):]: c for c in df.columns if c.startswith(prefix)} if df is not None else {}
@@ -385,10 +398,20 @@ class Planner:
         if rel_var in rec.header:
             return self._expand_bound_rel(rec, src_var, rel, tgt)
 
-        rdf, rmeta = self.scan_rel_frame(rel_var, rel.types)
         src_meta = rec.header[src_var]
         tgt_var = tgt.var or self._anon()
         tgt_bound = tgt_var in rec.header
+        # endpoint-label scan pruning (only sound for a fixed direction)
+        tgt_static = set(tgt.labels)
+        if tgt_bound:
+            tgt_static |= rec.header[tgt_var].labels
+        if rel.direction == "out":
+            hints = (src_meta.labels, tgt_static)
+        elif rel.direction == "in":
+            hints = (tgt_static, src_meta.labels)
+        else:
+            hints = ((), ())
+        rdf, rmeta = self.scan_rel_frame(rel_var, rel.types, *hints)
 
         if rdf is None:
             extra = [rmeta] if tgt_bound else [rmeta]

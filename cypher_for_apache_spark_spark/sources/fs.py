@@ -63,15 +63,22 @@ class FSGraphSource:
             meta["nodes"].append(
                 {"dir": d, "labels": sorted(combo), "schema": nt.df.schema.jsonValue()}
             )
-        for rel_type, rt in graph.rel_tables.items():
-            d = re.sub(r"[^A-Za-z0-9]", "_", rel_type)
-            path = os.path.join(self._graph_dir(name), "relationships", d)
-            self._encode_for_write(rt.df).write.format(self.fmt).mode(mode).options(
-                **self._write_opts()
-            ).save(path)
-            meta["relationships"].append(
-                {"dir": d, "type": rel_type, "schema": rt.df.schema.jsonValue()}
-            )
+        for rel_type, rts in graph.rel_tables.items():
+            for i, rt in enumerate(rts):
+                d = re.sub(r"[^A-Za-z0-9]", "_", rel_type) + (f"__{i}" if i else "")
+                path = os.path.join(self._graph_dir(name), "relationships", d)
+                self._encode_for_write(rt.df).write.format(self.fmt).mode(mode).options(
+                    **self._write_opts()
+                ).save(path)
+                meta["relationships"].append(
+                    {
+                        "dir": d,
+                        "type": rel_type,
+                        "schema": rt.df.schema.jsonValue(),
+                        "src_labels": sorted(rt.src_labels) if rt.src_labels else None,
+                        "dst_labels": sorted(rt.dst_labels) if rt.dst_labels else None,
+                    }
+                )
         os.makedirs(self._graph_dir(name), exist_ok=True)
         with open(self._schema_path(name), "w") as f:
             json.dump(meta, f, indent=2)
@@ -89,7 +96,14 @@ class FSGraphSource:
         for r in meta["relationships"]:
             path = os.path.join(self._graph_dir(name), "relationships", r["dir"])
             df = self._read(path, fmt, r.get("schema"))
-            rels.append(RelationshipTable.create(r["type"], df))
+            rels.append(
+                RelationshipTable.create(
+                    r["type"],
+                    df,
+                    src_labels=r.get("src_labels"),
+                    dst_labels=r.get("dst_labels"),
+                )
+            )
         return PropertyGraph(nodes, rels, name=name)
 
     def graph_names(self):

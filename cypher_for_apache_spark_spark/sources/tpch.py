@@ -100,16 +100,18 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         ),
     ]
 
-    in_nation = customer.select(
+    # IN_NATION has two element tables (customer-sourced and
+    # supplier-sourced) with endpoint-label hints, so an expand from
+    # (:Customer) never scans the supplier half — schema-aware scan pruning
+    in_nation_cust = customer.select(
         (F.col("c_custkey") + F.lit(R_IN_NATION)).alias("id"),
         (F.col("c_custkey") + F.lit(CUSTOMER)).alias("src"),
         (F.col("c_nationkey").cast("long") + F.lit(NATION)).alias("dst"),
-    ).unionByName(
-        supplier.select(
-            (F.col("s_suppkey") + F.lit(R_IN_NATION) + F.lit(S // 2)).alias("id"),
-            (F.col("s_suppkey") + F.lit(SUPPLIER)).alias("src"),
-            (F.col("s_nationkey").cast("long") + F.lit(NATION)).alias("dst"),
-        )
+    )
+    in_nation_supp = supplier.select(
+        (F.col("s_suppkey") + F.lit(R_IN_NATION) + F.lit(S // 2)).alias("id"),
+        (F.col("s_suppkey") + F.lit(SUPPLIER)).alias("src"),
+        (F.col("s_nationkey").cast("long") + F.lit(NATION)).alias("dst"),
     )
 
     # NEXT: consecutive orders of the same customer by order date.
@@ -151,8 +153,15 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 (F.col("n_nationkey").cast("long") + F.lit(NATION)).alias("src"),
                 (F.col("n_regionkey").cast("long") + F.lit(REGION)).alias("dst"),
             ),
+            src_labels=["Nation"],
+            dst_labels=["Region"],
         ),
-        RelationshipTable.create("IN_NATION", in_nation),
+        RelationshipTable.create(
+            "IN_NATION", in_nation_cust, src_labels=["Customer"], dst_labels=["Nation"]
+        ),
+        RelationshipTable.create(
+            "IN_NATION", in_nation_supp, src_labels=["Supplier"], dst_labels=["Nation"]
+        ),
         RelationshipTable.create(
             "PLACED",
             orders.select(
@@ -160,6 +169,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 (F.col("o_custkey") + F.lit(CUSTOMER)).alias("src"),
                 (F.col("o_orderkey") + F.lit(ORDER)).alias("dst"),
             ),
+            src_labels=["Customer"],
+            dst_labels=["Order"],
         ),
         RelationshipTable.create(
             "LINE",
@@ -177,9 +188,13 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 F.col("l_linestatus").alias("linestatus"),
                 F.col("l_shipdate").alias("shipdate"),
             ),
+            src_labels=["Order"],
+            dst_labels=["Part"],
         ),
-        RelationshipTable.create("NEXT", nxt),
-        RelationshipTable.create("SUPPLIES", supplies),
+        RelationshipTable.create("NEXT", nxt, src_labels=["Order"], dst_labels=["Order"]),
+        RelationshipTable.create(
+            "SUPPLIES", supplies, src_labels=["Supplier"], dst_labels=["Part"]
+        ),
     ]
 
     return PropertyGraph(nodes, rels, name="tpch")

@@ -132,7 +132,12 @@ _TO_SPARK = {
     "NULL": T.NullType(),
     "VOID": T.NullType(),
     "IDENTITY": T.LongType(),
-    "LOCALDATETIME": T.TimestampType(),
+    # LOCALDATETIME is wall-clock time = TIMESTAMP_NTZ; DATETIME (zoned,
+    # beyond the reference's surface) = TIMESTAMP. Keeping them distinct
+    # means scan alignment never casts, so timestamp predicates still push
+    # down to parquet.
+    "LOCALDATETIME": T.TimestampNTZType(),
+    "DATETIME": T.TimestampType(),
     "DATE": T.DateType(),
     "DURATION": T.DayTimeIntervalType(),
 }
@@ -163,8 +168,10 @@ def from_spark_type(dt: T.DataType, nullable: bool = True) -> CypherType:
         return CTBoolean.with_nullable(nullable)
     if isinstance(dt, T.DateType):
         return CTDate.with_nullable(nullable)
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, T.TimestampNTZType):
         return CTLocalDateTime.with_nullable(nullable)
+    if isinstance(dt, T.TimestampType):
+        return CypherType("DATETIME").with_nullable(nullable)
     if isinstance(dt, (T.DayTimeIntervalType, T.CalendarIntervalType)):
         return CTDuration.with_nullable(nullable)
     if isinstance(dt, T.ArrayType):
