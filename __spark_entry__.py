@@ -279,7 +279,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    # 5-gram shingles: the synthetic corpus has a ~30-word vocabulary, so
+    # 3-grams collide on nearly every document pair (avg shingle df ~100);
+    # 5-grams make shingle collisions meaningful for near-dup detection
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.8)
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,13 +506,28 @@ def entry(spark: SparkSession) -> DataFrame:
     ).df
 
 
+# run heavy plan shapes last: their generated-code volume pollutes the JIT
+# and whichever tiny query runs right after pays a multi-second compile
+# stall in local mode (dict order is the driver's execution order)
+_HEAVY_LAST = [
+    "varlength_chain",
+    "dedup_simhash_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_docs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (cypher, _sql) in _CYPHER_QUERIES.items():
         out[name] = _cypher(cypher)
     for name, (fn, _sql) in _PIPELINE_QUERIES.items():
         out[name] = fn
-    return out
+    ordered = {n: out[n] for n in out if n not in _HEAVY_LAST}
+    for n in _HEAVY_LAST:
+        if n in out:
+            ordered[n] = out[n]
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -39,6 +39,13 @@ def main() -> None:
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        # 32 distinct query shapes generate enough classes to exhaust the
+        # default 240m JIT code cache mid-run, after which execution falls
+        # back to the interpreter and late queries stall for seconds
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -60,8 +67,10 @@ def main() -> None:
     for name, fn in queries.items():
         # drain Python-side finalizers now: thousands of temp Column objects
         # from the previous query otherwise flood the py4j gateway with
-        # detach calls in the middle of the next collect()
+        # detach calls in the middle of the next collect(); drop cached
+        # blocks so per-operator persists don't accumulate memory pressure
         gc.collect()
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

@@ -194,6 +194,16 @@ class Slice(Expr):
 
 
 @dataclass
+class MapProjection(Expr):
+    """``v {.key, alias: expr, .*}`` (reference: MapProjection,
+    Expr.scala:518)."""
+
+    subject: str  # variable name
+    items: List[Tuple[str, Optional[Expr]]]  # (name, None = .name shorthand)
+    all_props: bool = False  # .*
+
+
+@dataclass
 class PatternPredicate(Expr):
     """A pattern used as a boolean predicate (``WHERE (a)-[:T]->(b)`` or
     ``exists(...)`` / ``EXISTS { ... }``) — reference: ExistsPatternExpr,

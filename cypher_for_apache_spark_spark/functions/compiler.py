@@ -113,6 +113,26 @@ def _map_lit(e: A.MapLit, ctx: CompileCtx) -> Column:
     return F.struct(*[compile_expr(v, ctx).alias(k) for k, v in e.items])
 
 
+def _map_projection(e: A.MapProjection, ctx: CompileCtx) -> Column:
+    """v {.key, alias: expr, .*} -> struct (reference: MapProjection,
+    SparkSQLExprMapper.scala:398-425)."""
+    meta = ctx.scope.get(e.subject)
+    if meta is None:
+        raise CypherCompileError(f"unbound variable `{e.subject}`")
+    fields: Dict[str, Column] = {}
+    if e.all_props and meta.kind in ("node", "rel"):
+        for k, c in sorted(meta.prop_cols.items()):
+            fields[k] = F.col(c)
+    for name, val in e.items:
+        if val is None:  # .name shorthand
+            fields[name] = compile_expr(A.Prop(A.Var(e.subject), name), ctx)
+        else:
+            fields[name] = compile_expr(val, ctx)
+    if not fields:
+        raise CypherCompileError("empty map projection")
+    return F.struct(*[c.alias(k) for k, c in fields.items()])
+
+
 # -- property / label access --------------------------------------------------
 
 
@@ -545,6 +565,11 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "localdatetime": lambda e, ctx: F.to_timestamp_ntz(compile_expr(e.args[0], ctx)) if e.args else F.localtimestamp(),
     "timestamp": lambda e, ctx: (F.unix_micros(F.current_timestamp()) / F.lit(1000)).cast("long"),
     "duration": lambda e, ctx: _fn_duration(e, ctx),
+    # CTBigDecimal (reference: BigDecimal expr, Expr.scala:802; MakeDecimal
+    # SparkSQLExprMapper.scala:473): bigdecimal(expr, precision, scale)
+    "bigdecimal": lambda e, ctx: compile_expr(e.args[0], ctx).cast(
+        f"decimal({int(_sql_lit(e.args[1], ctx))},{int(_sql_lit(e.args[2], ctx))})"
+    ),
 }
 
 
@@ -645,6 +670,7 @@ _COMPILERS = {
     A.Param: _param,
     A.ListLit: _list_lit,
     A.MapLit: _map_lit,
+    A.MapProjection: _map_projection,
     A.Prop: _prop,
     A.HasLabels: _has_labels,
     A.Not: _not,

@@ -25,7 +25,7 @@ SCALARS = {
     "id", "labels", "type", "keys", "properties", "startnode", "endnode",
     "exists",
     # casts
-    "tointeger", "tofloat", "tostring", "toboolean",
+    "tointeger", "tofloat", "tostring", "toboolean", "bigdecimal",
     # strings
     "trim", "ltrim", "rtrim", "toupper", "tolower", "reverse", "replace",
     "substring", "split", "left", "right",

@@ -95,13 +95,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: Optional[int] = None,
+    num_hashes: Optional[int] = None,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band index, band hash) to get
     candidate pairs (a < b). The join key is a (int, long) pair — bounded
     width regardless of document size."""
-    first = sig_df.select(F.col(id_col), F.col("signature")).first()
-    k = len(first["signature"]) if first else bands
-    r = rows_per_band or max(1, k // bands)
+    if rows_per_band is None:
+        if num_hashes is None:
+            # fall back to peeking one row (costs an action — callers that
+            # know the signature width should pass num_hashes)
+            first = sig_df.select(F.col(id_col), F.col("signature")).first()
+            num_hashes = len(first["signature"]) if first else bands
+        rows_per_band = max(1, num_hashes // bands)
+    r = rows_per_band
     banded = sig_df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -150,8 +156,9 @@ def minhash_dedup(
     (Keeping min-of-pair is the standard single-pass policy; full
     connected-components clustering is available via iterating
     ``duplicate_pairs`` externally.)"""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    # signatures feed banding and both sides of the verification join
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode).persist()
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     verified = (
@@ -177,35 +184,78 @@ def ngram_jaccard_pairs(
     mode: str = "word",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard similarity join over n-gram shingle sets.
+    """Exact Jaccard similarity join over n-gram shingle sets, with
+    prefix filtering (the PPJoin family's core idea).
 
-    token-join + count-intersection; |A ∪ B| = |A| + |B| - |A ∩ B|.
-    The shuffle key is a single shingle hash (bounded width); document
-    pairs sharing many shingles combine map-side.
+    For Jaccard >= t, two sets MUST share at least one shingle among each
+    set's first ``|S| - ceil(t*|S|) + 1`` shingles when both are ordered the
+    same way (rarest-first by global document frequency). So the candidate
+    join runs over short prefixes instead of full sets — at 100 TB this is
+    the difference between a near-quadratic token join and one bounded by
+    truly-colliding prefixes. A size-ratio filter (|A| >= t*|B|) prunes
+    further; exact intersection counting runs only on surviving pairs.
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n, mode))).alias("_sh"),
     ).withColumn("_sh", F.xxhash64("_sh"))
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # the shingle frame feeds four plan branches (frequency, ranking, and
+    # both sides of the verification join) — persist it or Spark re-runs
+    # the shingling subtree per branch (the reference's relational
+    # optimizer exists for exactly this: InsertCachingOperators,
+    # RelationalOptimizer.scala:35-93)
+    sh = sh.persist()
+
+    from pyspark.sql import Window as W
+
+    freq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+    w_doc = W.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_sh").asc())
+    ranked = (
+        sh.join(freq, "_sh")
+        .withColumn("_rank", F.row_number().over(w_doc))
+        .withColumn("_sz", F.count("*").over(W.partitionBy("_id")))
+    )
+    # prefix length: sz - ceil(t*sz) + 1
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    prefix = ranked.filter(F.col("_rank") <= prefix_len).select("_id", "_sh", "_sz")
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") < F.col("b._id"))
+            # size-ratio filter: jaccard >= t requires t*|B| <= |A|
+            & (F.col("a._sz") >= F.lit(threshold) * F.col("b._sz"))
+            & (F.col("b._sz") >= F.lit(threshold) * F.col("a._sz")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sz").alias("_sza"),
+            F.col("b._sz").alias("_szb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact |A ∩ B| for candidates only
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb"))
     common = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("_sha") == F.col("_shb")))
+        .groupBy("id_a", "id_b", "_sza", "_szb")
         .agg(F.count("*").alias("_common"))
     )
-    out = (
-        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
-        .withColumn(
+    return (
+        common.withColumn(
             "jaccard",
             F.col("_common") / (F.col("_sza") + F.col("_szb") - F.col("_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 # --------------------------------------------------------------------------

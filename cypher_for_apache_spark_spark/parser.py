@@ -585,6 +585,9 @@ class Parser:
 
     def parse_postfix(self) -> A.Expr:
         e = self.parse_atom()
+        # map projection: v {.key, alias: expr, .*}
+        if isinstance(e, A.Var) and self.at("{"):
+            return self.parse_map_projection(e.name)
         while True:
             if self.at("."):
                 self.advance()
@@ -719,6 +722,27 @@ class Parser:
             self.advance()
             return A.Var(t.value)
         raise CypherSyntaxError(f"unexpected token {t!r}")
+
+    def parse_map_projection(self, subject: str) -> A.Expr:
+        self.expect("{")
+        items = []
+        all_props = False
+        if not self.at("}"):
+            while True:
+                if self.eat("."):
+                    if self.eat("*"):
+                        all_props = True
+                    else:
+                        k = self.name()
+                        items.append((k, None))
+                else:
+                    k = self.name()
+                    self.expect(":")
+                    items.append((k, self.parse_expr()))
+                if not self.eat(","):
+                    break
+        self.expect("}")
+        return A.MapProjection(subject, items, all_props)
 
     def parse_call(self, name: str) -> A.Expr:
         self.expect("(")

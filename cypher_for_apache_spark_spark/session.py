@@ -39,6 +39,11 @@ class CypherResult:
     def show(self, n: int = 20, truncate=False):
         self.df.show(n, truncate=truncate)
 
+    def explain(self, mode: str = "formatted"):
+        """Physical-plan inspection hook (reference: printPhysicalPlan,
+        SparkTable.scala:505-514)."""
+        self.df.explain(mode)
+
 
 def _spark_tuning(spark: SparkSession) -> None:
     """Session-level settings Cypher semantics rely on. All are

@@ -283,6 +283,31 @@ def test_list_comprehension(team_graph):
     assert r.to_maps()[0]["gs"] == ["GERMAN"]
 
 
+def test_with_entity_then_expand(team_graph):
+    r = run(
+        team_graph,
+        "MATCH (a:Person) WITH a WHERE a.luckyNumber > 20 "
+        "MATCH (a)-[:KNOWS]->(b) RETURN a.name AS a, b.name AS b",
+    )
+    assert bag(r) == bag([
+        {"a": "Stefan", "b": "Mats"},
+        {"a": "Mats", "b": "Martin"},
+        {"a": "Martin", "b": "Max"},
+    ])
+
+
+def test_optional_after_with(team_graph):
+    r = run(
+        team_graph,
+        "MATCH (a:Person) WITH a ORDER BY a.name LIMIT 2 "
+        "OPTIONAL MATCH (a)-[:KNOWS]->(b) RETURN a.name AS a, b.name AS b",
+    )
+    assert bag(r) == bag([
+        {"a": "Donald", "b": None},
+        {"a": "Martin", "b": "Max"},
+    ])
+
+
 def test_return_entity_struct(team_graph):
     r = run(team_graph, "MATCH (n:Swede) RETURN n")
     m = r.to_maps()[0]["n"]

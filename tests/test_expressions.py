@@ -201,6 +201,36 @@ def test_aggregates_stats(g):
     assert sorted(out2["xs"]) == [-2, 1]
 
 
+def test_duration_aggregates(g):
+    """Duration sum/avg/min/max (the reference needs custom UDAFs,
+    TemporalUdafs.scala:50-116; ANSI day-time intervals aggregate natively)."""
+    out = rows(
+        g,
+        "UNWIND [1, 2, 3] AS d WITH duration({hours: d}) AS dur "
+        "RETURN sum(dur) AS s, avg(dur) AS a, min(dur) AS mn, max(dur) AS mx",
+    )[0]
+    import datetime
+
+    assert out["s"] == datetime.timedelta(hours=6)
+    assert out["a"] == datetime.timedelta(hours=2)
+    assert out["mn"] == datetime.timedelta(hours=1)
+    assert out["mx"] == datetime.timedelta(hours=3)
+
+
+def test_bigdecimal(g):
+    from decimal import Decimal
+
+    assert one(g, "bigdecimal(1.5, 10, 2)") == Decimal("1.50")
+    assert one(g, "bigdecimal(n.i, 12, 3) + bigdecimal(1, 5, 1)") == Decimal("2.000")
+
+
+def test_map_projection(g):
+    out = rows(g, "MATCH (n:N) WHERE id(n) = 0 RETURN n {.s, .i, double_i: n.i * 2} AS m")[0]["m"]
+    assert out == {"s": "Alpha", "i": 1, "double_i": 2}
+    out2 = rows(g, "MATCH (n:N) WHERE id(n) = 0 RETURN n {.*} AS m")[0]["m"]
+    assert out2["s"] == "Alpha" and "f" in out2 and "l" in out2
+
+
 def test_parameters_types(g):
     assert one(g, "$p", p=5) == 5
     assert one(g, "$p", p="x") == "x"
