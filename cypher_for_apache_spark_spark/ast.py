@@ -287,7 +287,8 @@ class ProjectionClause:
 
 @dataclass
 class FromGraphClause:
-    graph_name: str
+    graph_name: str  # catalog graph, view name, or $parameter (views)
+    view_args: Optional[List[str]] = None  # set when invoking a view
 
 
 @dataclass
@@ -322,6 +323,22 @@ class CreateGraphStatement:
 
 @dataclass
 class DeleteGraphStatement:
+    name: str
+
+
+@dataclass
+class CreateViewStatement:
+    """CATALOG CREATE VIEW name($g, ...) { query } — a parameterized Cypher
+    snippet over graph parameters (reference: CreateViewStatement,
+    okapi-ir/.../api/CypherStatement.scala:33-80)."""
+
+    name: str
+    params: List[str]
+    inner: object  # SingleQuery | UnionQuery
+
+
+@dataclass
+class DeleteViewStatement:
     name: str
 
 

@@ -242,7 +242,7 @@ class Parser:
             elif self.at_kw("from"):
                 self.advance()
                 self.eat_kw("graph")
-                clauses.append(A.FromGraphClause(self.qualified_name()))
+                clauses.append(self.parse_graph_ref())
             elif self.at_kw("construct"):
                 self.advance()
                 clauses.append(self.parse_construct())
@@ -265,6 +265,25 @@ class Parser:
         while self.eat("."):
             n += "." + self.name()
         return n
+
+    def parse_graph_ref(self) -> A.FromGraphClause:
+        """graph name, $param (inside view bodies), or view(arg, ...)"""
+        if self.tok.kind == "param":
+            return A.FromGraphClause("$" + self.advance().value)
+        name = self.qualified_name()
+        if self.eat("("):
+            args = []
+            if not self.at(")"):
+                while True:
+                    if self.tok.kind == "param":
+                        args.append("$" + self.advance().value)
+                    else:
+                        args.append(self.qualified_name())
+                    if not self.eat(","):
+                        break
+            self.expect(")")
+            return A.FromGraphClause(name, args)
+        return A.FromGraphClause(name)
 
     def parse_construct(self) -> A.ConstructClause:
         c = A.ConstructClause()
@@ -308,14 +327,37 @@ class Parser:
     def parse_catalog_statement(self):
         self.eat_kw("catalog")
         if self.eat_kw("create"):
-            self.expect_kw("graph")
-            name = self.qualified_name()
-            self.expect("{")
-            inner = self.parse_query_until_brace()
-            self.expect("}")
-            return A.CreateGraphStatement(name, inner)
+            if self.eat_kw("graph"):
+                name = self.qualified_name()
+                self.expect("{")
+                inner = self.parse_query_until_brace()
+                self.expect("}")
+                return A.CreateGraphStatement(name, inner)
+            if self.tok.kind == "ident" and self.tok.value.lower() == "view":
+                self.advance()
+                name = self.qualified_name()
+                params = []
+                self.expect("(")
+                if not self.at(")"):
+                    while True:
+                        if self.tok.kind == "param":
+                            params.append("$" + self.advance().value)
+                        else:
+                            params.append("$" + self.name())
+                        if not self.eat(","):
+                            break
+                self.expect(")")
+                self.expect("{")
+                inner = self.parse_query_until_brace()
+                self.expect("}")
+                return A.CreateViewStatement(name, params, inner)
+            raise CypherSyntaxError(f"expected GRAPH or VIEW at {self.tok!r}")
         if self.eat_kw("delete"):
-            self.expect_kw("graph")
+            if self.eat_kw("graph"):
+                return A.DeleteGraphStatement(self.qualified_name())
+            if self.tok.kind == "ident" and self.tok.value.lower() == "view":
+                self.advance()
+                return A.DeleteViewStatement(self.qualified_name())
             return A.DeleteGraphStatement(self.qualified_name())
         raise CypherSyntaxError(f"expected CREATE or DELETE after CATALOG at {self.tok!r}")
 

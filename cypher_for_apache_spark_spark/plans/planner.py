@@ -58,6 +58,8 @@ class Planner:
         cache_varlength_scans: bool = True,
         catalog: Optional[dict] = None,
         driving_table: Optional[DataFrame] = None,
+        views: Optional[dict] = None,
+        graph_params: Optional[dict] = None,
     ):
         self.spark = spark
         self.graph = graph
@@ -65,6 +67,8 @@ class Planner:
         self.cache_varlength_scans = cache_varlength_scans
         self.catalog = catalog or {}
         self.driving_table = driving_table
+        self.views = views if views is not None else {}
+        self.graph_params = graph_params or {}
         self._uid = itertools.count()
 
     # ------------------------------------------------------------------ utils
@@ -97,6 +101,12 @@ class Planner:
             return inner
         if isinstance(q, A.DeleteGraphStatement):
             self.catalog.pop(q.name, None)
+            return PlanResult(df=self._unit_df().limit(0))
+        if isinstance(q, A.CreateViewStatement):
+            self.views[q.name] = (q.params, q.inner)
+            return PlanResult(df=self._unit_df().limit(0))
+        if isinstance(q, A.DeleteViewStatement):
+            self.views.pop(q.name, None)
             return PlanResult(df=self._unit_df().limit(0))
         if isinstance(q, A.UnionQuery):
             results = [self.plan_single(sq) for sq in q.queries]
@@ -137,9 +147,7 @@ class Planner:
             elif isinstance(clause, A.UnwindClause):
                 rec = self.plan_unwind(rec, clause)
             elif isinstance(clause, A.FromGraphClause):
-                if clause.graph_name not in self.catalog:
-                    raise CypherPlanningError(f"graph `{clause.graph_name}` not in catalog")
-                self.graph = self.catalog[clause.graph_name]
+                self.graph = self._resolve_graph_ref(clause)
             elif isinstance(clause, A.ConstructClause):
                 constructed = self.plan_construct(rec, clause)
             elif isinstance(clause, A.ReturnGraphClause):
@@ -151,6 +159,43 @@ class Planner:
         if final is None:
             raise CypherPlanningError("query has no RETURN clause")
         return final
+
+    def _resolve_graph_ref(self, clause: A.FromGraphClause) -> PropertyGraph:
+        """Resolve FROM GRAPH <ref>: a $parameter (inside a view body), a
+        catalog graph, or a view invocation (reference: CypherCatalog with
+        parameterized views, RelationalCypherSession.scala:185-187)."""
+        name = clause.graph_name
+        if name.startswith("$"):
+            if name not in self.graph_params:
+                raise CypherPlanningError(f"unbound graph parameter `{name}`")
+            return self.graph_params[name]
+        if clause.view_args is None and name in self.catalog:
+            return self.catalog[name]
+        if name in self.views:
+            params, inner = self.views[name]
+            args = clause.view_args or []
+            if len(args) != len(params):
+                raise CypherPlanningError(
+                    f"view `{name}` expects {len(params)} graph argument(s), got {len(args)}"
+                )
+            bound = {}
+            for p, a in zip(params, args):
+                sub_clause = A.FromGraphClause(a)
+                bound[p] = self._resolve_graph_ref(sub_clause)
+            sub = Planner(
+                self.spark,
+                None,
+                self.params,
+                self.cache_varlength_scans,
+                catalog=self.catalog,
+                views=self.views,
+                graph_params=bound,
+            )
+            res = sub.plan(inner)
+            if res.graph is None:
+                raise CypherPlanningError(f"view `{name}` must RETURN GRAPH")
+            return res.graph
+        raise CypherPlanningError(f"graph `{name}` not in catalog")
 
     # ---------------------------------------------------------------- finalize
     def finalize(self, rec: Record) -> DataFrame:

@@ -64,6 +64,7 @@ class CypherSession:
         self.spark = spark
         _spark_tuning(spark)
         self.catalog: Dict[str, PropertyGraph] = {}
+        self.views: Dict[str, tuple] = {}  # name -> (params, query AST)
 
     # -- graph ingestion ----------------------------------------------------
     def read_from(
@@ -132,6 +133,7 @@ class CypherSession:
             parameters,
             catalog=self.catalog,
             driving_table=driving_table,
+            views=self.views,
         )
         result = planner.plan(ast)
         if result.graph is not None:

@@ -96,6 +96,25 @@ def test_catalog_create_graph(catalog_session):
     assert "lucky" not in catalog_session.catalog
 
 
+def test_parameterized_view(catalog_session):
+    """Views: parameterized Cypher snippets over graph parameters
+    (reference: CreateViewStatement, CypherCatalog views)."""
+    catalog_session.cypher(
+        """CATALOG CREATE VIEW lucky_ones($g) {
+             FROM GRAPH $g
+             MATCH (p:Person) WHERE p.luckyNumber >= 23
+             CONSTRUCT CLONE p
+             RETURN GRAPH
+           }"""
+    )
+    r = catalog_session.cypher(
+        "FROM GRAPH lucky_ones(team) MATCH (n) RETURN n.name AS name ORDER BY name"
+    )
+    assert [m["name"] for m in r.to_maps()] == ["Martin", "Mats", "Stefan"]
+    catalog_session.cypher("CATALOG DELETE VIEW lucky_ones")
+    assert "lucky_ones" not in catalog_session.views
+
+
 def test_union_graphs(team_graph):
     u = union_graphs(team_graph, team_graph)
     assert u.cypher("MATCH (n:Person) RETURN count(*) AS c").to_maps() == [{"c": 10}]
