@@ -391,7 +391,41 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import connected_components
+    from cypher_for_apache_spark_spark.sources.tpch import ORDER, S
+
+    g = _graph(spark, sf_dir)
+    cc = connected_components(g, max_iterations=64, rel_types=["NEXT"])
+    # restrict to Order nodes (CC assigns every isolated node its own id;
+    # the oracle covers the order chains)
+    return cc.filter((F.col("id") >= ORDER) & (F.col("id") < ORDER + S))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import pagerank
+
+    g = _graph(spark, sf_dir)
+    pr = pagerank(g, iterations=5, rel_types=["NEXT"])
+    # top-100 ranked nodes: stable, bounded output for the rows-only check
+    return pr.orderBy(F.col("rank").desc(), F.col("id")).limit(100)
+
+
 _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
+    # NEXT chains: every order of one customer forms one path, so each
+    # component's id is the minimum order id of that customer — exactly
+    # expressible with a window (ORDER id stride = 5 * 2^40)
+    "cc_order_chains": (
+        _q_connected_components,
+        """SELECT o_orderkey + 5497558138880 AS id,
+                  MIN(o_orderkey) OVER (PARTITION BY o_custkey) + 5497558138880 AS component
+           FROM orders""",
+    ),
+    "pagerank_next": (_q_pagerank, None),
     "dedup_exact_docs": (
         _q_dedup_exact,
         f"""SELECT min(doc_id) AS doc_id FROM documents

@@ -83,6 +83,14 @@ class RelationshipTable:
     df: DataFrame
     src_labels: Optional[FrozenSet[str]] = None
     dst_labels: Optional[FrozenSet[str]] = None
+    # optional physically-reversed copy (bucketed/sorted by dst): the
+    # planner scans it for reverse expands so both layouts join co-located
+    df_by_dst: Optional[DataFrame] = None
+
+    def frame(self, prefer: str = "src") -> DataFrame:
+        if prefer == "dst" and self.df_by_dst is not None:
+            return self.df_by_dst
+        return self.df
 
     @staticmethod
     def create(
@@ -247,11 +255,14 @@ class PropertyGraph:
         prop_prefix: str = "",
         src_labels: Iterable[str] = (),
         dst_labels: Iterable[str] = (),
+        prefer_layout: str = "src",
     ) -> Optional[DataFrame]:
         """Union of all relationship tables with type in ``rel_types``
         (all types when empty). Tables whose endpoint-label hints are
         incompatible with the required src/dst labels are pruned from the
-        union at plan time (schema-aware scan pruning)."""
+        union at plan time (schema-aware scan pruning). ``prefer_layout``
+        picks the dst-bucketed physical copy for reverse expands when one
+        exists."""
         want = set(rel_types)
         tables = [
             rt
@@ -271,7 +282,7 @@ class PropertyGraph:
                 F.col(DST).alias(out_dst),
                 F.lit(t.rel_type).alias(out_type),
             ]
-            parts.append(_aligned_select(t.df, fixed, prop_types, prop_prefix))
+            parts.append(_aligned_select(t.frame(prefer_layout), fixed, prop_types, prop_prefix))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -370,6 +370,7 @@ class Planner:
         types: Sequence[str],
         src_labels: Sequence[str] = (),
         dst_labels: Sequence[str] = (),
+        prefer_layout: str = "src",
     ) -> Tuple[Optional[DataFrame], EntityMeta]:
         u = self._u(var)
         idc, srcc, dstc, typec, prefix = (
@@ -388,6 +389,7 @@ class Planner:
             prop_prefix=prefix,
             src_labels=src_labels,
             dst_labels=dst_labels,
+            prefer_layout=prefer_layout,
         )
         prop_cols = (
             {c[len(prefix):]: c for c in df.columns if c.startswith(prefix)} if df is not None else {}
@@ -456,7 +458,9 @@ class Planner:
             hints = (tgt_static, src_meta.labels)
         else:
             hints = ((), ())
-        rdf, rmeta = self.scan_rel_frame(rel_var, rel.types, *hints)
+        # reverse expands join on dst first — scan the dst-bucketed copy
+        layout = "dst" if rel.direction == "in" else "src"
+        rdf, rmeta = self.scan_rel_frame(rel_var, rel.types, *hints, prefer_layout=layout)
 
         if rdf is None:
             extra = [rmeta] if tgt_bound else [rmeta]

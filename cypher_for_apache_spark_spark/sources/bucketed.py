@@ -92,10 +92,11 @@ class BucketedGraphSource:
         ).saveAsTable(self._meta_table(name))
 
     # -- load -------------------------------------------------------------------
-    def graph(self, name: str, layout: str = "src") -> PropertyGraph:
-        """Load with the forward ("src") or reverse ("dst") edge layout —
-        pick the layout matching the dominant traversal direction of the
-        workload."""
+    def graph(self, name: str, layout: str = "auto") -> PropertyGraph:
+        """Load the graph. With ``layout='auto'`` (default) relationship
+        tables carry BOTH physical copies when a reverse layout was stored,
+        and the planner picks the copy matching each expand's direction;
+        'src'/'dst' force one layout."""
         meta = json.loads(
             self.spark.table(self._meta_table(name)).first()["meta"]
         )
@@ -106,16 +107,18 @@ class BucketedGraphSource:
         rels = []
         for r in meta["relationships"]:
             table = r["table"]
-            if layout == "dst" and r.get("reverse_table"):
-                table = r["reverse_table"]
-            rels.append(
-                RelationshipTable.create(
-                    r["type"],
-                    self.spark.table(table),
-                    src_labels=r.get("src_labels"),
-                    dst_labels=r.get("dst_labels"),
-                )
+            rev = r.get("reverse_table")
+            if layout == "dst" and rev:
+                table = rev
+            rt = RelationshipTable.create(
+                r["type"],
+                self.spark.table(table),
+                src_labels=r.get("src_labels"),
+                dst_labels=r.get("dst_labels"),
             )
+            if layout == "auto" and rev:
+                rt.df_by_dst = self.spark.table(rev)
+            rels.append(rt)
         return PropertyGraph(nodes, rels, name=name)
 
     def delete(self, name: str) -> None:

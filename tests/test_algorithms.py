@@ -1,0 +1,56 @@
+"""Graph algorithm tests (DataFrame-native PageRank/CC/triangles/degrees)."""
+
+import pytest
+
+from cypher_for_apache_spark_spark.operators import algorithms as alg
+from cypher_for_apache_spark_spark.sources import edgelist
+
+
+@pytest.fixture(scope="module")
+def star_graph(spark):
+    # 1..5 all point at 0; 0 points at 1 (so 0 isn't dangling)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+    )
+    return edgelist.from_edge_df(edges)
+
+
+@pytest.fixture(scope="module")
+def two_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    return edgelist.from_edge_df(edges)
+
+
+def test_pagerank_star(star_graph):
+    ranks = {r["id"]: r["rank"] for r in alg.pagerank(star_graph, iterations=15).collect()}
+    assert len(ranks) == 6
+    # hub gets the highest rank; spokes 2..5 are symmetric
+    assert ranks[0] == max(ranks.values())
+    spoke_vals = [ranks[i] for i in range(2, 6)]
+    assert max(spoke_vals) - min(spoke_vals) < 1e-9
+    # total mass conserved: sums to |V|
+    assert abs(sum(ranks.values()) - 6.0) < 1e-6
+
+
+def test_connected_components(two_components):
+    cc = {r["id"]: r["component"] for r in alg.connected_components(two_components).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[1] != cc[10]
+
+
+def test_triangle_count(spark):
+    # one triangle (1,2,3) plus a dangling edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    g = edgelist.from_edge_df(edges)
+    assert alg.triangle_count(g).collect()[0]["triangles"] == 1
+
+
+def test_degrees(two_components):
+    d = {r["id"]: r for r in alg.degrees(two_components).collect()}
+    assert d[2]["in_degree"] == 1 and d[2]["out_degree"] == 1 and d[2]["degree"] == 2
+    assert d[11]["out_degree"] == 0 and d[11]["in_degree"] == 1

@@ -58,3 +58,14 @@ def test_reverse_layout(bucketed, session):
     g._session = session
     r = g.cypher("MATCH (a)<-[:KNOWS]-(b) RETURN count(*) AS c")
     assert r.to_maps() == [{"c": 3}]
+
+
+def test_auto_layout_picks_reverse_copy(bucketed, session):
+    g = bucketed.graph("team")  # auto
+    g._session = session
+    df = g.cypher("MATCH (a:German)<-[:KNOWS]-(b) RETURN a.name AS a, b.name AS b").df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # reverse expand must scan the dst-bucketed physical copy
+    assert "__by_dst" in plan
+    got = sorted((m["a"], m["b"]) for m in [r.asDict() for r in df.collect()])
+    assert got == [("Martin", "Mats"), ("Max", "Martin")]
