@@ -45,8 +45,20 @@ def _graph(spark: SparkSession, sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def _harden(spark: SparkSession) -> None:
+    """Defensive session confs for whoever owns the session: Cypher null
+    semantics need non-ANSI, and date_trunc/timestamp rendering must agree
+    with the DuckDB oracle's UTC-naive timestamps."""
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def _cypher(query: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _harden(spark)
         return _graph(spark, sf_dir).cypher(query).df
 
     run.__doc__ = query
@@ -551,12 +563,21 @@ _HEAVY_LAST = [
 ]
 
 
+def _hardened(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _harden(spark)
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (cypher, _sql) in _CYPHER_QUERIES.items():
         out[name] = _cypher(cypher)
     for name, (fn, _sql) in _PIPELINE_QUERIES.items():
-        out[name] = fn
+        out[name] = _hardened(fn)
     ordered = {n: out[n] for n in out if n not in _HEAVY_LAST}
     for n in _HEAVY_LAST:
         if n in out:
