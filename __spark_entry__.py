@@ -422,7 +422,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.algorithms import pagerank
 
     g = _graph(spark, sf_dir)
-    pr = pagerank(g, iterations=5, rel_types=["NEXT"])
+    pr = pagerank(g, iterations=3, rel_types=["NEXT"])
     # top-100 ranked nodes: stable, bounded output for the rows-only check
     return pr.orderBy(F.col("rank").desc(), F.col("id")).limit(100)
 
