@@ -246,6 +246,58 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
            FROM orders WHERE o_totalprice > 100000.0
            GROUP BY o_orderstatus""",
     ),
+    # -- temporal accessors / duration (reference: DateProperty et al.,
+    #    Expr.scala:487-503; TemporalUdfs.scala) --------------------------------
+    "order_year_quarter": (
+        """MATCH (o:Order)
+           RETURN o.orderdate.year AS yr, o.orderdate.quarter AS qtr, count(*) AS n""",
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  CAST(quarter(o_orderdate) AS BIGINT) AS qtr, count(*) AS n
+           FROM orders GROUP BY 1, 2""",
+    ),
+    "orders_by_weekday": (
+        """MATCH (o:Order)
+           RETURN o.orderdate.dayOfWeek AS dow, o.orderdate.week AS wk, count(*) AS n""",
+        """SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+                  CAST(weekofyear(o_orderdate) AS BIGINT) AS wk, count(*) AS n
+           FROM orders GROUP BY 1, 2""",
+    ),
+    "ship_delay_days": (
+        """MATCH (o:Order)-[l:LINE]->(:Part)
+           RETURN duration.between(o.orderdate, l.shipdate).days AS delay_days,
+                  count(*) AS n""",
+        """SELECT CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay_days,
+                  count(*) AS n
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1""",
+    ),
+    "recent_orders_window": (
+        """MATCH (o:Order)
+           WHERE o.orderdate >= localdatetime('1998-06-01T00:00:00') - duration('P90D')
+           RETURN count(*) AS n""",
+        """SELECT count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00' - INTERVAL 90 DAY""",
+    ),
+    # -- WITH ... ORDER BY ... LIMIT ... WHERE (projection applies order/limit
+    #    first, the trailing WHERE filters afterwards) -------------------------
+    "with_order_where": (
+        """MATCH (c:Customer)
+           WITH c.name AS name, c.acctbal AS bal ORDER BY bal DESC, name LIMIT 50
+           WHERE bal < 9900.0
+           RETURN name, bal""",
+        """SELECT name, bal FROM (
+             SELECT c_name AS name, c_acctbal AS bal FROM customer
+             ORDER BY bal DESC, name LIMIT 50)
+           WHERE bal < 9900.0""",
+    ),
+    # -- avg(DISTINCT ..) (integer-rounded for cross-engine determinism) -------
+    "avg_distinct_price": (
+        """MATCH (p:Part)
+           RETURN p.brand AS brand,
+                  avg(DISTINCT toInteger(round(p.retailprice))) AS avg_price""",
+        """SELECT p_brand AS brand,
+                  AVG(DISTINCT CAST(ROUND(p_retailprice) AS BIGINT)) AS avg_price
+           FROM part GROUP BY 1""",
+    ),
     # -- list expressions / quantifiers ----------------------------------------------
     "list_ops": (
         """UNWIND [[1, 2, 3], [2, 4], [5]] AS l

@@ -149,9 +149,103 @@ def _prop(e: A.Prop, ctx: CompileCtx) -> Column:
     else:
         base = compile_expr(e.subject, ctx)
     dt = _dtype(ctx, base)
+    if _is(dt, T.DateType, T.TimestampType, T.TimestampNTZType, T.DayTimeIntervalType):
+        return _temporal_accessor(base, e.key, dt)
     if _is(dt, T.MapType):
         return F.element_at(base, F.lit(e.key))
     return base.getField(e.key) if _is(dt, T.StructType) else base.getItem(e.key)
+
+
+# -- temporal accessors -------------------------------------------------------
+
+_DATE_ACCESSORS = {
+    "year": F.year,
+    "quarter": F.quarter,
+    "month": F.month,
+    "week": F.weekofyear,
+    "day": F.dayofmonth,
+    "ordinalday": F.dayofyear,
+}
+
+_TIME_ACCESSORS = {"hour": F.hour, "minute": F.minute, "second": F.second}
+
+
+def _temporal_accessor(base: Column, key: str, dt: T.DataType) -> Column:
+    """``d.year`` / ``ts.hour`` / ``dur.days`` — property access on a temporal
+    value (reference: DateProperty/LocalDateTimeProperty/DurationProperty,
+    okapi-ir/.../expr/Expr.scala:487-503, compiled at
+    SparkSQLExprMapper.scala:153-155 via TemporalConversions.temporalAccessor
+    and TemporalUdfs.durationAccessor). All JVM-side built-ins — the
+    reference needs UDFs for weekYear/dayOfQuarter/dayOfWeek, Spark's
+    EXTRACT covers them natively. Cypher integers are longs; every accessor
+    casts to long. Nulls propagate through the arithmetic."""
+    k = key.lower()
+    if isinstance(dt, T.DayTimeIntervalType):
+        return _duration_accessor(base, key)
+    if k in _DATE_ACCESSORS:
+        return _DATE_ACCESSORS[k](base).cast("long")
+    if k == "weekyear":
+        return F.extract(F.lit("YEAROFWEEK"), base).cast("long")
+    if k in ("dayofweek", "weekday"):
+        return F.extract(F.lit("DAYOFWEEK_ISO"), base).cast("long")
+    if k == "dayofquarter":
+        d = F.to_date(base)
+        return (F.dayofyear(d) - F.dayofyear(F.trunc(d, "quarter")) + F.lit(1)).cast("long")
+    if isinstance(dt, T.DateType):
+        raise CypherCompileError(
+            f"temporal accessor `{key}` is not supported on DATE values"
+        )
+    if k in _TIME_ACCESSORS:
+        return _TIME_ACCESSORS[k](base).cast("long")
+    if k == "millisecond":
+        return (F.extract(F.lit("SECOND"), base) * 1000).cast("long") % 1000
+    if k == "microsecond":
+        return (F.extract(F.lit("SECOND"), base) * 1000000).cast("long") % 1000000
+    raise CypherCompileError(f"unknown temporal accessor `{key}`")
+
+
+def _duration_accessor(base: Column, key: str) -> Column:
+    """Duration accessors on DayTimeIntervalType (reference:
+    TemporalUdfs.durationAccessor — a row-at-a-time UDF over
+    CalendarInterval; here: EXTRACT components + long arithmetic, all
+    codegen'd). Cypher groups days separately from sub-day components, so
+    ``hours``/``minutes``/``seconds`` are totals *below* the day unit. Our
+    durations are ANSI day-time intervals (no month component — the
+    constructor rejects year/month parts), so month-family accessors are
+    constant 0."""
+    k = key.lower()
+    d = F.extract(F.lit("DAY"), base).cast("long")
+    h = F.extract(F.lit("HOUR"), base).cast("long")
+    m = F.extract(F.lit("MINUTE"), base).cast("long")
+    s = F.extract(F.lit("SECOND"), base)  # decimal, includes the fraction
+    sw = s.cast("long")  # whole seconds, truncated toward zero
+    if k in ("years", "quarters", "months", "quartersofyear", "monthsofquarter", "monthsofyear"):
+        return F.when(base.isNotNull(), F.lit(0)).cast("long")
+    if k == "weeks":
+        return (d / 7).cast("long")
+    if k == "days":
+        return d
+    if k == "daysofweek":
+        return d % 7
+    if k == "hours":
+        return h
+    if k == "minutes":
+        return h * 60 + m
+    if k == "seconds":
+        return h * 3600 + m * 60 + sw
+    if k == "milliseconds":
+        return (h * 3600 + m * 60) * 1000 + (s * 1000).cast("long")
+    if k == "microseconds":
+        return (h * 3600 + m * 60) * 1000000 + (s * 1000000).cast("long")
+    if k == "minutesofhour":
+        return m
+    if k == "secondsofminute":
+        return sw
+    if k == "millisecondsofsecond":
+        return (s * 1000).cast("long") - sw * 1000
+    if k == "microsecondsofsecond":
+        return (s * 1000000).cast("long") - sw * 1000000
+    raise CypherCompileError(f"unknown duration accessor `{key}`")
 
 
 def _has_labels(e: A.HasLabels, ctx: CompileCtx) -> Column:
@@ -242,8 +336,19 @@ def _require_str_lit(e: A.Expr, ctx: CompileCtx) -> str:
 
 
 def _in(e: A.In, ctx: CompileCtx) -> Column:
+    # x IN [] is false for every x, including null (openCypher); the empty
+    # list literal otherwise hard-casts to array<string> and type-errors
+    # against non-string lhs
+    if isinstance(e.rhs, A.ListLit) and not e.rhs.items:
+        return F.lit(False)
+    if isinstance(e.rhs, A.Param) and ctx.params.get(e.rhs.name) == []:
+        return F.lit(False)
     l = compile_expr(e.lhs, ctx)
     r = compile_expr(e.rhs, ctx)
+    rt = _dtype(ctx, r)
+    if _is(rt, T.ArrayType) and isinstance(rt.elementType, T.NullType):
+        # list of only-null literals: containment is unknown
+        return F.lit(None).cast("boolean")
     return F.array_contains(r, l)
 
 
@@ -565,6 +670,7 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "localdatetime": lambda e, ctx: F.to_timestamp_ntz(compile_expr(e.args[0], ctx)) if e.args else F.localtimestamp(),
     "timestamp": lambda e, ctx: (F.unix_micros(F.current_timestamp()) / F.lit(1000)).cast("long"),
     "duration": lambda e, ctx: _fn_duration(e, ctx),
+    "duration.between": lambda e, ctx: _fn_duration_between(e, ctx),
     # CTBigDecimal (reference: BigDecimal expr, Expr.scala:802; MakeDecimal
     # SparkSQLExprMapper.scala:473): bigdecimal(expr, precision, scale)
     "bigdecimal": lambda e, ctx: compile_expr(e.args[0], ctx).cast(
@@ -584,22 +690,93 @@ def _fn_right(e, ctx):
 _SCALAR_FNS["right"] = _fn_right
 
 
+_ISO_DURATION_RE = re.compile(
+    r"^([+-])?P(?:(\d+(?:\.\d+)?)Y)?(?:(\d+(?:\.\d+)?)M)?(?:(\d+(?:\.\d+)?)W)?"
+    r"(?:(\d+(?:\.\d+)?)D)?(?:T(?:(\d+(?:\.\d+)?)H)?(?:(\d+(?:\.\d+)?)M)?"
+    r"(?:(\d+(?:\.\d+)?)S)?)?$",
+    re.IGNORECASE,
+)
+
+_DURATION_MAP_KEYS = {"weeks", "days", "hours", "minutes", "seconds", "milliseconds", "microseconds"}
+
+
+def _parse_iso_duration(text: str):
+    """ISO-8601 duration string -> (days, hours, minutes, seconds) floats
+    (reference: Duration.parse, okapi-api/.../impl/temporal/Duration;
+    literal resolution Expr.scala:1287 via TemporalConversions.resolveInterval).
+    Year/month components are rejected: this engine models durations as ANSI
+    DayTimeIntervalType, which is comparable and codegen-friendly but has no
+    month field."""
+    m = _ISO_DURATION_RE.match(text.strip())
+    if m is None or text.strip().upper().rstrip("+-") in ("P", ""):
+        raise CypherCompileError(f"invalid ISO-8601 duration string: {text!r}")
+    sign = -1.0 if m.group(1) == "-" else 1.0
+    years, months, weeks, days, hours, minutes, seconds = (
+        float(g) if g else 0.0 for g in m.groups()[1:]
+    )
+    if years or months:
+        raise CypherCompileError(
+            "year/month duration components are not representable as a "
+            "day-time interval; express the duration in days or smaller units"
+        )
+    return (
+        sign * (weeks * 7 + days),
+        sign * hours,
+        sign * minutes,
+        sign * seconds,
+    )
+
+
 def _fn_duration(e, ctx):
-    """duration({days: d, hours: h, ...}) -> DayTimeIntervalType via
-    make_dt_interval (reference models durations as CalendarInterval,
-    TemporalUdfs.scala — we use the modern ANSI interval type)."""
-    if not e.args or not isinstance(e.args[0], A.MapLit):
-        raise CypherCompileError("duration() expects a map literal")
-    parts = {k.lower(): compile_expr(v, ctx) for k, v in e.args[0].items}
+    """duration({days: d, hours: h, ...}) or duration('P1DT2H') ->
+    DayTimeIntervalType via make_dt_interval (reference models durations as
+    CalendarInterval, TemporalUdfs.scala — we use the modern ANSI interval
+    type: orderable, comparable, and natively aggregatable)."""
+    if not e.args:
+        raise CypherCompileError("duration() expects a map or ISO-8601 string")
+    arg = e.args[0]
+    text = None
+    if isinstance(arg, A.Lit) and isinstance(arg.value, str):
+        text = arg.value
+    elif isinstance(arg, A.Param) and isinstance(ctx.params.get(arg.name), str):
+        text = ctx.params[arg.name]
+    if text is not None:
+        d, h, mi, s = _parse_iso_duration(text)
+        total_seconds = ((d * 24 + h) * 60 + mi) * 60 + s
+        return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(total_seconds))
+    if not isinstance(arg, A.MapLit):
+        raise CypherCompileError("duration() expects a map literal or ISO-8601 string")
+    bad = [k for k, _ in arg.items if k.lower() not in _DURATION_MAP_KEYS]
+    if bad:
+        raise CypherCompileError(
+            f"unsupported duration component(s) {bad}: day-time intervals "
+            f"accept {sorted(_DURATION_MAP_KEYS)}"
+        )
+    parts = {k.lower(): compile_expr(v, ctx) for k, v in arg.items}
     days = parts.get("days", F.lit(0))
     if "weeks" in parts:
         days = days + parts["weeks"] * F.lit(7)
+    seconds = parts.get("seconds", F.lit(0)).cast("double")
+    if "milliseconds" in parts:
+        seconds = seconds + parts["milliseconds"] / F.lit(1000.0)
+    if "microseconds" in parts:
+        seconds = seconds + parts["microseconds"] / F.lit(1000000.0)
     return F.make_dt_interval(
         days.cast("int"),
         parts.get("hours", F.lit(0)).cast("int"),
         parts.get("minutes", F.lit(0)).cast("int"),
-        parts.get("seconds", F.lit(0)).cast("double"),
+        seconds,
     )
+
+
+def _fn_duration_between(e, ctx):
+    """duration.between(a, b) -> day-time interval from a to b (reference:
+    DurationBetween / TemporalUdfs; Spark timestamp subtraction yields
+    DayTimeIntervalType natively)."""
+    if len(e.args) != 2:
+        raise CypherCompileError("duration.between() expects two arguments")
+    a, b = compile_expr(e.args[0], ctx), compile_expr(e.args[1], ctx)
+    return b.cast("timestamp_ntz") - a.cast("timestamp_ntz")
 
 
 # -- aggregates -------------------------------------------------------------------
@@ -613,11 +790,20 @@ def compile_aggregate(e: A.Expr, ctx: CompileCtx) -> Column:
     assert isinstance(e, A.FuncCall)
     name = e.name
     arg = compile_expr(e.args[0], ctx) if e.args else None
+    if e.distinct and name not in ("count", "sum", "avg", "collect", "min", "max"):
+        # never silently compute the non-distinct answer (stDev(DISTINCT ..)
+        # et al. have no Spark equivalent)
+        raise CypherCompileError(f"DISTINCT is not supported for {name}()")
     if name == "count":
         return F.count_distinct(arg) if e.distinct else F.count(arg)
     if name == "sum":
         return F.sum_distinct(arg) if e.distinct else F.sum(arg)
     if name == "avg":
+        if e.distinct:
+            # avg(DISTINCT x) = sum(DISTINCT x) / count(DISTINCT x) — Spark
+            # has no avg_distinct builtin; `/` on longs yields double (the
+            # Cypher avg result type), 0 distinct values -> null/0 -> null
+            return F.sum_distinct(arg) / F.count_distinct(arg)
         return F.avg(arg)
     if name == "min":
         return F.min(arg)

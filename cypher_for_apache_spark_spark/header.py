@@ -38,6 +38,9 @@ class EntityMeta:
     col: Optional[str] = None  # value variables
     labels: FrozenSet[str] = frozenset()  # statically guaranteed labels
     types: FrozenSet[str] = frozenset()  # possible rel types (rels)
+    # possible label combinations (nodes): one per scanned node table —
+    # plan-time constants, so CONSTRUCT CLONE never has to look at data
+    combos: FrozenSet[FrozenSet[str]] = frozenset()
 
     def columns(self) -> List[str]:
         out = []

@@ -742,6 +742,20 @@ class Parser:
         if t.kind == "ident" and self.peek().kind == "punct" and self.peek().value == "(":
             name = self.advance().value
             return self.parse_call(name.lower())
+        if (
+            t.kind == "ident"
+            and t.value.lower() in ("duration", "date", "localdatetime", "datetime", "time", "localtime")
+            and self.peek().kind == "punct"
+            and self.peek().value == "."
+            and self.peek(2).kind in ("ident", "kw")
+            and self.peek(3).kind == "punct"
+            and self.peek(3).value == "("
+        ):
+            # namespaced temporal function, e.g. duration.between(a, b)
+            ns = self.advance().value
+            self.advance()  # '.'
+            member = self.advance().value
+            return self.parse_call(f"{ns.lower()}.{member.lower()}")
         if self.at("["):
             return self.parse_list_or_comprehension()
         if self.at("{"):

@@ -298,6 +298,9 @@ class Planner:
             labels_col=labels_col,
             prop_cols=prop_cols,
             labels=frozenset(labels),
+            combos=frozenset(
+                t.labels for t in self.graph.matching_node_tables(labels)
+            ),
         )
         return df, meta
 
@@ -406,9 +409,22 @@ class Planner:
         )
         return df, meta
 
-    def _empty_like(self, rec: Record, extra_meta: List[EntityMeta]) -> Record:
+    def _empty_like(
+        self,
+        rec: Record,
+        extra_meta: List[EntityMeta],
+        type_sources: Optional[Dict[str, DataFrame]] = None,
+    ) -> Record:
+        """Zero-row frame that still carries every column the new metas
+        advertise — including typed null property columns, or downstream
+        expressions hit UNRESOLVED_COLUMN (reference
+        discardScansForNonexistentLabels yields empty records, never an
+        error). ``type_sources`` maps a meta's id_col to a frame whose
+        schema provides the property types (e.g. the node scan that was
+        planned but not joined)."""
         header = dict(rec.header)
         df = self._materialize(rec).df.filter(F.lit(False))
+        srcs = type_sources or {}
         for m in extra_meta:
             cols = []
             if m.kind == "node":
@@ -423,6 +439,12 @@ class Planner:
                     F.lit(None).cast("long").alias(m.dst_col),
                     F.lit(None).cast("string").alias(m.type_col),
                 ]
+            src = srcs.get(m.id_col)
+            stypes = (
+                {f.name: f.dataType for f in src.schema.fields} if src is not None else {}
+            )
+            for _, c in sorted(m.prop_cols.items()):
+                cols.append(F.lit(None).cast(stypes.get(c, T.StringType())).alias(c))
             df = df.select("*", *cols)
         return Record(df, header)
 
@@ -463,12 +485,13 @@ class Planner:
         rdf, rmeta = self.scan_rel_frame(rel_var, rel.types, *hints, prefer_layout=layout)
 
         if rdf is None:
-            extra = [rmeta] if tgt_bound else [rmeta]
-            out = self._empty_like(rec, extra)
+            out = self._empty_like(rec, [rmeta])
             out.header[rel_var] = rmeta
             if not tgt_bound:
-                _, tmeta = self.scan_node_record(tgt_var, tgt.labels)
-                out = self._empty_like(Record(out.df, out.header), [tmeta])
+                tdf, tmeta = self.scan_node_record(tgt_var, tgt.labels)
+                out = self._empty_like(
+                    Record(out.df, out.header), [tmeta], {tmeta.id_col: tdf}
+                )
                 out.header[tgt_var] = tmeta
             rel_ids.append((rmeta.id_col, rmeta.types, False))
             return out, tgt_var
@@ -599,9 +622,9 @@ class Planner:
 
         rdf, rmeta = self.scan_rel_frame(rel_var, rel.types)
         if rdf is None and lo > 0:
-            _, tmeta = self.scan_node_record(tgt.var or self._anon(), tgt.labels)
-            out = self._empty_like(rec, [tmeta])
             tgt_var = tgt.var or self._anon()
+            tdf, tmeta = self.scan_node_record(tgt_var, tgt.labels)
+            out = self._empty_like(rec, [tmeta], {tmeta.id_col: tdf})
             out.header[tgt_var] = tmeta
             list_col = f"{self._u(rel_var)}#ids"
             out = Record(
@@ -702,6 +725,7 @@ class Planner:
         monotonic row ids shifted to make room for a per-row element index
         (reference: partitioned_id_assignment, MorpheusFunctions.scala:76)."""
         from cypher_for_apache_spark_spark.graph import (
+            ID,
             NodeTable,
             PropertyGraph,
             RelationshipTable,
@@ -739,15 +763,20 @@ class Planner:
                     raise CypherPlanningError("CONSTRUCT relationships need a type")
                 new_rels.append((rp.var, rp, left, right))
 
-        # per-row ids for new elements
+        # per-row ids for new elements, shifted into a reserved id space
+        # (top bit below the graph-union prefix byte) so CONSTRUCT ON can
+        # union with base graphs without a generated id ever colliding with
+        # an existing element id (reference keeps id spaces disjoint via
+        # prefixing — partitioned_id_assignment, MorpheusFunctions.scala:76)
         n_new = len(new_nodes) + len(new_rels)
         bits = max(1, (max(n_new - 1, 1)).bit_length())
+        reserve = F.lit(1 << 54)
         row_id = F.monotonically_increasing_id()
         df = rec.df.select("*", row_id.alias(" row#id"))
         ctx = CompileCtx(df, rec.header, self.params)
 
         def new_id(k: int):
-            return (F.col(" row#id") * F.lit(1 << bits) + F.lit(k)).alias("id")
+            return (F.col(" row#id") * F.lit(1 << bits) + F.lit(k) + reserve).alias("id")
 
         def props_for(var: str, pat_props: Optional[A.MapLit]) -> List:
             cols = []
@@ -777,7 +806,7 @@ class Planner:
             combo = frozenset(list(np_.labels) + extra_labels(var))
             t = df.select(idc, *props_for(var, np_.props))
             node_acc.setdefault(combo, []).append(t)
-            id_col_of[var] = F.col(" row#id") * F.lit(1 << bits) + F.lit(k)
+            id_col_of[var] = F.col(" row#id") * F.lit(1 << bits) + F.lit(k) + reserve
 
         for var in clone_vars:
             meta = rec.header.get(var)
@@ -785,10 +814,12 @@ class Planner:
                 raise CypherPlanningError(f"CLONE of unbound variable `{var}`")
             if meta.kind == "node":
                 set_cols = props_for(var, None)
-                combos = [
-                    tuple(r[0]) if r[0] is not None else ()
-                    for r in df.select(meta.labels_col).distinct().collect()
-                ]
+                # plan-time constants: every scan branch stamps labels_col
+                # with a literal array, so the possible combos are exactly
+                # the scanned node tables' label sets — no data inspection
+                combos = sorted(
+                    (tuple(sorted(c)) for c in meta.combos),
+                )
                 for combo in combos:
                     sub = df.filter(
                         F.col(meta.labels_col)
@@ -808,9 +839,9 @@ class Planner:
                     ).append(t)
                 id_col_of[var] = F.col(meta.id_col)
             elif meta.kind == "rel":
-                types = [
-                    r[0] for r in df.select(meta.type_col).distinct().collect()
-                ]
+                # possible types are plan-time metadata (type_col is a
+                # literal per scan branch) — no data inspection
+                types = sorted(meta.types)
                 for t_name in types:
                     sub = df.filter(F.col(meta.type_col) == t_name)
                     names_set = [s.key for s in sets_by_var.get(var, []) if s.key]
@@ -853,7 +884,10 @@ class Planner:
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
-            return out
+            # an element cloned via several pattern variables (CLONE p, q)
+            # is still ONE element in the constructed graph — dedup by id.
+            # Single-source tables (the common case) skip the shuffle.
+            return out.dropDuplicates([ID]) if len(dfs) > 1 else out
 
         node_tables = [NodeTable(c, union_all(ts)) for c, ts in node_acc.items()]
         rel_tables = [RelationshipTable(t, union_all(ts)) for t, ts in rel_acc.items()]
@@ -935,10 +969,11 @@ class Planner:
         rhs, key_cols = self._rhs_for_pattern(rec_m, pred.pattern, pred.where)
         how = "left_anti" if pred.negated else "left_semi"
         if not key_cols:
-            keep = rhs.df.limit(1).count() > 0
-            want = keep if not pred.negated else not keep
-            df = rec_m.df if want else rec_m.df.filter(F.lit(False))
-            return Record(df, rec.header)
+            # uncorrelated pattern: semi/anti join against a 1-row marker —
+            # stays lazy (no job at plan time), and the marker side is a
+            # broadcastable single row at execution
+            marker = rhs.df.limit(1).select(F.lit(True).alias(" exists#marker"))
+            return Record(rec_m.df.join(marker, F.lit(True), how), rec.header)
         renames = {c: f"{c}#rhs{next(self._uid)}" for c in key_cols}
         rdf = rhs.df.select([F.col(c).alias(renames[c]) for c in key_cols])
         cond = None
@@ -955,8 +990,11 @@ class Planner:
             marker_var = self._anon()
             marker_col = f"{self._u('exists')}#marker"
             if not key_cols:
-                keep = rhs.df.limit(1).count() > 0
-                df = rec_m.df.select("*", F.lit(keep).alias(marker_col))
+                # uncorrelated: left-join a 1-row marker frame (lazy; no
+                # plan-time job), null marker -> false
+                mdf = rhs.df.limit(1).select(F.lit(True).alias(marker_col))
+                df = rec_m.df.join(mdf, F.lit(True), "left_outer")
+                df = df.withColumn(marker_col, F.col(marker_col).isNotNull())
             else:
                 renames = {c: f"{c}#rhs{next(self._uid)}" for c in key_cols}
                 rdf = (
@@ -1095,11 +1133,6 @@ class Planner:
         merged: Header = dict(rec.header)
         merged.update(header_out)
 
-        if clause.where is not None:
-            wrec, wexpr = self._plan_pattern_predicates(Record(df, merged), clause.where)
-            df, merged = wrec.df, wrec.header
-            df = df.filter(compile_expr(wexpr, CompileCtx(df, merged, self.params)))
-
         out_cols = []
         seen = set()
         for m in header_out.values():
@@ -1114,9 +1147,18 @@ class Planner:
         else:
             scope_for_order = merged
 
+        # ORDER BY / SKIP / LIMIT belong to the projection; a trailing WHERE
+        # filters the ordered/limited rows afterwards (openCypher `WITH ...
+        # ORDER BY ... LIMIT n WHERE p` keeps at most n rows)
         df = self._order_skip_limit(df, clause, scope_for_order)
-        if not clause.distinct:
-            df = df.select(*out_cols)
+
+        if clause.where is not None:
+            wscope = dict(scope_for_order)
+            wrec, wexpr = self._plan_pattern_predicates(Record(df, wscope), clause.where)
+            df, wscope = wrec.df, wrec.header
+            df = df.filter(compile_expr(wexpr, CompileCtx(df, wscope, self.params)))
+
+        df = df.select(*out_cols)
         return Record(df, header_out)
 
     def _order_skip_limit(self, df: DataFrame, clause: A.ProjectionClause, scope: Header) -> DataFrame:
@@ -1125,7 +1167,9 @@ class Planner:
             sort_cols = []
             for oi in clause.order_by:
                 c = compile_expr(oi.expr, ctx)
-                sort_cols.append(c.asc() if oi.asc else c.desc())
+                # Cypher treats null as the largest value: nulls last
+                # ascending, first descending (Spark's default is reversed)
+                sort_cols.append(c.asc_nulls_last() if oi.asc else c.desc_nulls_first())
             df = df.orderBy(*sort_cols)
         if clause.skip is not None:
             df = df.offset(self._int_value(clause.skip))
@@ -1213,10 +1257,6 @@ class Planner:
             header_out[alias] = EntityMeta(kind="value", col=phys)
         gdf = gdf.select("*", *post_cols) if post_cols else gdf
 
-        if clause.where is not None:
-            wctx = CompileCtx(gdf, {**post_scope, **header_out}, self.params)
-            gdf = gdf.filter(compile_expr(A.substitute(clause.where, subst), wctx))
-
         out_cols = []
         seen2 = set()
         for m in header_out.values():
@@ -1228,19 +1268,24 @@ class Planner:
         if clause.distinct:
             gdf = gdf.select(*out_cols).dropDuplicates()
 
-        # ORDER BY with aggregate references -> substitute to agg columns
+        # ORDER BY with aggregate references -> substitute to agg columns;
+        # ORDER BY / SKIP / LIMIT run before a trailing WHERE (projection
+        # semantics, same as plan_projection)
         if clause.order_by:
             octx = CompileCtx(gdf, {**post_scope, **header_out}, self.params)
             sort_cols = []
             for oi in clause.order_by:
                 c = compile_expr(A.substitute(oi.expr, subst), octx)
-                sort_cols.append(c.asc() if oi.asc else c.desc())
+                sort_cols.append(c.asc_nulls_last() if oi.asc else c.desc_nulls_first())
             gdf = gdf.orderBy(*sort_cols)
         if clause.skip is not None:
             gdf = gdf.offset(self._int_value(clause.skip))
         if clause.limit is not None:
             gdf = gdf.limit(self._int_value(clause.limit))
 
-        if not clause.distinct:
-            gdf = gdf.select(*out_cols)
+        if clause.where is not None:
+            wctx = CompileCtx(gdf, {**post_scope, **header_out}, self.params)
+            gdf = gdf.filter(compile_expr(A.substitute(clause.where, subst), wctx))
+
+        gdf = gdf.select(*out_cols)
         return Record(gdf, header_out)
