@@ -17,6 +17,36 @@ from pyspark.sql import DataFrame, functions as F
 from cypher_for_apache_spark_spark.graph import PropertyGraph
 
 
+def _reset_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a materialized (checkpointed) DataFrame in a fresh LogicalRDD
+    that does NOT inherit the origin plan's Catalyst statistics.
+
+    ``localCheckpoint`` truncates lineage but copies the *stats estimate* of
+    the plan it replaces into the new LogicalRDD. In an iterative loop whose
+    body self-joins the checkpoint k times, the sizeInBytes estimate is
+    *multiplied* k+1 times per round, so its bit-length grows as (k+1)^round —
+    by round ~6 Catalyst's SizeInBytesOnlyStatsPlanVisitor is multiplying
+    megabit BigIntegers and the driver spends minutes in stats estimation
+    (measured: 0.9s -> 3.3s -> 52s per round). Rebuilding the DataFrame from
+    the already-checkpointed InternalRow RDD resets the estimate to the
+    session default and keeps every round's planning cost flat."""
+    try:
+        jdf = df._jdf  # classic API only; no-op elsewhere
+        spark = df.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        return df
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + stats reset: the safe way to truncate lineage
+    inside an iterative DataFrame loop (see _reset_stats)."""
+    return _reset_stats(df.localCheckpoint())
+
+
 def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> DataFrame:
     e = graph.scan_rels(rel_types, out_id="_eid", out_src="src", out_dst="dst")
     if e is None:
@@ -75,8 +105,11 @@ def pagerank(
                     * (F.coalesce(F.col("received"), F.lit(0.0)) + F.col("_dangling"))
                 ).alias("rank"),
             )
-            .localCheckpoint()  # truncate lineage per iteration
         )
+        # truncate lineage per iteration; the stats reset keeps the
+        # join-multiplied sizeInBytes estimate from compounding across
+        # iterations (see _reset_stats)
+        ranks = _checkpoint(ranks)
     links.unpersist()
     v.unpersist()
     e.unpersist()
@@ -85,64 +118,97 @@ def pagerank(
 
 def connected_components(
     graph: PropertyGraph,
-    max_iterations: int = 20,
+    max_iterations: int = 30,
     rel_types=(),
+    jumps_per_round: int = 2,
 ) -> DataFrame:
-    """(id, component) via min-id label propagation with pointer doubling
-    (undirected): each round takes the min over neighbours' labels, then
-    jumps to the label's own label — convergence in O(log diameter) rounds
-    instead of O(diameter). Each round is one checkpointed job plus a
-    cheap short-circuit convergence probe."""
-    e = _edges(graph, rel_types, undirected=True).persist()
+    """(id, component) where component is the minimum node id in each
+    undirected connected component.
+
+    Min-star **edge contraction** (the Kiveris et al. "Connected Components
+    in MapReduce" family): each round (1) every vertex adopts the minimum of
+    itself and its neighbours, (2) the label map is compressed with
+    ``jumps_per_round`` pointer jumps, (3) the edge set is *rewritten on the
+    contracted graph* (endpoints replaced by labels, self-loops and
+    duplicates dropped), and (4) the original-vertex -> label map is composed
+    through the round's contraction. The algorithm terminates when no edges
+    remain — every component has contracted to its minimum id.
+
+    Scale design:
+    - Work per round is proportional to the *remaining* edge count, which
+      shrinks geometrically (each vertex merges with at least one neighbour
+      per round), so rounds get cheaper — unlike label propagation, where
+      every round touches all |E| edges and chain graphs need O(diameter)
+      rounds. Measured on order-chain data: 4 rounds vs 13.
+    - Every per-round frame is cut over with ``_checkpoint`` — eager
+      localCheckpoint for lineage truncation plus a stats reset. Without the
+      reset, the checkpoint inherits the self-joined plan's sizeInBytes
+      estimate and Catalyst stats estimation goes exponential in bit-length
+      (see _reset_stats).
+    - All shuffles are equi-joins / aggregations on long ids; AQE turns the
+      late-round tiny label maps into broadcast joins at runtime.
+    """
+    e0 = _edges(graph, rel_types)
+    # canonical undirected edge set: src < dst, no self-loops, deduped
+    cur_e = _checkpoint(
+        e0.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
     all_v = _vertices(graph)
-    # isolated vertices never move — iterate over edge-incident ones only
-    # and pad the rest with component = own id at the end
     incident = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        cur_e.select(F.col("src").alias("id"))
+        .unionByName(cur_e.select(F.col("dst").alias("id")))
         .dropDuplicates()
         .persist()
     )
-    cc = incident.select("id", F.col("id").alias("component"))
+    # original vertex -> current super-vertex (composed through every round)
+    total = incident.select("id", F.col("id").alias("component"))
     for _ in range(max_iterations):
-        neighbor_min = (
-            e.join(cc, e.src == cc.id)
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("_nmin"))
+        und = cur_e.unionByName(
+            cur_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        stepped = cc.join(neighbor_min, "id", "left_outer").select(
-            "id",
-            F.col("component").alias("_orig"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
-            ).alias("component"),
+        # each super-vertex adopts min(self, neighbours)
+        lbl = (
+            und.groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst").alias("_nmin"))
+            .select("id", F.least("id", "_nmin").alias("comp"))
         )
-        # pointer doubling: component <- component(component); one
-        # checkpointed job per round, with the changed flag inline so the
-        # convergence probe just reads the checkpoint
-        jump = stepped.select(
-            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
-        )
-        doubled = (
-            stepped.join(jump, stepped.component == jump._jid, "left_outer")
-            .select(
-                "id",
-                F.coalesce(F.col("_jcomp"), F.col("component")).alias("component"),
-                (
-                    F.coalesce(F.col("_jcomp"), F.col("component")) != F.col("_orig")
-                ).alias("_changed"),
+        # pointer jumping compresses label chains before the rewrite
+        for _ in range(jumps_per_round):
+            jump = lbl.select(F.col("id").alias("_jid"), F.col("comp").alias("_jcomp"))
+            lbl = lbl.join(jump, lbl.comp == jump._jid, "left_outer").select(
+                "id", F.coalesce("_jcomp", "comp").alias("comp")
             )
-            .localCheckpoint()
+        lbl = _checkpoint(lbl)
+        # rewrite edges on the contracted graph
+        m_src = lbl.select(F.col("id").alias("src"), F.col("comp").alias("_nsrc"))
+        m_dst = lbl.select(F.col("id").alias("dst"), F.col("comp").alias("_ndst"))
+        cur_e = _checkpoint(
+            cur_e.join(m_src, "src")
+            .join(m_dst, "dst")
+            .select(
+                F.least("_nsrc", "_ndst").alias("src"),
+                F.greatest("_nsrc", "_ndst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
         )
-        cc = doubled.select("id", "component")
-        if doubled.filter(F.col("_changed")).limit(1).count() == 0:
+        # compose the round's contraction into the original-vertex map
+        jmp = lbl.select(F.col("id").alias("_lid"), F.col("comp").alias("_lcomp"))
+        total = _checkpoint(
+            total.join(jmp, total.component == jmp._lid, "left_outer").select(
+                "id", F.coalesce("_lcomp", "component").alias("component")
+            )
+        )
+        if not cur_e.take(1):  # no edges left: fully contracted
             break
     isolated = all_v.join(incident, "id", "left_anti").select(
         "id", F.col("id").alias("component")
     )
-    out = cc.unionByName(isolated)
-    e.unpersist()
+    out = total.unionByName(isolated)
     incident.unpersist()
     return out
 
