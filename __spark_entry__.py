@@ -318,31 +318,42 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, spread across the session's full parallelism.
+
+    The test-data table is a single small parquet file, so Spark plans one
+    input partition and every downstream explode/agg runs single-threaded —
+    a local-test artifact, not a property of the operators (at real scale
+    the scan has thousands of splits). Repartitioning by doc_id costs one
+    tiny shuffle and restores parallelism for the text pipelines."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_dedup(docs).select("doc_id")
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_dedup(docs, num_hashes=32, bands=16, threshold=0.8).select("doc_id")
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import simhash, simhash_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash_pairs(simhash(docs), max_distance=3, chunks=4)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     # 5-gram shingles: the synthetic corpus has a ~30-word vocabulary, so
     # 3-grams collide on nearly every document pair (avg shingle df ~100);
     # 5-grams make shingle collisions meaningful for near-dup detection
@@ -352,7 +363,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import quality_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return quality_features(docs).select(
         "doc_id", "q_n_chars", "q_n_tokens", "q_avg_token_len", "q_alpha_ratio", "q_score"
     )
@@ -363,7 +374,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cypher_for_apache_spark_spark.operators.text import lang_id
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
 
 
@@ -372,14 +383,14 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cypher_for_apache_spark_spark.operators.text import fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.similarity import knn_brute
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(spark.sparkContext.defaultParallelism, "vec_id")
     q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
     return knn_brute(emb.where("vec_id <> 0"), q, k=10)
 
@@ -387,7 +398,7 @@ def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.similarity import knn_join_lsh
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(spark.sparkContext.defaultParallelism, "vec_id")
     return knn_join_lsh(emb, k=5, planes=10, dim=64)
 
 
