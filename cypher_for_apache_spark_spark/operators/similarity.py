@@ -86,28 +86,84 @@ def knn_join_lsh(
     planes: int = 12,
     dim: int = 64,
     seed: int = 42,
+    bands: int = 4,
+    max_bucket: int = 1024,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: bucket by hyperplane signature, exact
-    cosine within buckets, window top-k per id. The candidate join key is
-    one long — scales linearly in corpus size for balanced buckets."""
-    hps = random_hyperplanes(dim, planes, seed)
-    b = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), hps).alias("_bucket"),
-    )
-    x = b.alias("x")
-    y = b.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x._bucket") == F.col("y._bucket")) & (F.col("x._id") != F.col("y._id")),
-    ).select(
-        F.col("x._id").alias(id_col),
-        F.col("y._id").alias("neighbor"),
-        F.round(cosine(as_double(F.col("x._v")), as_double(F.col("y._v"))), 6).alias("sim"),
-    )
+    """Approximate all-pairs top-k via multi-band random-hyperplane LSH.
+
+    Scale design:
+    - **OR-amplification**: ``bands`` independent ``planes``-bit signatures;
+      a pair is a candidate if it collides in ANY band. One wide signature
+      either misses near neighbors (too many bits) or degenerates into a
+      handful of huge buckets (too few) — multiple narrow bands give high
+      recall while keeping each band's buckets small.
+    - **Per-bucket cap**: within each (band, bucket), only the first
+      ``max_bucket`` vectors (deterministic hash order) emit pairs. A hot
+      bucket (duplicate embeddings, zero vectors, skewed corpora) otherwise
+      goes quadratic — the cap bounds any bucket's work at max_bucket^2 and
+      loses only candidates a *less* crowded band will still surface.
+    - **Pair dedup before re-ranking**: candidates carry only (id, id);
+      vectors are joined back and cosine computed once per distinct pair,
+      not once per colliding band.
+
+    Recall against knn_brute is measured in tests (recall@k on the test
+    embeddings), so parameter changes are quantified, not guessed."""
     from pyspark.sql import Window as W
 
+    sig_cols = [
+        lsh_bucket(F.col(vec_col), random_hyperplanes(dim, planes, seed + 1000 * i)).alias(
+            f"_b{i}"
+        )
+        for i in range(bands)
+    ]
+    banded = (
+        df.select(F.col(id_col).alias("_id"), *sig_cols)
+        .select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band"), F.col(f"_b{i}").alias("bucket"))
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("_bb"),
+        )
+        .select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    )
+    capped = (
+        banded.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("band", "bucket").orderBy(F.xxhash64("_id"), F.col("_id"))
+            ),
+        )
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    x = capped.alias("x")
+    y = capped.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") != F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("_ida"), F.col("y._id").alias("_idb"))
+        .dropDuplicates()
+    )
+    va = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        cand.join(va, "_ida")
+        .join(vb, "_idb")
+        .select(
+            F.col("_ida").alias(id_col),
+            F.col("_idb").alias("neighbor"),
+            F.round(cosine(as_double(F.col("_va")), as_double(F.col("_vb"))), 6).alias("sim"),
+        )
+    )
     w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("neighbor"))
     return (
         pairs.withColumn("_rn", F.row_number().over(w))

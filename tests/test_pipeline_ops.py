@@ -97,6 +97,70 @@ def test_knn_lsh_recall(spark):
     assert 0 in neigh
 
 
+def _brute_allpairs_topk(df, k):
+    """Exact all-pairs cosine top-k (ground truth for recall measurement)."""
+    from pyspark.sql import Window as W
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        similarity.cosine(
+            similarity.as_double(F.col("_va")), similarity.as_double(F.col("_vb"))
+        ).alias("sim"),
+    )
+    w = W.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+
+
+def test_knn_lsh_measured_recall(spark):
+    """Quantified recall@k vs exact brute force — the approximation is
+    measured, not just row-counted."""
+    import random
+
+    rng = random.Random(11)
+    dim, k = 16, 3
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.15) for c in centers[i % 8]]) for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {}
+    for r in _brute_allpairs_topk(df, k).collect():
+        truth.setdefault(r["id_a"], set()).add(r["id_b"])
+    approx = {}
+    out = similarity.knn_join_lsh(df, k=k, planes=6, dim=dim, bands=6)
+    for r in out.collect():
+        approx.setdefault(r["vec_id"], set()).add(r["neighbor"])
+    recalls = [
+        len(truth[i] & approx.get(i, set())) / len(truth[i]) for i in truth
+    ]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.8, f"recall@{k} = {recall:.3f}"
+
+
+def test_knn_lsh_hot_bucket_cap(spark):
+    """A degenerate corpus (hundreds of identical embeddings -> one dense
+    bucket) must stay bounded: per-bucket work is capped, output is still
+    top-k per id, and ids beyond the cap still get neighbors from other
+    bands rather than exploding the join."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]) for i in range(300)]
+    rows += [(1000 + i, [0.0, 1.0, float(i % 3), 0.0, 0.0, 1.0, 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_join_lsh(
+        df, k=2, planes=4, dim=8, bands=2, max_bucket=50
+    ).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r["vec_id"], []).append(r)
+    assert all(len(v) <= 2 for v in per_id.values())
+    # capped ids (the identical-vector crowd) still found same-crowd
+    # neighbors at sim 1.0 through whichever band admitted them
+    crowd = [r for r in out if r["vec_id"] < 300]
+    assert crowd and all(r["sim"] == 1.0 for r in crowd)
+
+
 def test_ivf(spark):
     import random
 
