@@ -39,7 +39,13 @@ def _graph(spark: SparkSession, sf_dir: str):
     if key not in _GRAPH_CACHE:
         from cypher_for_apache_spark_spark.sources.tpch import load_tpch_graph
 
-        g = load_tpch_graph(spark, sf_dir)
+        g = load_tpch_graph(
+            spark,
+            sf_dir,
+            # hot traversal patterns served by recognized-pattern (triplet)
+            # scans: MATCH over these types is one scan, zero joins
+            with_triplets=("IN_NATION", "IN_REGION", "PLACED", "LINE"),
+        )
         g._session = _session(spark)
         _GRAPH_CACHE[key] = g
     return _GRAPH_CACHE[key]

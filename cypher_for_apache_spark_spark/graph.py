@@ -130,6 +130,91 @@ class RelationshipTable:
         return True
 
 
+@dataclass
+class TripletTable:
+    """A pre-joined (source node, relationship, target node) table — the
+    recognized-pattern scan of the reference (TripletPattern,
+    okapi-api/.../graph/Pattern.scala:182; matched by optimizer rule
+    replaceScansWithRecognizedPatterns, LogicalOptimizer.scala:67-114).
+
+    Physical layout: ``src_id, rel_id, dst_id`` plus property columns
+    prefixed ``src_`` / ``rel_`` / ``dst_``. The planner serves a whole
+    ``MATCH (a)-[r]->(b)`` pattern element from one scan of this table —
+    zero joins — whenever every relationship table the pattern could touch
+    has a registered triplet. At 100 TB this converts the hottest traversal
+    (2 shuffle joins over node+edge tables) into a partition-pruned
+    columnar scan.
+
+    ``src_labels`` / ``dst_labels`` are the *exact* label combinations of
+    the endpoint nodes (like a RelationshipTable's endpoint hints, but
+    mandatory — they decide which label-constrained patterns the triplet
+    can serve and which constant labels columns the scan emits).
+    """
+
+    rel_type: str
+    src_labels: FrozenSet[str]
+    dst_labels: FrozenSet[str]
+    df: DataFrame
+
+    SRC_ID, REL_ID, DST_ID = "src_id", "rel_id", "dst_id"
+    PFX = {"src": "src_", "rel": "rel_", "dst": "dst_"}
+
+    @staticmethod
+    def create(
+        rel_type: str,
+        df: DataFrame,
+        src_labels: Iterable[str],
+        dst_labels: Iterable[str],
+    ) -> "TripletTable":
+        missing = {TripletTable.SRC_ID, TripletTable.REL_ID, TripletTable.DST_ID} - set(
+            df.columns
+        )
+        if missing:
+            raise ValueError(f"triplet table is missing id columns {sorted(missing)}")
+        return TripletTable(
+            rel_type, frozenset(src_labels), frozenset(dst_labels), _lift(df)
+        )
+
+    def props(self, side: str) -> Dict[str, str]:
+        """{property key -> physical column} for one side (src/rel/dst)."""
+        pfx = self.PFX[side]
+        ids = {self.SRC_ID, self.REL_ID, self.DST_ID}
+        return {
+            c[len(pfx):]: c for c in self.df.columns if c.startswith(pfx) and c not in ids
+        }
+
+
+def build_triplet_frame(
+    graph: "PropertyGraph", rel_table: "RelationshipTable"
+) -> Optional[DataFrame]:
+    """Materialize the pre-joined triplet frame for one relationship table
+    from its endpoint node tables (both hints must be set). The caller
+    persists/writes the result and registers it via
+    ``PropertyGraph.add_triplet_table`` — at scale this is a one-off
+    materialized view, amortized across every traversal that hits it."""
+    if rel_table.src_labels is None or rel_table.dst_labels is None:
+        return None
+    src_nt = graph.node_tables.get(rel_table.src_labels)
+    dst_nt = graph.node_tables.get(rel_table.dst_labels)
+    if src_nt is None or dst_nt is None:
+        return None
+    r = rel_table.df.select(
+        F.col(SRC).alias(TripletTable.SRC_ID),
+        F.col(ID).alias(TripletTable.REL_ID),
+        F.col(DST).alias(TripletTable.DST_ID),
+        *[F.col(p).alias(f"rel_{p}") for p in rel_table.property_columns],
+    )
+    s = src_nt.df.select(
+        F.col(ID).alias(TripletTable.SRC_ID),
+        *[F.col(p).alias(f"src_{p}") for p in src_nt.property_columns],
+    )
+    d = dst_nt.df.select(
+        F.col(ID).alias(TripletTable.DST_ID),
+        *[F.col(p).alias(f"dst_{p}") for p in dst_nt.property_columns],
+    )
+    return r.join(s, TripletTable.SRC_ID).join(d, TripletTable.DST_ID)
+
+
 def _common_prop_types(
     dfs_and_cols: List[Tuple[DataFrame, List[str]]]
 ) -> Dict[str, T.DataType]:
@@ -184,8 +269,37 @@ class PropertyGraph:
             self.node_tables[nt.labels] = nt
         for rt in rel_tables:
             self.rel_tables.setdefault(rt.rel_type, []).append(rt)
+        # recognized-pattern (pre-joined) tables keyed by
+        # (rel_type, src label combo, dst label combo)
+        self.triplet_tables: Dict[Tuple[str, FrozenSet[str], FrozenSet[str]], TripletTable] = {}
         self._schema: Optional[PropertyGraphSchema] = None
         self._session = None  # set by CypherSession.read_from / catalog
+
+    def add_triplet_table(self, tt: TripletTable) -> "PropertyGraph":
+        """Register a pre-joined triplet for recognized-pattern scans.
+
+        Validates (fail-fast, plan-time guarantees depend on it) that the
+        triplet carries every property column of the node tables for its
+        endpoint combos and of the relationship tables it covers — a
+        triplet missing a property would silently null out values the join
+        path produces."""
+        for side, combo in (("src", tt.src_labels), ("dst", tt.dst_labels)):
+            nt = self.node_tables.get(combo)
+            if nt is not None:
+                missing = set(nt.property_columns) - set(tt.props(side))
+                if missing:
+                    raise ValueError(
+                        f"triplet for {tt.rel_type} lacks {side} node properties {sorted(missing)}"
+                    )
+        for rt in self.rel_tables.get(tt.rel_type, []):
+            if rt.src_labels == tt.src_labels and rt.dst_labels == tt.dst_labels:
+                missing = set(rt.property_columns) - set(tt.props("rel"))
+                if missing:
+                    raise ValueError(
+                        f"triplet for {tt.rel_type} lacks relationship properties {sorted(missing)}"
+                    )
+        self.triplet_tables[(tt.rel_type, tt.src_labels, tt.dst_labels)] = tt
+        return self
 
     # -- schema ------------------------------------------------------------
     @property
@@ -283,6 +397,141 @@ class PropertyGraph:
                 F.lit(t.rel_type).alias(out_type),
             ]
             parts.append(_aligned_select(t.frame(prefer_layout), fixed, prop_types, prop_prefix))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def scan_triplets(
+        self,
+        rel_types: Iterable[str],
+        left_labels: Iterable[str],
+        right_labels: Iterable[str],
+        direction: str,
+        left_id: str,
+        left_labels_col: str,
+        left_prefix: str,
+        rel_id: str,
+        rel_src: str,
+        rel_dst: str,
+        rel_type_col: str,
+        rel_prefix: str,
+        right_id: str,
+        right_labels_col: str,
+        right_prefix: str,
+    ) -> Optional[DataFrame]:
+        """Serve a whole ``(left)-[rel]->(right)`` pattern element from
+        registered triplet tables with ZERO joins, or return None when the
+        triplets cannot cover exactly what the join path would produce.
+
+        Coverage rule: for each orientation the pattern allows, every
+        relationship table compatible with the label constraints must have
+        endpoint hints and a registered triplet — otherwise the join path
+        runs (correctness first, the optimization must never change
+        results). Output columns mirror the join path: the full property
+        set a node/rel scan would advertise, null-padded per branch, plus
+        constant labels/type columns."""
+        if not self.triplet_tables:
+            return None
+        want = set(rel_types)
+        typed_tables = [
+            rt
+            for t, rts in self.rel_tables.items()
+            if not want or t in want
+            for rt in rts
+        ]
+        if direction == "out":
+            orientations = [("out", set(left_labels), set(right_labels))]
+        elif direction == "in":
+            orientations = [("in", set(right_labels), set(left_labels))]
+        else:
+            orientations = [
+                ("out", set(left_labels), set(right_labels)),
+                ("in", set(right_labels), set(left_labels)),
+            ]
+        plan: List[Tuple[str, RelationshipTable, TripletTable]] = []
+        compatible_union: List[RelationshipTable] = []
+        for orient, src_req, dst_req in orientations:
+            for rt in typed_tables:
+                if not rt.compatible(src_req, dst_req):
+                    continue
+                compatible_union.append(rt)
+                if rt.src_labels is None or rt.dst_labels is None:
+                    return None  # unhinted table: triplet cannot cover it
+                tt = self.triplet_tables.get((rt.rel_type, rt.src_labels, rt.dst_labels))
+                if tt is None:
+                    return None
+                plan.append((orient, rt, tt))
+        if not plan:
+            return None
+
+        left_types = _common_prop_types(
+            [(t.df, t.property_columns) for t in self.matching_node_tables(left_labels)]
+        )
+        right_types = _common_prop_types(
+            [(t.df, t.property_columns) for t in self.matching_node_tables(right_labels)]
+        )
+        rel_types_map = _common_prop_types(
+            [(t.df, t.property_columns) for t in compatible_union]
+        )
+
+        def labels_lit(combo: FrozenSet[str]):
+            lbls = sorted(combo)
+            return (
+                F.array(*[F.lit(l) for l in lbls])
+                if lbls
+                else F.array().cast("array<string>")
+            )
+
+        def prop_selects(avail: Dict[str, str], types: Dict[str, T.DataType], prefix: str, df: DataFrame):
+            cols = []
+            dtypes = {f.name: f.dataType for f in df.schema.fields}
+            for p, dt in types.items():
+                phys = avail.get(p)
+                if phys is None:
+                    cols.append(F.lit(None).cast(dt).alias(prefix + p))
+                elif dtypes[phys] != dt:
+                    cols.append(F.col(phys).cast(dt).alias(prefix + p))
+                else:
+                    cols.append(F.col(phys).alias(prefix + p))
+            return cols
+
+        parts = []
+        for orient, rt, tt in plan:
+            # skip branches whose endpoint node tables don't exist — the
+            # join path would produce zero rows for them too
+            if tt.src_labels not in self.node_tables or tt.dst_labels not in self.node_tables:
+                continue
+            left_side, right_side = ("src", "dst") if orient == "out" else ("dst", "src")
+            left_combo = tt.src_labels if orient == "out" else tt.dst_labels
+            right_combo = tt.dst_labels if orient == "out" else tt.src_labels
+            phys_id = {"src": TripletTable.SRC_ID, "dst": TripletTable.DST_ID}
+            fixed = [
+                F.col(phys_id[left_side]).alias(left_id),
+                labels_lit(left_combo).alias(left_labels_col),
+                F.col(TripletTable.REL_ID).alias(rel_id),
+                F.col(TripletTable.SRC_ID).alias(rel_src),
+                F.col(TripletTable.DST_ID).alias(rel_dst),
+                F.lit(tt.rel_type).alias(rel_type_col),
+                F.col(phys_id[right_side]).alias(right_id),
+                labels_lit(right_combo).alias(right_labels_col),
+            ]
+            cols = (
+                fixed
+                + prop_selects(tt.props(left_side), left_types, left_prefix, tt.df)
+                + prop_selects(tt.props("rel"), rel_types_map, rel_prefix, tt.df)
+                + prop_selects(tt.props(right_side), right_types, right_prefix, tt.df)
+            )
+            branch = tt.df
+            if direction == "both" and orient == "in":
+                # undirected union counts self-loops once (expand does the
+                # same on its reversed branch)
+                branch = branch.filter(
+                    F.col(TripletTable.SRC_ID) != F.col(TripletTable.DST_ID)
+                )
+            parts.append(branch.select(*cols))
+        if not parts:
+            return None
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -267,10 +267,100 @@ class Planner:
             raise CypherPlanningError("path values (p = ...) are not supported")
         nodes = part.nodes
         rels = part.rels
-        rec, prev_var = self.ensure_node(rec, nodes[0])
-        for i, rel in enumerate(rels):
-            rec, prev_var = self.expand(rec, prev_var, rel, nodes[i + 1], rel_ids)
+        start = 0
+        trip = self.try_triplet_scan(rec, nodes, rels, rel_ids) if rels else None
+        if trip is not None:
+            rec, prev_var = trip
+            start = 1
+        else:
+            rec, prev_var = self.ensure_node(rec, nodes[0])
+        for i in range(start, len(rels)):
+            rec, prev_var = self.expand(rec, prev_var, rels[i], nodes[i + 1], rel_ids)
         return rec
+
+    def try_triplet_scan(
+        self, rec: Record, nodes, rels, rel_ids
+    ) -> Optional[Tuple[Record, str]]:
+        """Recognized-pattern scan: serve the pattern's first
+        ``(a)-[r]->(b)`` element from a registered pre-joined triplet table
+        with zero joins (reference: TripletPattern, Pattern.scala:182 +
+        replaceScansWithRecognizedPatterns, LogicalOptimizer.scala:67-114).
+        Returns None — and the ordinary scan+join path runs — unless the
+        triplets provably cover every relationship table the element could
+        touch and all three variables are fresh."""
+        g = self.graph
+        if g is None or not getattr(g, "triplet_tables", None):
+            return None
+        npat0, rel, npat1 = nodes[0], rels[0], nodes[1]
+        if rel.var_length is not None:
+            return None
+        named = [v for v in (npat0.var, rel.var, npat1.var) if v is not None]
+        if len(set(named)) != len(named):  # (a)-[r]->(a) needs the join path
+            return None
+        if any(v in rec.header for v in named):
+            return None
+        a_var = npat0.var or self._anon()
+        r_var = rel.var or self._anon()
+        b_var = npat1.var or self._anon()
+        ua, ur, ub = self._u(a_var), self._u(r_var), self._u(b_var)
+        df = g.scan_triplets(
+            rel.types,
+            npat0.labels,
+            npat1.labels,
+            rel.direction,
+            left_id=f"{ua}#id",
+            left_labels_col=f"{ua}#labels",
+            left_prefix=f"{ua}#p#",
+            rel_id=f"{ur}#id",
+            rel_src=f"{ur}#src",
+            rel_dst=f"{ur}#dst",
+            rel_type_col=f"{ur}#type",
+            rel_prefix=f"{ur}#p#",
+            right_id=f"{ub}#id",
+            right_labels_col=f"{ub}#labels",
+            right_prefix=f"{ub}#p#",
+        )
+        if df is None:
+            return None
+
+        def node_meta(u: str, npat) -> EntityMeta:
+            prefix = f"{u}#p#"
+            return EntityMeta(
+                kind="node",
+                id_col=f"{u}#id",
+                labels_col=f"{u}#labels",
+                prop_cols={c[len(prefix):]: c for c in df.columns if c.startswith(prefix)},
+                labels=frozenset(npat.labels),
+                combos=frozenset(t.labels for t in g.matching_node_tables(npat.labels)),
+            )
+
+        rprefix = f"{ur}#p#"
+        ameta = node_meta(ua, npat0)
+        bmeta = node_meta(ub, npat1)
+        rmeta = EntityMeta(
+            kind="rel",
+            id_col=f"{ur}#id",
+            src_col=f"{ur}#src",
+            dst_col=f"{ur}#dst",
+            type_col=f"{ur}#type",
+            prop_cols={c[len(rprefix):]: c for c in df.columns if c.startswith(rprefix)},
+            types=frozenset(rel.types) if rel.types else frozenset(g.rel_tables),
+        )
+        # inline property filters: self-contained ones right on the scan
+        # (pushdown), variable-referencing ones after the header is merged
+        complex_items = []
+        for meta, pat in ((ameta, npat0), (rmeta, rel), (bmeta, npat1)):
+            simple, complex_ = self._split_props(pat.props)
+            df = self._filter_prop_items(df, meta, simple, {})
+            complex_items.append((meta, complex_))
+        header = dict(rec.header)
+        header[a_var], header[r_var], header[b_var] = ameta, rmeta, bmeta
+        out_df = df if rec.df is None else rec.df.crossJoin(df)
+        for meta, items in complex_items:
+            if items:
+                out_df = self._filter_prop_items(out_df, meta, items, header)
+        rel_ids.append((rmeta.id_col, rmeta.types, False))
+        return Record(out_df, header), b_var
 
     # -- node scan / binding -------------------------------------------------
     def scan_node_record(self, var: str, labels: Sequence[str]) -> Tuple[DataFrame, EntityMeta]:
