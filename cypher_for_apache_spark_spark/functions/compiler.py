@@ -585,13 +585,24 @@ def _fn_substring(e, ctx):
 
 
 def _fn_round(e, ctx):
+    # Spark's Round expression is HALF_UP for every input type (doubles
+    # included), which matches Cypher's ties-away-from-zero
     args = _args(e, ctx)
     if len(args) == 1:
-        # Cypher rounds half away from zero on doubles; Spark round() is
-        # HALF_UP on decimals but HALF_EVEN on doubles in some versions —
-        # route through decimal for deterministic HALF_UP.
         return F.round(args[0])
     return F.round(args[0], e.args[1].value if isinstance(e.args[1], A.Lit) else 0)
+
+
+def _fn_toboolean(e, ctx):
+    c = compile_expr(e.args[0], ctx)
+    dt = _dtype(ctx, c)
+    if _is(dt, T.StringType):
+        # Cypher: only 'true'/'false' (case-insensitive) convert, anything
+        # else is null — Spark's string->boolean cast also accepts
+        # y/n/yes/no/0/1, and errors on junk under ANSI
+        low = F.lower(F.trim(c))
+        return F.when(low == "true", F.lit(True)).when(low == "false", F.lit(False))
+    return c.cast("boolean")
 
 
 def _fn_tointeger(e, ctx):
@@ -618,7 +629,7 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "tointeger": _fn_tointeger,
     "tofloat": lambda e, ctx: compile_expr(e.args[0], ctx).cast("double"),
     "tostring": lambda e, ctx: compile_expr(e.args[0], ctx).cast("string"),
-    "toboolean": lambda e, ctx: compile_expr(e.args[0], ctx).cast("boolean"),
+    "toboolean": _fn_toboolean,
     "trim": lambda e, ctx: F.trim(compile_expr(e.args[0], ctx)),
     "ltrim": lambda e, ctx: F.ltrim(compile_expr(e.args[0], ctx)),
     "rtrim": lambda e, ctx: F.rtrim(compile_expr(e.args[0], ctx)),

@@ -156,6 +156,11 @@ def test_math_functions(g):
     assert one(g, "toInteger('42')") == 42
     assert one(g, "toFloat('1.5')") == 1.5
     assert one(g, "toBoolean('true')") is True
+    assert one(g, "toBoolean('FALSE')") is False
+    # Cypher: non-boolean strings convert to null (Spark's cast would
+    # accept 'yes'/'y'/'1')
+    assert one(g, "toBoolean('yes')") is None
+    assert one(g, "toBoolean('1')") is None
 
 
 def test_trig_functions(g):

@@ -1,0 +1,68 @@
+"""Blacklist discipline (reference: TckSparkCypherTest.scala:70-82 asserts
+blacklisted scenarios *fail*, so a silent behavior change gets noticed).
+
+Every feature the reference excludes (cypher-cypher9-features.adoc:57-76,
+morpheus-tck failing_blacklist:3-7) must raise a *clean, typed* error here
+— not a Py4J stack trace, and never silently wrong results. If one of
+these starts passing, this file is the tripwire that forces an explicit
+decision (support it for real, or keep parity)."""
+
+import pytest
+
+from cypher_for_apache_spark_spark.functions.compiler import CypherCompileError
+from cypher_for_apache_spark_spark.parser import CypherSyntaxError
+from cypher_for_apache_spark_spark.plans.planner import CypherPlanningError
+
+CLEAN_ERRORS = (CypherSyntaxError, CypherCompileError, CypherPlanningError)
+
+
+@pytest.fixture(scope="module")
+def g(session, spark):
+    nodes = {
+        "Person": spark.createDataFrame(
+            [(0, "Ada"), (1, "Bo")], "id long, name string"
+        )
+    }
+    rels = {
+        "KNOWS": spark.createDataFrame([(10, 0, 1)], "id long, src long, dst long")
+    }
+    return session.read_from(nodes, rels)
+
+
+BLACKLISTED = [
+    # unbounded var-length (failing_blacklist:3-4)
+    "MATCH (a)-[*]->(b) RETURN a.name",
+    "MATCH (a)-[*1..]->(b) RETURN a.name",
+    # path values (not supported by the reference)
+    "MATCH p = (a)-[:KNOWS]->(b) RETURN p",
+    # shortestPath / allShortestPaths
+    "MATCH shortestPath((a)-[*1..3]->(b)) RETURN a",
+    "MATCH allShortestPaths((a)-[*1..3]->(b)) RETURN a",
+    # update clauses (graph construction is CONSTRUCT-only)
+    "CREATE (n:Person {name: 'X'}) RETURN n",
+    "MATCH (a) SET a.name = 'Y' RETURN a",
+    "MATCH (a) DELETE a",
+    "MERGE (n:Person {name: 'Z'}) RETURN n",
+    "MATCH (a) REMOVE a.name RETURN a",
+    # CALL ... YIELD procedures
+    "CALL db.labels() YIELD label RETURN label",
+    # pattern comprehensions
+    "MATCH (a) RETURN [(a)-->(b) | b.name] AS names",
+]
+
+
+@pytest.mark.parametrize("query", BLACKLISTED)
+def test_blacklisted_feature_fails_cleanly(g, query):
+    with pytest.raises(CLEAN_ERRORS):
+        g.cypher(query)
+
+
+def test_supported_neighbors_still_pass(g):
+    """The gate must not overfire: the nearest supported variants work."""
+    assert g.cypher("MATCH (a)-[*1..2]->(b) RETURN count(*) AS c").df.collect()[0][
+        "c"
+    ] == 1
+    assert (
+        g.cypher("MATCH (a)-[:KNOWS]->(b) RETURN b.name AS n").df.collect()[0]["n"]
+        == "Bo"
+    )
