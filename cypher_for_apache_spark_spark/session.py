@@ -97,6 +97,33 @@ class CypherSession:
         g._session = self
         return g
 
+    def create_graphs_from_ddl(
+        self,
+        ddl: str,
+        tables=None,
+        register: bool = True,
+    ) -> Dict[str, PropertyGraph]:
+        """Run Graph DDL text (CREATE GRAPH [TYPE] ... / SET SCHEMA ...) and
+        return {graph name -> PropertyGraph} (reference: graph-ddl module +
+        SQL PGDS, backend-sql-graphddl.adoc). ``tables`` is a {name ->
+        DataFrame} dict or None to resolve views through this session's
+        Spark catalog; with ``register`` each graph lands in the session
+        catalog for FROM GRAPH queries."""
+        from cypher_for_apache_spark_spark.sources.graph_ddl import (
+            build_graph,
+            parse_ddl,
+        )
+
+        doc = parse_ddl(ddl)
+        out: Dict[str, PropertyGraph] = {}
+        for name in doc.graphs:
+            g = build_graph(doc, name, tables if tables is not None else self.spark)
+            g._session = self
+            if register:
+                self.catalog[name] = g
+            out[name] = g
+        return out
+
     def store_graph(self, name: str, graph: PropertyGraph) -> None:
         graph._session = self
         self.catalog[name] = graph
