@@ -79,7 +79,8 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     links = e.join(out_deg, "src").persist()
 
-    sinks = v.join(out_deg, v.id == out_deg.src, "left_anti").select("id")
+    # referenced every iteration for the dangling-mass term
+    sinks = v.join(out_deg, v.id == out_deg.src, "left_anti").select("id").persist()
 
     ranks = v.select("id", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
@@ -113,6 +114,7 @@ def pagerank(
     links.unpersist()
     v.unpersist()
     e.unpersist()
+    sinks.unpersist()
     return ranks
 
 

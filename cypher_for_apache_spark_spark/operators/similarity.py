@@ -15,6 +15,7 @@ import math
 import random
 from typing import List, Optional, Sequence
 
+import pandas as pd  # type-hint resolution for the Arrow-batched UDF
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -68,6 +69,42 @@ def random_hyperplanes(dim: int, planes: int, seed: int = 42) -> List[List[float
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
 
+def lsh_buckets_batch(all_planes: List[List[List[float]]]):
+    """Arrow-batched signature computation: ONE numpy matmul per batch
+    computes every (band, plane) projection at once.
+
+    The JVM-expression alternative (``lsh_bucket`` per band) builds
+    bands*planes ArrayAggregate lambdas whose whole-stage codegen takes
+    seconds to compile on first run and walks each array per plane; a
+    (batch x dim) @ (dim x bands*planes) matmul is both compile-free and
+    the textbook dense-linear-algebra path. Returns a UDF producing
+    array<long> of one packed sign-bit bucket per band."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    per_band = [np.asarray(p, dtype=np.float64) for p in all_planes]
+    planes_t = np.concatenate(per_band, axis=0).T  # (dim, bands*planes)
+    sizes = [p.shape[0] for p in per_band]
+    weights = []
+    offset = 0
+    for n in sizes:
+        weights.append((offset, n))
+        offset += n
+
+    @pandas_udf("array<long>")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        proj = m @ planes_t >= 0  # (batch, total planes) sign bits
+        out = []
+        buckets = np.zeros((proj.shape[0], len(sizes)), dtype=np.int64)
+        for b, (off, n) in enumerate(weights):
+            bits = proj[:, off : off + n]
+            buckets[:, b] = bits @ (1 << np.arange(n, dtype=np.int64))
+        return pd.Series(list(buckets))
+
+    return _sig
+
+
 def lsh_bucket(vec_col: Column, hyperplanes: List[List[float]]) -> Column:
     """Sign-of-projection bit signature packed into a long."""
     out = F.lit(0)
@@ -110,26 +147,19 @@ def knn_join_lsh(
     embeddings), so parameter changes are quantified, not guessed."""
     from pyspark.sql import Window as W
 
-    sig_cols = [
-        lsh_bucket(F.col(vec_col), random_hyperplanes(dim, planes, seed + 1000 * i)).alias(
-            f"_b{i}"
+    all_planes = [random_hyperplanes(dim, planes, seed + 1000 * i) for i in range(bands)]
+    try:
+        sig = lsh_buckets_batch(all_planes)(F.col(vec_col))
+        with_sigs = df.select(F.col(id_col).alias("_id"), sig.alias("_sigs"))
+    except ImportError:  # no pandas/pyarrow: JVM-expression fallback
+        with_sigs = df.select(
+            F.col(id_col).alias("_id"),
+            F.array(
+                *[lsh_bucket(F.col(vec_col), hp) for hp in all_planes]
+            ).alias("_sigs"),
         )
-        for i in range(bands)
-    ]
-    banded = (
-        df.select(F.col(id_col).alias("_id"), *sig_cols)
-        .select(
-            "_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(i).alias("band"), F.col(f"_b{i}").alias("bucket"))
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("_bb"),
-        )
-        .select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    banded = with_sigs.select(
+        "_id", F.posexplode("_sigs").alias("band", "bucket")
     )
     capped = (
         banded.withColumn(
@@ -153,15 +183,25 @@ def knn_join_lsh(
         .select(F.col("x._id").alias("_ida"), F.col("y._id").alias("_idb"))
         .dropDuplicates()
     )
-    va = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    # norms are per-vector, not per-pair: compute them once in the joined
+    # sides so the pair re-rank runs ONE array pass (dot) instead of three
+    va = df.select(
+        F.col(id_col).alias("_ida"),
+        as_double(F.col(vec_col)).alias("_va"),
+    ).withColumn("_na", norm(F.col("_va")))
+    vb = df.select(
+        F.col(id_col).alias("_idb"),
+        as_double(F.col(vec_col)).alias("_vb"),
+    ).withColumn("_nb", norm(F.col("_vb")))
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom != 0, dot(F.col("_va"), F.col("_vb")) / denom)
     pairs = (
         cand.join(va, "_ida")
         .join(vb, "_idb")
         .select(
             F.col("_ida").alias(id_col),
             F.col("_idb").alias("neighbor"),
-            F.round(cosine(as_double(F.col("_va")), as_double(F.col("_vb"))), 6).alias("sim"),
+            F.round(sim, 6).alias("sim"),
         )
     )
     w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("neighbor"))

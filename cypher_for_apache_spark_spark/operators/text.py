@@ -73,6 +73,11 @@ def lang_id(col: Column) -> Column:
     for lang in ("en", "de", "fr", "es"):
         out = out.when(scores[lang] == g, F.lit(lang))
     return out
+    # note: staging the scores as intermediate projected columns does NOT
+    # reduce the first-run codegen cost — CollapseProject folds the
+    # projections back into one expression, and codegen subexpression
+    # elimination already dedupes the repeated score subtrees (measured:
+    # 4.9s vs 4.7s cold, identical warm)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -129,10 +129,12 @@ def load_tpch_graph(
 
     # NEXT: consecutive orders of the same customer by order date.
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    # lead() avoids the self-join; one window shuffle total. The result is
-    # persisted because it is a *derived* table every later query would
-    # otherwise recompute (at 100 TB this would be written back to parquet
-    # once instead — see reference caching guidance,
+    # lead() avoids the self-join; one window shuffle total. NEXT and
+    # SUPPLIES are *derived* tables every later query would otherwise
+    # recompute, so they are materialized once at load via localCheckpoint
+    # (unlike persist(), a cache-registry clear can't silently drop them
+    # mid-session; at 100 TB this is a one-off write back to parquet — see
+    # reference caching guidance,
     # documentation/asciidoc/caching-and-performance.adoc).
     nxt = (
         orders.select(
@@ -145,7 +147,7 @@ def load_tpch_graph(
             (F.col("o_orderkey") + F.lit(ORDER)).alias("src"),
             (F.col("next_orderkey") + F.lit(ORDER)).alias("dst"),
         )
-        .persist()
+        .localCheckpoint()
     )
 
     supplies = (
@@ -156,6 +158,7 @@ def load_tpch_graph(
             (F.col("l_suppkey") + F.lit(SUPPLIER)).alias("src"),
             (F.col("l_partkey") + F.lit(PART)).alias("dst"),
         )
+        .localCheckpoint()
     )
 
     rels = [
