@@ -87,6 +87,29 @@ class BucketedGraphSource:
                 )
                 entry["reverse_table"] = rev
             meta["relationships"].append(entry)
+        # recognized-pattern (triplet) tables ride along: bucketed by the
+        # source node id so a triplet scan joined onward against bucketed
+        # node tables still avoids an exchange on the triplet side
+        meta["triplets"] = []
+        for (rel_type, src_combo, dst_combo), tt in graph.triplet_tables.items():
+            part = _safe(
+                "_".join(sorted(src_combo)) + "__" + _safe(rel_type) + "__" + "_".join(sorted(dst_combo))
+            )
+            table = self._t(name, "triplets", part)
+            (
+                tt.df.write.mode(mode)
+                .bucketBy(buckets, "src_id")
+                .sortBy("src_id")
+                .saveAsTable(table)
+            )
+            meta["triplets"].append(
+                {
+                    "table": table,
+                    "type": rel_type,
+                    "src_labels": sorted(src_combo),
+                    "dst_labels": sorted(dst_combo),
+                }
+            )
         self.spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
             "overwrite"
         ).saveAsTable(self._meta_table(name))
@@ -119,7 +142,19 @@ class BucketedGraphSource:
             if layout == "auto" and rev:
                 rt.df_by_dst = self.spark.table(rev)
             rels.append(rt)
-        return PropertyGraph(nodes, rels, name=name)
+        g = PropertyGraph(nodes, rels, name=name)
+        from cypher_for_apache_spark_spark.graph import TripletTable
+
+        for t in meta.get("triplets", []):
+            g.add_triplet_table(
+                TripletTable.create(
+                    t["type"],
+                    self.spark.table(t["table"]),
+                    t["src_labels"],
+                    t["dst_labels"],
+                )
+            )
+        return g
 
     def delete(self, name: str) -> None:
         for row in self.spark.sql(f"SHOW TABLES IN {self.database}").collect():

@@ -69,3 +69,50 @@ def test_auto_layout_picks_reverse_copy(bucketed, session):
     assert "__by_dst" in plan
     got = sorted((m["a"], m["b"]) for m in [r.asDict() for r in df.collect()])
     assert got == [("Martin", "Mats"), ("Max", "Martin")]
+
+
+def test_triplet_roundtrip(session, spark):
+    """Triplets stored with the graph come back as zero-join pattern scans."""
+    from cypher_for_apache_spark_spark.graph import (
+        NodeTable,
+        PropertyGraph,
+        RelationshipTable,
+        TripletTable,
+        build_triplet_frame,
+    )
+
+    people = spark.createDataFrame(
+        [(0, "Ada"), (1, "Bo")], "id long, name string"
+    )
+    knows = spark.createDataFrame([(10, 0, 1)], "id long, src long, dst long")
+    g = PropertyGraph(
+        [NodeTable.create(["Person"], people)],
+        [
+            RelationshipTable.create(
+                "KNOWS", knows, src_labels=["Person"], dst_labels=["Person"]
+            )
+        ],
+    )
+    g.add_triplet_table(
+        TripletTable.create(
+            "KNOWS",
+            build_triplet_frame(g, g.all_rel_tables()[0]),
+            ["Person"],
+            ["Person"],
+        )
+    )
+    src = BucketedGraphSource(spark, database="test_graphs_tt")
+    try:
+        src.store("tg", g, buckets=2, mode="overwrite")
+        g2 = src.graph("tg")
+        g2._session = session
+        assert len(g2.triplet_tables) == 1
+        res = g2.cypher(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
+        )
+        assert [tuple(r) for r in res.df.collect()] == [("Ada", "Bo")]
+        plan = res.df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+    finally:
+        src.delete("tg")
+        spark.sql("DROP DATABASE IF EXISTS test_graphs_tt CASCADE")
