@@ -496,7 +496,45 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("rank").desc(), F.col("id")).limit(100)
 
 
+_DDL_TEXT = """
+CREATE GRAPH ddl_tpch (
+  Customer ( name STRING, acctbal FLOAT ),
+  Nation   ( name STRING ),
+  IN_NATION,
+  (Customer) FROM customer_v (c_name AS name, c_acctbal AS acctbal),
+  (Nation)   FROM nation_v (n_name AS name),
+  (Customer)-[IN_NATION]->(Nation) FROM customer_v rel
+    START NODES (Customer) FROM customer_v c JOIN ON c.c_custkey = rel.c_custkey
+    END NODES   (Nation)   FROM nation_v n  JOIN ON n.n_nationkey = rel.c_nationkey
+)
+"""
+
+
+def _q_ddl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Graph DDL: map raw TPC-H views to a graph via DDL text,
+    then traverse it (sources/graph_ddl.py)."""
+    from cypher_for_apache_spark_spark.sources.graph_ddl import build_graph
+
+    tables = {
+        "customer_v": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "nation_v": spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    }
+    g = build_graph(_DDL_TEXT, tables=tables)
+    g._session = _session(spark)
+    _harden(spark)
+    return g.cypher(
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation) WHERE c.acctbal > 0.0
+           RETURN n.name AS nation, count(*) AS customers"""
+    ).df
+
+
 _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
+    "ddl_graph_in_nation": (
+        _q_ddl_graph,
+        """SELECT n_name AS nation, count(*) AS customers
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_acctbal > 0 GROUP BY n_name""",
+    ),
     # NEXT chains: every order of one customer forms one path, so each
     # component's id is the minimum order id of that customer — exactly
     # expressible with a window (ORDER id stride = 5 * 2^40)
