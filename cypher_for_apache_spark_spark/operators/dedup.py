@@ -175,8 +175,10 @@ def minhash_dedup(
     (Keeping min-of-pair is the standard single-pass policy; full
     connected-components clustering is available via iterating
     ``duplicate_pairs`` externally.)"""
-    # signatures feed banding and both sides of the verification join
+    # signatures feed banding and both sides of the verification join;
+    # materialize before the branches fan out (see ngram_jaccard_pairs)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode).persist()
+    sigs.count()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -222,8 +224,13 @@ def ngram_jaccard_pairs(
     # both sides of the verification join) — persist it or Spark re-runs
     # the shingling subtree per branch (the reference's relational
     # optimizer exists for exactly this: InsertCachingOperators,
-    # RelationalOptimizer.scala:35-93)
+    # RelationalOptimizer.scala:35-93). The count() materializes the cache
+    # BEFORE the branches fan out: Spark schedules independent stages of
+    # one job concurrently, and concurrent stages racing an unmaterialized
+    # persist each recompute the subtree from scratch (measured 3-4x the
+    # shingling cost, 5s -> 20s swings at sf0.1)
     sh = sh.persist()
+    sh.count()
 
     from pyspark.sql import Window as W
 
@@ -258,14 +265,25 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # exact |A ∩ B| for candidates only
-    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = sh.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb"))
+    # exact |A ∩ B| for candidates only, via per-document shingle-hash
+    # arrays + array_intersect: two |cand|-row joins and a per-row hash-set
+    # intersection. The explode-join alternative (pairs x shingles rows,
+    # then a count per pair) shuffles |cand| * avg-set-size rows — on a
+    # repetitive corpus where the prefix filter admits many pairs, that
+    # intermediate dwarfs everything else in the query (measured 16s vs 4s
+    # at sf0.1).
+    doc_sets = sh.groupBy("_id").agg(F.collect_list("_sh").alias("_set")).persist()
+    doc_sets.count()  # materialize before both join branches fan out
     common = (
-        cand.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("_sha") == F.col("_shb")))
-        .groupBy("id_a", "id_b", "_sza", "_szb")
-        .agg(F.count("*").alias("_common"))
+        cand.join(
+            doc_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_seta")),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_setb")),
+            "id_b",
+        )
+        .withColumn("_common", F.size(F.array_intersect("_seta", "_setb")))
     )
     return (
         common.withColumn(
@@ -345,6 +363,10 @@ def simhash_pairs(
             )
         ).alias("_p"),
     ).select("_id", "_fp", F.col("_p.idx").alias("idx"), F.col("_p.piece").alias("piece"))
+    # both self-join sides would otherwise recompute the vote aggregation
+    # under fp_df concurrently (see ngram_jaccard_pairs)
+    pieces = pieces.persist()
+    pieces.count()
     a = pieces.alias("a")
     b = pieces.alias("b")
     cand = (

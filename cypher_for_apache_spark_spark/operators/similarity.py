@@ -171,6 +171,10 @@ def knn_join_lsh(
         .filter(F.col("_rn") <= max_bucket)
         .drop("_rn")
     )
+    # materialize before the self-join: concurrent stages racing an
+    # unmaterialized cache each run the signature UDF + window from scratch
+    capped = capped.persist()
+    capped.count()
     x = capped.alias("x")
     y = capped.alias("y")
     cand = (
