@@ -10,7 +10,7 @@ volume). All shuffles key on long node ids; AQE handles skewed hubs.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -166,8 +166,10 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
-    # original vertex -> current super-vertex (composed through every round)
-    total = incident.select("id", F.col("id").alias("component"))
+    # per-round contraction maps, composed once at the end — a per-round
+    # compose would cost a |V|-sized join + checkpoint every round, while
+    # the maps shrink geometrically and AQE broadcasts the late ones
+    round_maps: List[DataFrame] = []
     for _ in range(max_iterations):
         und = cur_e.unionByName(
             cur_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -198,15 +200,20 @@ def connected_components(
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates()
         )
-        # compose the round's contraction into the original-vertex map
-        jmp = lbl.select(F.col("id").alias("_lid"), F.col("comp").alias("_lcomp"))
-        total = _checkpoint(
-            total.join(jmp, total.component == jmp._lid, "left_outer").select(
-                "id", F.coalesce("_lcomp", "component").alias("component")
-            )
-        )
+        round_maps.append(lbl)
         if not cur_e.take(1):  # no edges left: fully contracted
             break
+    # compose original vertex -> final super-vertex through every round;
+    # round 1's map over the incident vertices IS the first composition
+    total = incident.select("id", F.col("id").alias("component"))
+    for i, lbl in enumerate(round_maps):
+        if i == 0:
+            total = lbl.select("id", F.col("comp").alias("component"))
+            continue
+        jmp = lbl.select(F.col("id").alias("_lid"), F.col("comp").alias("_lcomp"))
+        total = total.join(jmp, total.component == jmp._lid, "left_outer").select(
+            "id", F.coalesce("_lcomp", "component").alias("component")
+        )
     isolated = all_v.join(incident, "id", "left_anti").select(
         "id", F.col("id").alias("component")
     )
