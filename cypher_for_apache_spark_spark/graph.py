@@ -184,6 +184,70 @@ class TripletTable:
         }
 
 
+@dataclass
+class NodeRelTable:
+    """A pre-joined (source node, relationship) table — the reference's
+    NodeRelPattern (okapi-api/.../graph/Pattern.scala:159), the narrower
+    sibling of TripletTable: the target node is still joined at query time,
+    so one of the expand's two joins disappears while the materialized
+    table stays small (no target properties duplicated per edge).
+
+    Layout matches TripletTable minus the ``dst_`` property columns:
+    ``src_id, rel_id, dst_id`` + ``src_*`` / ``rel_*`` properties.
+    """
+
+    rel_type: str
+    src_labels: FrozenSet[str]
+    dst_labels: FrozenSet[str]
+    df: DataFrame
+
+    @staticmethod
+    def create(
+        rel_type: str,
+        df: DataFrame,
+        src_labels: Iterable[str],
+        dst_labels: Iterable[str],
+    ) -> "NodeRelTable":
+        missing = {TripletTable.SRC_ID, TripletTable.REL_ID, TripletTable.DST_ID} - set(
+            df.columns
+        )
+        if missing:
+            raise ValueError(f"node-rel table is missing id columns {sorted(missing)}")
+        return NodeRelTable(
+            rel_type, frozenset(src_labels), frozenset(dst_labels), _lift(df)
+        )
+
+    def props(self, side: str) -> Dict[str, str]:
+        pfx = TripletTable.PFX[side]
+        ids = {TripletTable.SRC_ID, TripletTable.REL_ID, TripletTable.DST_ID}
+        return {
+            c[len(pfx):]: c for c in self.df.columns if c.startswith(pfx) and c not in ids
+        }
+
+
+def build_node_rel_frame(
+    graph: "PropertyGraph", rel_table: "RelationshipTable"
+) -> Optional[DataFrame]:
+    """Materialize the (source node ⋈ relationship) frame for one
+    relationship table (source hint must be set)."""
+    if rel_table.src_labels is None:
+        return None
+    src_nt = graph.node_tables.get(rel_table.src_labels)
+    if src_nt is None:
+        return None
+    r = rel_table.df.select(
+        F.col(SRC).alias(TripletTable.SRC_ID),
+        F.col(ID).alias(TripletTable.REL_ID),
+        F.col(DST).alias(TripletTable.DST_ID),
+        *[F.col(p).alias(f"rel_{p}") for p in rel_table.property_columns],
+    )
+    s = src_nt.df.select(
+        F.col(ID).alias(TripletTable.SRC_ID),
+        *[F.col(p).alias(f"src_{p}") for p in src_nt.property_columns],
+    )
+    return r.join(s, TripletTable.SRC_ID)
+
+
 def build_triplet_frame(
     graph: "PropertyGraph", rel_table: "RelationshipTable"
 ) -> Optional[DataFrame]:
@@ -272,6 +336,7 @@ class PropertyGraph:
         # recognized-pattern (pre-joined) tables keyed by
         # (rel_type, src label combo, dst label combo)
         self.triplet_tables: Dict[Tuple[str, FrozenSet[str], FrozenSet[str]], TripletTable] = {}
+        self.node_rel_tables: Dict[Tuple[str, FrozenSet[str], FrozenSet[str]], NodeRelTable] = {}
         self._schema: Optional[PropertyGraphSchema] = None
         self._session = None  # set by CypherSession.read_from / catalog
 
@@ -299,6 +364,27 @@ class PropertyGraph:
                         f"triplet for {tt.rel_type} lacks relationship properties {sorted(missing)}"
                     )
         self.triplet_tables[(tt.rel_type, tt.src_labels, tt.dst_labels)] = tt
+        return self
+
+    def add_node_rel_table(self, nrt: NodeRelTable) -> "PropertyGraph":
+        """Register a pre-joined (source node, relationship) table; same
+        fail-fast property-completeness validation as triplets, for the
+        source and relationship sides only."""
+        nt = self.node_tables.get(nrt.src_labels)
+        if nt is not None:
+            missing = set(nt.property_columns) - set(nrt.props("src"))
+            if missing:
+                raise ValueError(
+                    f"node-rel table for {nrt.rel_type} lacks src node properties {sorted(missing)}"
+                )
+        for rt in self.rel_tables.get(nrt.rel_type, []):
+            if rt.src_labels == nrt.src_labels and rt.dst_labels == nrt.dst_labels:
+                missing = set(rt.property_columns) - set(nrt.props("rel"))
+                if missing:
+                    raise ValueError(
+                        f"node-rel table for {nrt.rel_type} lacks relationship properties {sorted(missing)}"
+                    )
+        self.node_rel_tables[(nrt.rel_type, nrt.src_labels, nrt.dst_labels)] = nrt
         return self
 
     # -- schema ------------------------------------------------------------
@@ -530,6 +616,98 @@ class PropertyGraph:
                     F.col(TripletTable.SRC_ID) != F.col(TripletTable.DST_ID)
                 )
             parts.append(branch.select(*cols))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def scan_node_rels(
+        self,
+        rel_types: Iterable[str],
+        packed_labels: Iterable[str],
+        far_labels: Iterable[str],
+        orientation: str,
+        node_id: str,
+        node_labels_col: str,
+        node_prefix: str,
+        rel_id: str,
+        rel_src: str,
+        rel_dst: str,
+        rel_type_col: str,
+        rel_prefix: str,
+    ) -> Optional[DataFrame]:
+        """Serve the (source node + relationship) half of a pattern element
+        from registered NodeRelTables, or None when they don't cover every
+        compatible relationship table. ``orientation`` is the edge
+        direction relative to the packed node: always 'src' here — the
+        packed node of a NodeRelTable is the edge source; callers flip the
+        pattern when the packed node is the pattern's right side.
+        ``far_labels`` prune via endpoint hints only (the far node is
+        joined by the caller)."""
+        if not self.node_rel_tables:
+            return None
+        want = set(rel_types)
+        plan = []
+        for t, rts in self.rel_tables.items():
+            if want and t not in want:
+                continue
+            for rt in rts:
+                if not rt.compatible(set(packed_labels), set(far_labels)):
+                    continue
+                if rt.src_labels is None or rt.dst_labels is None:
+                    return None
+                nrt = self.node_rel_tables.get((rt.rel_type, rt.src_labels, rt.dst_labels))
+                if nrt is None:
+                    return None
+                plan.append((rt, nrt))
+        if not plan:
+            return None
+        node_types = _common_prop_types(
+            [(t.df, t.property_columns) for t in self.matching_node_tables(packed_labels)]
+        )
+        rel_types_map = _common_prop_types(
+            [(rt.df, rt.property_columns) for rt, _ in plan]
+        )
+        parts = []
+        for rt, nrt in plan:
+            if nrt.src_labels not in self.node_tables:
+                continue
+            lbls = sorted(nrt.src_labels)
+            labels_col = (
+                F.array(*[F.lit(l) for l in lbls])
+                if lbls
+                else F.array().cast("array<string>")
+            )
+            fixed = [
+                F.col(TripletTable.SRC_ID).alias(node_id),
+                labels_col.alias(node_labels_col),
+                F.col(TripletTable.REL_ID).alias(rel_id),
+                F.col(TripletTable.SRC_ID).alias(rel_src),
+                F.col(TripletTable.DST_ID).alias(rel_dst),
+                F.lit(nrt.rel_type).alias(rel_type_col),
+            ]
+            dtypes = {f.name: f.dataType for f in nrt.df.schema.fields}
+
+            def sel(avail, types, prefix):
+                cols = []
+                for p, dt in types.items():
+                    phys = avail.get(p)
+                    if phys is None:
+                        cols.append(F.lit(None).cast(dt).alias(prefix + p))
+                    elif dtypes[phys] != dt:
+                        cols.append(F.col(phys).cast(dt).alias(prefix + p))
+                    else:
+                        cols.append(F.col(phys).alias(prefix + p))
+                return cols
+
+            cols = (
+                fixed
+                + sel(nrt.props("src"), node_types, node_prefix)
+                + sel(nrt.props("rel"), rel_types_map, rel_prefix)
+            )
+            parts.append(nrt.df.select(*cols))
         if not parts:
             return None
         out = parts[0]

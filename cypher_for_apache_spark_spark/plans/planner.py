@@ -269,6 +269,8 @@ class Planner:
         rels = part.rels
         start = 0
         trip = self.try_triplet_scan(rec, nodes, rels, rel_ids) if rels else None
+        if trip is None and rels:
+            trip = self.try_node_rel_scan(rec, nodes, rels, rel_ids)
         if trip is not None:
             rec, prev_var = trip
             start = 1
@@ -361,6 +363,91 @@ class Planner:
                 out_df = self._filter_prop_items(out_df, meta, items, header)
         rel_ids.append((rmeta.id_col, rmeta.types, False))
         return Record(out_df, header), b_var
+
+    def try_node_rel_scan(
+        self, rec: Record, nodes, rels, rel_ids
+    ) -> Optional[Tuple[Record, str]]:
+        """NodeRelPattern scan (Pattern.scala:159): serve (source node +
+        relationship) of the pattern's first element from one pre-joined
+        table, joining only the far node — one join instead of two. Fires
+        for fixed directions when the full triplet path declined; the
+        packed node and the relationship must be fresh variables."""
+        g = self.graph
+        if g is None or not getattr(g, "node_rel_tables", None):
+            return None
+        npat0, rel, npat1 = nodes[0], rels[0], nodes[1]
+        if rel.var_length is not None or rel.direction == "both":
+            return None
+        # the packed node is the edge SOURCE: pattern-left for `out`,
+        # pattern-right for `in` (the pattern is served flipped)
+        packed_pat, far_pat = (npat0, npat1) if rel.direction == "out" else (npat1, npat0)
+        named = [v for v in (npat0.var, rel.var, npat1.var) if v is not None]
+        if len(set(named)) != len(named):
+            return None
+        if any(v in rec.header for v in named):
+            return None
+        # the far node joins through _expand_bound_rel, whose unbound-target
+        # path can't defer variable-referencing inline props
+        if self._split_props(far_pat.props)[1]:
+            return None
+        packed_var = packed_pat.var or self._anon()
+        r_var = rel.var or self._anon()
+        un, ur = self._u(packed_var), self._u(r_var)
+        far_static = set(far_pat.labels)
+        df = g.scan_node_rels(
+            rel.types,
+            packed_pat.labels,
+            far_static,
+            "src",
+            node_id=f"{un}#id",
+            node_labels_col=f"{un}#labels",
+            node_prefix=f"{un}#p#",
+            rel_id=f"{ur}#id",
+            rel_src=f"{ur}#src",
+            rel_dst=f"{ur}#dst",
+            rel_type_col=f"{ur}#type",
+            rel_prefix=f"{ur}#p#",
+        )
+        if df is None:
+            return None
+        nprefix, rprefix = f"{un}#p#", f"{ur}#p#"
+        nmeta = EntityMeta(
+            kind="node",
+            id_col=f"{un}#id",
+            labels_col=f"{un}#labels",
+            prop_cols={c[len(nprefix):]: c for c in df.columns if c.startswith(nprefix)},
+            labels=frozenset(packed_pat.labels),
+            combos=frozenset(t.labels for t in g.matching_node_tables(packed_pat.labels)),
+        )
+        rmeta = EntityMeta(
+            kind="rel",
+            id_col=f"{ur}#id",
+            src_col=f"{ur}#src",
+            dst_col=f"{ur}#dst",
+            type_col=f"{ur}#type",
+            prop_cols={c[len(rprefix):]: c for c in df.columns if c.startswith(rprefix)},
+            types=frozenset(rel.types) if rel.types else frozenset(g.rel_tables),
+        )
+        complex_items = []
+        for meta, pat in ((nmeta, packed_pat), (rmeta, rel)):
+            simple, complex_ = self._split_props(pat.props)
+            df = self._filter_prop_items(df, meta, simple, {})
+            complex_items.append((meta, complex_))
+        header = dict(rec.header)
+        header[packed_var], header[r_var] = nmeta, rmeta
+        out_df = df if rec.df is None else rec.df.crossJoin(df)
+        for meta, items in complex_items:
+            if items:
+                out_df = self._filter_prop_items(out_df, meta, items, header)
+        packed_rec = Record(out_df, header)
+        # join the far node through the bound-relationship path, flipping
+        # the pattern when the packed node is the right side
+        from dataclasses import replace as _replace
+
+        flipped = _replace(rel, var=r_var, direction="out")
+        out_rec, far_var = self._expand_bound_rel(packed_rec, packed_var, flipped, far_pat)
+        rel_ids.append((rmeta.id_col, rmeta.types, False))
+        return out_rec, (far_var if rel.direction == "out" else packed_var)
 
     # -- node scan / binding -------------------------------------------------
     def scan_node_record(self, var: str, labels: Sequence[str]) -> Tuple[DataFrame, EntityMeta]:

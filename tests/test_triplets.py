@@ -148,3 +148,65 @@ def test_triplet_bound_var_falls_back(graphs):
     q = """MATCH (a:Person) WITH a ORDER BY a.name LIMIT 2
            MATCH (a)-[r:LIVES_IN]->(b:City) RETURN a.name AS an, b.name AS bn"""
     assert _rows(tri.cypher(q)) == _rows(plain.cypher(q))
+
+
+@pytest.fixture(scope="module")
+def nr_graphs(session, spark):
+    """(graph with node-rel tables only, identical graph without)."""
+    from cypher_for_apache_spark_spark.graph import NodeRelTable, build_node_rel_frame
+
+    nodes, rels = _tables(spark)
+    plain = PropertyGraph(nodes, rels)
+    plain._session = session
+    nr = PropertyGraph(nodes, rels)
+    nr._session = session
+    for rt in nr.all_rel_tables():
+        frame = build_node_rel_frame(nr, rt).localCheckpoint()
+        nr.add_node_rel_table(
+            NodeRelTable.create(rt.rel_type, frame, rt.src_labels, rt.dst_labels)
+        )
+    return nr, plain
+
+
+NR_PARITY_QUERIES = [
+    """MATCH (a:Person)-[r:LIVES_IN]->(b:City)
+       RETURN a.name AS an, r.since AS since, b.name AS bn""",
+    """MATCH (a)-[r]->(b) RETURN a.name AS an, b.name AS bn""",
+    """MATCH (a:City)<-[r:LIVES_IN]-(b:Person)
+       RETURN a.name AS city, b.name AS who""",
+    """MATCH (a:Person {name: 'Ada'})-[r:LIVES_IN]->(b)
+       RETURN b.name AS city""",
+    """MATCH (a:Person)-[r:LIVES_IN]->(c:City)<-[s:LIVES_IN]-(b:Person)
+       WHERE a.name < b.name
+       RETURN a.name AS an, b.name AS bn, c.name AS city""",
+]
+
+
+@pytest.mark.parametrize("query", NR_PARITY_QUERIES)
+def test_node_rel_parity(nr_graphs, query):
+    nr, plain = nr_graphs
+    assert _rows(nr.cypher(query)) == _rows(plain.cypher(query))
+
+
+def test_node_rel_single_join(nr_graphs):
+    """(a)-[r]->(b) over a node-rel table joins ONCE (the far node), not
+    twice."""
+    nr, plain = nr_graphs
+    q = """MATCH (a:Person)-[r:LIVES_IN]->(b:City)
+           RETURN a.name AS an, b.name AS bn"""
+    nr_plan = nr.cypher(q).df._jdf.queryExecution().executedPlan().toString()
+    plain_plan = plain.cypher(q).df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    def joins(p):
+        return len(re.findall(r"\b(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", p))
+
+    assert joins(nr_plan) == 1
+    assert joins(plain_plan) >= 2
+
+
+def test_node_rel_undirected_falls_back(nr_graphs):
+    """Undirected patterns use the ordinary path (results still correct)."""
+    nr, plain = nr_graphs
+    q = "MATCH (a:Person)-[r:KNOWS]-(b:Person) RETURN a.name AS an, b.name AS bn"
+    assert _rows(nr.cypher(q)) == _rows(plain.cypher(q))
