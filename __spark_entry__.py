@@ -408,6 +408,37 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_lsh(emb, k=5, planes=10, dim=64)
 
 
+def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.dedup import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return cosine_dup_pairs(emb, threshold=0.4)
+
+
+def _q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.dedup import cosine_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    # threshold 0.4 is far below sign-LSH's sweet spot (near-dup sim>=0.9,
+    # where few planes catch nearly everything) — shorter bands + more of
+    # them buy recall at this low threshold while keeping the candidate
+    # fraction bounded; tests measure recall at the high-sim design point
+    return cosine_dup_pairs_lsh(emb, threshold=0.4, planes=6, dim=64, bands=12)
+
+
+def _q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.dedup import cosine_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return cosine_dedup(emb, threshold=0.4).select("vec_id", "label")
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects — read nanos as long and rebuild a (microsecond)
@@ -617,6 +648,32 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            ORDER BY sim DESC, vec_id LIMIT 10""",
     ),
     "knn_lsh_embeddings": (_q_knn_lsh, None),
+    "cosine_dup_pairs": (
+        _q_cosine_dup_pairs,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           p AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    round(list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+             FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4""",
+    ),
+    # LSH variant: approximate candidate generation — no exact SQL oracle;
+    # recall vs the exact pair set is asserted in tests/test_pipeline_ops.py
+    "cosine_dup_pairs_lsh": (_q_cosine_dup_pairs_lsh, None),
+    "cosine_dedup_embeddings": (
+        _q_cosine_dedup,
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           losers AS (
+             SELECT DISTINCT b.vec_id AS vec_id
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+           SELECT vec_id, label FROM embeddings
+           WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+    ),
     "sessionize_events": (
         _q_sessionize,
         """WITH g AS (

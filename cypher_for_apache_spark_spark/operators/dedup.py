@@ -388,3 +388,113 @@ def simhash_pairs(
     return cand.withColumn("hamming", dist).filter(
         F.col("hamming") <= max_distance
     ).select("id_a", "id_b", "hamming")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs ``(id_a < id_b, sim)``
+    with ``round(sim, 6) >= threshold``.
+
+    This is the O(n^2) verification baseline (a nested-loop self-join with
+    per-side precomputed norms, so each pair costs one array dot-product);
+    the 100 TB path is ``cosine_dup_pairs_lsh``, which generates candidates
+    from banded hyperplane buckets and runs this exact similarity only on
+    colliding pairs. Rounding before the threshold keeps the predicate
+    deterministic across engines (same trick as ``knn_brute``).
+    """
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        as_double,
+        dot,
+        norm,
+    )
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("_va")
+    ).withColumn("_na", norm(F.col("_va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("_vb")
+    ).withColumn("_nb", norm(F.col("_vb")))
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.round(F.when(denom != 0, dot(F.col("_va"), F.col("_vb")) / denom), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    bands: int = 8,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Approximate embedding-cosine near-dup pairs: banded random-hyperplane
+    LSH candidates (multi-band OR-amplification + per-bucket cap — see
+    ``similarity.lsh_candidates``), then the exact cosine predicate on
+    colliding pairs only. Output schema matches ``cosine_dup_pairs``; recall
+    against it is measured in tests, not assumed."""
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        as_double,
+        dot,
+        lsh_candidates,
+        norm,
+    )
+
+    cand = lsh_candidates(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        planes=planes,
+        dim=dim,
+        seed=seed,
+        bands=bands,
+        max_bucket=max_bucket,
+    ).filter(F.col("_ida") < F.col("_idb"))
+    va = df.select(
+        F.col(id_col).alias("_ida"), as_double(F.col(vec_col)).alias("_va")
+    ).withColumn("_na", norm(F.col("_va")))
+    vb = df.select(
+        F.col(id_col).alias("_idb"), as_double(F.col(vec_col)).alias("_vb")
+    ).withColumn("_nb", norm(F.col("_vb")))
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.round(F.when(denom != 0, dot(F.col("_va"), F.col("_vb")) / denom), 6)
+    return (
+        cand.join(va, "_ida")
+        .join(vb, "_idb")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "sim")
+    )
+
+
+def cosine_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Drop every row that has a cosine near-duplicate with a smaller id
+    (the standard greedy keep-first policy; pass ``pairs`` to reuse
+    ``cosine_dup_pairs_lsh`` output at scale — default is the exact pair
+    set). Anti-join on the loser-id side only: the full frame never
+    re-shuffles on anything wider than the id."""
+    if pairs is None:
+        pairs = cosine_dup_pairs(df, vec_col, id_col, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")

@@ -115,36 +115,21 @@ def lsh_bucket(vec_col: Column, hyperplanes: List[List[float]]) -> Column:
     return out
 
 
-def knn_join_lsh(
+def lsh_candidates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 5,
     planes: int = 12,
     dim: int = 64,
     seed: int = 42,
     bands: int = 4,
     max_bucket: int = 1024,
 ) -> DataFrame:
-    """Approximate all-pairs top-k via multi-band random-hyperplane LSH.
-
-    Scale design:
-    - **OR-amplification**: ``bands`` independent ``planes``-bit signatures;
-      a pair is a candidate if it collides in ANY band. One wide signature
-      either misses near neighbors (too many bits) or degenerates into a
-      handful of huge buckets (too few) — multiple narrow bands give high
-      recall while keeping each band's buckets small.
-    - **Per-bucket cap**: within each (band, bucket), only the first
-      ``max_bucket`` vectors (deterministic hash order) emit pairs. A hot
-      bucket (duplicate embeddings, zero vectors, skewed corpora) otherwise
-      goes quadratic — the cap bounds any bucket's work at max_bucket^2 and
-      loses only candidates a *less* crowded band will still surface.
-    - **Pair dedup before re-ranking**: candidates carry only (id, id);
-      vectors are joined back and cosine computed once per distinct pair,
-      not once per colliding band.
-
-    Recall against knn_brute is measured in tests (recall@k on the test
-    embeddings), so parameter changes are quantified, not guessed."""
+    """Distinct directed candidate pairs ``(_ida, _idb)`` that collide in at
+    least one LSH band. Shared by ``knn_join_lsh`` (top-k per id, needs both
+    directions) and ``cosine_dup_pairs_lsh`` (undirected — filters to
+    ``_ida < _idb``). See ``knn_join_lsh`` for the scale rationale of
+    multi-band OR-amplification and the per-bucket cap."""
     from pyspark.sql import Window as W
 
     all_planes = [random_hyperplanes(dim, planes, seed + 1000 * i) for i in range(bands)]
@@ -177,7 +162,7 @@ def knn_join_lsh(
     capped.count()
     x = capped.alias("x")
     y = capped.alias("y")
-    cand = (
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -186,6 +171,50 @@ def knn_join_lsh(
         )
         .select(F.col("x._id").alias("_ida"), F.col("y._id").alias("_idb"))
         .dropDuplicates()
+    )
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Approximate all-pairs top-k via multi-band random-hyperplane LSH.
+
+    Scale design:
+    - **OR-amplification**: ``bands`` independent ``planes``-bit signatures;
+      a pair is a candidate if it collides in ANY band. One wide signature
+      either misses near neighbors (too many bits) or degenerates into a
+      handful of huge buckets (too few) — multiple narrow bands give high
+      recall while keeping each band's buckets small.
+    - **Per-bucket cap**: within each (band, bucket), only the first
+      ``max_bucket`` vectors (deterministic hash order) emit pairs. A hot
+      bucket (duplicate embeddings, zero vectors, skewed corpora) otherwise
+      goes quadratic — the cap bounds any bucket's work at max_bucket^2 and
+      loses only candidates a *less* crowded band will still surface.
+    - **Pair dedup before re-ranking**: candidates carry only (id, id);
+      vectors are joined back and cosine computed once per distinct pair,
+      not once per colliding band.
+
+    Recall against knn_brute is measured in tests (recall@k on the test
+    embeddings), so parameter changes are quantified, not guessed."""
+    from pyspark.sql import Window as W
+
+    cand = lsh_candidates(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        planes=planes,
+        dim=dim,
+        seed=seed,
+        bands=bands,
+        max_bucket=max_bucket,
     )
     # norms are per-vector, not per-pair: compute them once in the joined
     # sides so the pair re-rank runs ONE array pass (dot) instead of three

@@ -260,3 +260,56 @@ def test_multimodal_features_and_frames(spark):
     frames = multimodal.frame_sample(media).collect()
     assert len(frames) >= 6
     assert all(r["frame_idx"] >= 0 for r in frames)
+
+
+# -- embedding-cosine near-dup ------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cos_vecs(spark):
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # planted near-dups: 100~0 (tiny perturbation), 101~1, plus an exact dup 102==2
+    rows.append((100, [x + 0.01 for x in rows[0][1]]))
+    rows.append((101, [x * 1.001 for x in rows[1][1]]))
+    rows.append((102, list(rows[2][1])))
+    rows.append((103, [0.0] * dim))  # zero vector: sim must be null, never error
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_dup_pairs_exact(cos_vecs):
+    pairs = dedup.cosine_dup_pairs(cos_vecs, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs.collect()}
+    assert (0, 100) in got and (1, 101) in got and (2, 102) in got
+    assert got[(2, 102)] == 1.0
+    assert all(a < b for a, b in got)
+    assert not any(103 in p for p in got)  # zero vector excluded, no error
+
+
+def test_cosine_dup_pairs_lsh_recall(cos_vecs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cosine_dup_pairs(cos_vecs, threshold=0.9).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cosine_dup_pairs_lsh(
+            cos_vecs, threshold=0.9, planes=6, dim=16, bands=8
+        ).collect()
+    }
+    assert approx <= exact  # exact verify on candidates: no false positives
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"near-dup recall = {recall:.3f}"
+
+
+def test_cosine_dedup_greedy(cos_vecs):
+    out = dedup.cosine_dedup(cos_vecs, threshold=0.99)
+    ids = {r["vec_id"] for r in out.collect()}
+    # losers (the larger id of each near-dup pair) are dropped
+    assert {100, 101, 102}.isdisjoint(ids)
+    assert {0, 1, 2, 103} <= ids
