@@ -439,6 +439,56 @@ def _q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dedup(emb, threshold=0.4).select("vec_id", "label")
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    """Multimodal plumbing over REAL table data: documents' text bytes as
+    the opaque binary payload, decoded by the Arrow-batched mapInPandas
+    stub (sha256-derived, hence exactly oracle-checkable in DuckDB)."""
+    from cypher_for_apache_spark_spark.operators.multimodal import decode_media
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_media(media).select(
+        "doc_id", "decoded_width", "decoded_height", "decode_ok"
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    """Video-frame-sampling fan-out shape (one row per sampled frame) on
+    documents-as-payloads; frame indices are deterministic from payload
+    length, so the row fan-out has an exact SQL oracle."""
+    from cypher_for_apache_spark_spark.operators.multimodal import frame_sample
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return frame_sample(media, max_frames=8).select("media_id", "frame_idx")
+
+
+def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-limited ANN: train centroids (driver-side model of k x dim
+    floats), search nearest probes only. k-means has no SQL equivalent —
+    rows-only; exactness vs brute force is covered by tests."""
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        ivf_search,
+        ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    cents = ivf_train_centroids(emb, n_centroids=8, iterations=1)
+    q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return ivf_search(emb.where("vec_id <> 0"), q, cents, k=10, n_probes=4)
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects — read nanos as long and rebuild a (microsecond)
@@ -674,6 +724,24 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            SELECT vec_id, label FROM embeddings
            WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
     ),
+    "media_decode_docs": (
+        _q_media_decode,
+        """SELECT doc_id,
+                  64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192
+                    AS decoded_width,
+                  64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192
+                    AS decoded_height,
+                  TRUE AS decode_ok
+           FROM documents""",
+    ),
+    "frame_sample_docs": (
+        _q_frame_sample,
+        """SELECT doc_id AS media_id, CAST(f.i AS INT) AS frame_idx
+           FROM documents,
+                LATERAL (SELECT unnest(generate_series(
+                    0, octet_length(encode(text)) % 8)) AS i) f""",
+    ),
+    "ivf_search_embeddings": (_q_ivf_search, None),
     "sessionize_events": (
         _q_sessionize,
         """WITH g AS (
