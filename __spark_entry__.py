@@ -489,6 +489,20 @@ def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(emb.where("vec_id <> 0"), q, cents, k=10, n_probes=4)
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel per user (batch twin of the
+    applyInPandasWithState streaming operator, verified against it in
+    tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.streaming.events import batch_funnel
+
+    out = batch_funnel(_read_events(spark, sf_dir))
+    return out.select(
+        "user_id", F.unix_micros(F.col("completed_at")).alias("completed_us")
+    )
+
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects — read nanos as long and rebuild a (microsecond)
@@ -499,7 +513,7 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return ev
 
@@ -742,6 +756,23 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                     0, octet_length(encode(text)) % 8)) AS i) f""",
     ),
     "ivf_search_embeddings": (_q_ivf_search, None),
+    "funnel_events": (
+        _q_funnel,
+        """WITH s1 AS (
+             SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+           s2 AS (
+             SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts >= s1.t
+             GROUP BY e.user_id),
+           s3 AS (
+             SELECT e.user_id, min(e.ts) AS t
+             FROM events e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+             GROUP BY e.user_id)
+           SELECT user_id, epoch_us(t) AS completed_us FROM s3""",
+    ),
     "sessionize_events": (
         _q_sessionize,
         """WITH g AS (

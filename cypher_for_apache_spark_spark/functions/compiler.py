@@ -679,7 +679,7 @@ _SCALAR_FNS: Dict[str, Callable] = {
     # wall-clock timestamp (TIMESTAMP_NTZ) so comparisons against parquet
     # ntz columns stay cast-free and push down to the scan
     "localdatetime": lambda e, ctx: F.to_timestamp_ntz(compile_expr(e.args[0], ctx)) if e.args else F.localtimestamp(),
-    "timestamp": lambda e, ctx: (F.unix_micros(F.current_timestamp()) / F.lit(1000)).cast("long"),
+    "timestamp": lambda e, ctx: F.expr("unix_micros(current_timestamp()) div 1000"),
     "duration": lambda e, ctx: _fn_duration(e, ctx),
     "duration.between": lambda e, ctx: _fn_duration_between(e, ctx),
     # CTBigDecimal (reference: BigDecimal expr, Expr.scala:802; MakeDecimal

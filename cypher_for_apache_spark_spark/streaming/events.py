@@ -41,7 +41,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -113,3 +113,92 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: tuple = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator: per-user ordered-funnel detection with
+    ``applyInPandasWithState`` — emit one row per user the first time they
+    complete ``stages`` in timestamp order. Nothing built-in expresses
+    "sequence of event types, in order, per key" (the reference has no
+    streaming at all — SURVEY.md §1.6).
+
+    Scale/state design:
+    - state per user is THREE scalars (stage index, ts of last matched
+      stage, done flag) — state size is O(keys), independent of event
+      volume;
+    - each micro-batch's rows for one user arrive as pandas frames; they
+      are sorted by event time before advancing the state machine, so the
+      operator is exact when batches respect event-time ordering across
+      batches (true for availableNow file replays and watermarked
+      sources);
+    - completed users keep a tombstone flag so re-deliveries never emit
+      twice.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("completed_at", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("stage_idx", T.IntegerType()),
+            T.StructField("last_ts", T.DoubleType()),  # epoch seconds
+            T.StructField("done", T.BooleanType()),
+        ]
+    )
+    stage_list = list(stages)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        idx, last_ts, done = state.get if state.exists else (0, None, False)
+        completed_at = None
+        for pdf in pdfs:
+            if done:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            for etype, ts in zip(pdf["event_type"], pdf[ts_col]):
+                if done or etype != stage_list[idx]:
+                    continue
+                epoch = ts.timestamp()
+                if last_ts is not None and epoch < last_ts:
+                    continue
+                idx, last_ts = idx + 1, epoch
+                if idx == len(stage_list):
+                    done, completed_at = True, ts
+        state.update((idx, last_ts, done))
+        if completed_at is not None:
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "completed_at": [completed_at]}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def batch_funnel(
+    events: DataFrame,
+    stages: tuple = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch oracle for ``streaming_funnel``: iterated min-ts-after-prev
+    per stage, pure DataFrame aggregations (no UDFs)."""
+    cur = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == stages[0], F.col(ts_col))).alias("_t")
+    ).where(F.col("_t").isNotNull())
+    for stage in stages[1:]:
+        nxt = events.select("user_id", "event_type", ts_col).join(
+            cur, "user_id"
+        ).where(
+            (F.col("event_type") == stage) & (F.col(ts_col) >= F.col("_t"))
+        ).groupBy("user_id").agg(F.min(ts_col).alias("_t"))
+        cur = nxt
+    return cur.select("user_id", F.col("_t").alias("completed_at"))

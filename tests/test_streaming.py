@@ -29,7 +29,7 @@ def test_windowed_rollup_matches_batch(spark, stream):
     batch = (
         spark.read.schema(S.EVENTS_SCHEMA)
         .parquet(SF_DIR + "/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
     )
@@ -54,3 +54,49 @@ def test_streaming_dedup(spark, stream):
     total = spark.read.parquet(SF_DIR + "/events.parquet").count()
     # source has unique event ids; dedup must not drop or duplicate anything
     assert n == total
+
+
+def test_streaming_funnel_matches_batch(spark, stream):
+    """Custom applyInPandasWithState funnel vs the pure-DataFrame batch
+    oracle: identical completion sets on a full replay."""
+    S.run_to_memory(S.streaming_funnel(stream), "funnel_out")
+    got = {
+        (r["user_id"], r["completed_at"])
+        for r in spark.sql("SELECT * FROM funnel_out").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_events = (
+        spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(SF_DIR + "/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    want = {
+        (r["user_id"], r["completed_at"])
+        for r in S.batch_funnel(batch_events).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_funnel_no_reemit(spark, tmp_path):
+    """A completed user's tombstone survives re-delivery: the same events
+    arrive again in a LATER micro-batch (two copies of the file, processed
+    one per trigger) and each user still completes exactly once."""
+    import shutil
+
+    src_dir = str(tmp_path / "replayed")
+    (tmp_path / "replayed").mkdir()
+    shutil.copy(SF_DIR + "/events.parquet", src_dir + "/batch_a.parquet")
+    shutil.copy(SF_DIR + "/events.parquet", src_dir + "/batch_b.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replay = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    S.run_to_memory(S.streaming_funnel(replay), "funnel_once")
+    rows = spark.sql(
+        "SELECT user_id, count(*) AS n FROM funnel_once GROUP BY user_id"
+    ).collect()
+    assert rows and all(r["n"] == 1 for r in rows)
