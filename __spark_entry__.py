@@ -587,8 +587,16 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     pr = pagerank(g, iterations=3, rel_types=["NEXT"])
-    # top-100 ranked nodes: stable, bounded output for the rows-only check
-    return pr.orderBy(F.col("rank").desc(), F.col("id")).limit(100)
+    # top-100 ranked nodes; ranks rounded to 6 decimals BEFORE the ordered
+    # take so Spark and the unrolled-SQL oracle select and sort identically
+    # (float divergence across engines is ~1e-13 by iteration 3 — only the
+    # dangling-mass sum is order-dependent, and at iteration 1 every rank
+    # is exactly 1.0, so errors cannot compound early)
+    return (
+        pr.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(100)
+    )
 
 
 _DDL_TEXT = """
@@ -639,7 +647,46 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                   MIN(o_orderkey) OVER (PARTITION BY o_custkey) + 5497558138880 AS component
            FROM orders""",
     ),
-    "pagerank_next": (_q_pagerank, None),
+    # PageRank unrolled to its 3 iterations in SQL (vertex ids reproduce
+    # sources/tpch.py strides: entity class k sits at k * 2^40)
+    "pagerank_next": (
+        _q_pagerank,
+        """WITH v AS (
+             SELECT CAST(r_regionkey AS BIGINT) AS id FROM region
+             UNION ALL SELECT n_nationkey + 1099511627776 FROM nation
+             UNION ALL SELECT c_custkey + 2199023255552 FROM customer
+             UNION ALL SELECT s_suppkey + 3298534883328 FROM supplier
+             UNION ALL SELECT p_partkey + 4398046511104 FROM part
+             UNION ALL SELECT o_orderkey + 5497558138880 FROM orders),
+           e AS (
+             SELECT o_orderkey + 5497558138880 AS src,
+                    lead(o_orderkey) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) + 5497558138880 AS dst
+             FROM orders QUALIFY dst IS NOT NULL),
+           deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           nn AS (SELECT count(*) AS n FROM v),
+           r0 AS (SELECT id, 1.0 AS rank FROM v),
+           c1 AS (SELECT e.dst AS id, sum(r0.rank / deg.d) AS c
+                  FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+           d1 AS (SELECT sum(rank) / (SELECT n FROM nn) AS dm FROM r0
+                  WHERE id NOT IN (SELECT src FROM e)),
+           r1 AS (SELECT v.id, 0.15 + 0.85 * (coalesce(c1.c, 0) + (SELECT dm FROM d1)) AS rank
+                  FROM v LEFT JOIN c1 ON v.id = c1.id),
+           c2 AS (SELECT e.dst AS id, sum(r1.rank / deg.d) AS c
+                  FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+           d2 AS (SELECT sum(rank) / (SELECT n FROM nn) AS dm FROM r1
+                  WHERE id NOT IN (SELECT src FROM e)),
+           r2 AS (SELECT v.id, 0.15 + 0.85 * (coalesce(c2.c, 0) + (SELECT dm FROM d2)) AS rank
+                  FROM v LEFT JOIN c2 ON v.id = c2.id),
+           c3 AS (SELECT e.dst AS id, sum(r2.rank / deg.d) AS c
+                  FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+           d3 AS (SELECT sum(rank) / (SELECT n FROM nn) AS dm FROM r2
+                  WHERE id NOT IN (SELECT src FROM e)),
+           r3 AS (SELECT v.id, 0.15 + 0.85 * (coalesce(c3.c, 0) + (SELECT dm FROM d3)) AS rank
+                  FROM v LEFT JOIN c3 ON v.id = c3.id)
+           SELECT id, round(rank, 6) AS rank FROM r3
+           ORDER BY round(rank, 6) DESC, id LIMIT 100""",
+    ),
     "dedup_exact_docs": (
         _q_dedup_exact,
         f"""SELECT min(doc_id) AS doc_id FROM documents

@@ -282,7 +282,32 @@ def ivf_train_centroids(
 
 
 def _assign(df: DataFrame, vec_col: str, centroids: List[List[float]]) -> DataFrame:
-    """argmin-distance centroid assignment, JVM-side."""
+    """argmin-distance centroid assignment.
+
+    Arrow-batched numpy path by default: one (batch x dim) @ (dim x k)
+    matmul per batch. The JVM-expression alternative inlines k*dim literals
+    into a per-centroid when-chain whose whole-stage codegen recompiles for
+    EVERY new centroid model (distinct literals never hit the codegen
+    cache) — measured seconds of compile per training run. Kept only as the
+    no-pandas fallback."""
+    try:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+        c_sq = (C * C).sum(axis=1)  # (k,)
+
+        @pandas_udf("int")
+        def argmin_centroid(vecs: pd.Series) -> pd.Series:
+            m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant
+            # per row and drops out of the argmin
+            scores = m @ C.T * -2.0 + c_sq  # (batch, k)
+            return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+        return df.withColumn("_centroid", argmin_centroid(F.col(vec_col)))
+    except ImportError:
+        pass
     v = as_double(F.col(vec_col))
     best_id, best_d = F.lit(0), None
     for i, c in enumerate(centroids):
