@@ -366,6 +366,85 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=5, threshold=0.8)
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.sampling import hash_split
+    from cypher_for_apache_spark_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    return (
+        hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        )
+    )
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 0.2).select("doc_id", "source")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, "source", "doc_id", k=3).select(
+        "source", "doc_id", "rk"
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.sampling import pack_sequences
+    from cypher_for_apache_spark_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", max_tokens=512, part_col="source", order_col="doc_id"
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("source = 'src0'")
+    train = docs.where("source <> 'src0'")
+    return ngram_contamination(train, bench, n=8)
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.text import (
+        token_count,
+        token_count_regex,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        token_count_regex(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import quality_features
 
@@ -694,7 +773,111 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
     ),
     "dedup_minhash_docs": (_q_dedup_minhash, None),
     "dedup_simhash_pairs": (_q_simhash_pairs, None),
-    "ngram_jaccard_pairs": (_q_ngram_jaccard, None),
+    # exact algorithm (prefix filter only prunes, never drops a true pair),
+    # so a string-n-gram DuckDB oracle reproduces it: Jaccard over 64-bit
+    # shingle hashes == Jaccard over shingle strings absent collisions
+    "ngram_jaccard_pairs": (
+        _q_ngram_jaccard,
+        f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+4], ' ')
+                                    for i in generate_series(1, len(w)-4)]) AS g
+              FROM toks WHERE len(w) >= 5),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.g, b.g)) AS c,
+                     len(a.g) AS sa, len(b.g) AS sb
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(c / CAST(sa + sb - c AS DOUBLE), 6) AS jaccard
+            FROM p WHERE c / CAST(sa + sb - c AS DOUBLE) >= 0.8""",
+    ),
+    "hash_split_docs": (
+        _q_hash_split,
+        f"""WITH s AS (
+              SELECT CASE
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{format(round(0.9 * (1 << 32)), "08x")}' THEN 'train'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{format(round(0.95 * (1 << 32)), "08x")}' THEN 'val'
+                       ELSE 'test' END AS split,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS t
+              FROM documents)
+            SELECT split, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
+            FROM s GROUP BY split""",
+    ),
+    "hash_sample_docs": (
+        _q_hash_sample,
+        f"""SELECT doc_id, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{format(round(0.2 * (1 << 32)), "08x")}'""",
+    ),
+    "stratified_sample_docs": (
+        _q_stratified_sample,
+        """SELECT source, doc_id, rk FROM (
+             SELECT source, doc_id,
+                    CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+             FROM documents) WHERE rk <= 3""",
+    ),
+    "pack_sequences_docs": (
+        _q_pack_sequences,
+        """WITH d AS (
+             SELECT doc_id, source,
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS t
+             FROM documents),
+           p AS (
+             SELECT source, t,
+                    CAST(floor(coalesce(sum(t) OVER (PARTITION BY source
+                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+             FROM d)
+           SELECT source, bin, count(*) AS n_docs,
+                  CAST(sum(t) AS BIGINT) AS n_tokens
+           FROM p GROUP BY 1, 2""",
+    ),
+    "contamination_docs": (
+        _q_contamination,
+        f"""WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM n),
+            grams AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(w) >= 8
+                          THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                                              for i in generate_series(1, len(w)-7)])
+                          ELSE [] END AS g
+              FROM toks),
+            tg AS (SELECT DISTINCT unnest(g) AS gram, 1 AS hit
+                   FROM grams WHERE source <> 'src0'),
+            bg AS (SELECT doc_id, unnest(g) AS gram
+                   FROM grams WHERE source = 'src0'),
+            agg AS (
+              SELECT bg.doc_id, count(*) AS n_grams,
+                     coalesce(sum(hit), 0) AS n_matched
+              FROM bg LEFT JOIN tg USING (gram) GROUP BY bg.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(a.n_matched, 0) AS BIGINT) AS n_matched,
+                   round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                         THEN coalesce(a.n_matched, 0) / CAST(a.n_grams AS DOUBLE)
+                         ELSE 0.0 END, 6) AS contamination
+            FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
+            LEFT JOIN agg a USING (doc_id)""",
+    ),
+    "token_stats_docs": (
+        _q_token_stats,
+        f"""SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                        AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+            FROM documents""",
+    ),
     "text_quality": (
         _q_text_quality,
         f"""WITH n AS (

@@ -31,6 +31,17 @@ def token_count(col: Column) -> Column:
     ).cast("long")
 
 
+BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_regex(col: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and individual symbol
+    chars over normalized text — a cheap, deterministic stand-in for a real
+    subword tokenizer's token count (regexp_count is JVM-side; the same
+    pattern reproduces in DuckDB via regexp_extract_all)."""
+    return F.regexp_count(normalize_text(col), F.lit(BPE_ISH)).cast("long")
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (md5 exists in both Spark and DuckDB, so oracles can reproduce it)."""
