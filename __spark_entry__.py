@@ -678,6 +678,25 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bfs_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.algorithms import bfs_distances
+
+    g = _graph(spark, sf_dir)
+    # undirected reach from Region 0 over the customer hierarchy: region ->
+    # nations (1) -> customers+suppliers (2) -> their orders (3)
+    return bfs_distances(
+        g, [0], rel_types=["IN_REGION", "IN_NATION", "PLACED"],
+        max_hops=3, undirected=True,
+    )
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.algorithms import degrees
+
+    g = _graph(spark, sf_dir)
+    return degrees(g)
+
+
 _DDL_TEXT = """
 CREATE GRAPH ddl_tpch (
   Customer ( name STRING, acctbal FLOAT ),
@@ -765,6 +784,56 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                   FROM v LEFT JOIN c3 ON v.id = c3.id)
            SELECT id, round(rank, 6) AS rank FROM r3
            ORDER BY round(rank, 6) DESC, id LIMIT 100""",
+    ),
+    # BFS levels are closed-form on the TPC-H hierarchy (distinct id spaces
+    # per class => no cross-level revisits), so the oracle enumerates them
+    "bfs_region_reach": (
+        _q_bfs_region,
+        """WITH n1 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0),
+           c2 AS (SELECT c_custkey FROM customer
+                  WHERE c_nationkey IN (SELECT n_nationkey FROM n1)),
+           s2 AS (SELECT s_suppkey FROM supplier
+                  WHERE s_nationkey IN (SELECT n_nationkey FROM n1)),
+           o3 AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM c2))
+           SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+           UNION ALL SELECT n_nationkey + 1099511627776, 1 FROM n1
+           UNION ALL SELECT c_custkey + 2199023255552, 2 FROM c2
+           UNION ALL SELECT s_suppkey + 3298534883328, 2 FROM s2
+           UNION ALL SELECT o_orderkey + 5497558138880, 3 FROM o3""",
+    ),
+    "degrees_tpch": (
+        _q_degrees,
+        """WITH v AS (
+             SELECT CAST(r_regionkey AS BIGINT) AS id FROM region
+             UNION ALL SELECT n_nationkey + 1099511627776 FROM nation
+             UNION ALL SELECT c_custkey + 2199023255552 FROM customer
+             UNION ALL SELECT s_suppkey + 3298534883328 FROM supplier
+             UNION ALL SELECT p_partkey + 4398046511104 FROM part
+             UNION ALL SELECT o_orderkey + 5497558138880 FROM orders),
+           e AS (
+             SELECT n_nationkey + 1099511627776 AS src,
+                    CAST(n_regionkey AS BIGINT) AS dst FROM nation
+             UNION ALL SELECT c_custkey + 2199023255552,
+                    c_nationkey + 1099511627776 FROM customer
+             UNION ALL SELECT s_suppkey + 3298534883328,
+                    s_nationkey + 1099511627776 FROM supplier
+             UNION ALL SELECT o_custkey + 2199023255552,
+                    o_orderkey + 5497558138880 FROM orders
+             UNION ALL SELECT l_orderkey + 5497558138880,
+                    l_partkey + 4398046511104 FROM lineitem
+             UNION ALL SELECT o_orderkey + 5497558138880 AS src,
+                    lead(o_orderkey) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) + 5497558138880 AS dst
+                    FROM orders QUALIFY dst IS NOT NULL
+             UNION ALL SELECT DISTINCT l_suppkey + 3298534883328,
+                    l_partkey + 4398046511104 FROM lineitem),
+           od AS (SELECT src AS id, count(*) AS c FROM e GROUP BY 1),
+           idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY 1)
+           SELECT v.id, coalesce(od.c, 0) AS out_degree,
+                  coalesce(idg.c, 0) AS in_degree,
+                  coalesce(od.c, 0) + coalesce(idg.c, 0) AS degree
+           FROM v LEFT JOIN od ON v.id = od.id LEFT JOIN idg ON v.id = idg.id""",
     ),
     "dedup_exact_docs": (
         _q_dedup_exact,

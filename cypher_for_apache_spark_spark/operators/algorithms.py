@@ -222,6 +222,48 @@ def connected_components(
     return out
 
 
+def bfs_distances(
+    graph: PropertyGraph,
+    source_ids: List[int],
+    rel_types=(),
+    max_hops: Optional[int] = None,
+    undirected: bool = False,
+) -> DataFrame:
+    """(id, dist) = minimum hop count from any source, unreachable nodes
+    omitted. Frontier (delta) iteration: round d joins edges against ONLY
+    the nodes first reached in round d-1 — never the full visited set —
+    so per-round work is proportional to the frontier, which is the only
+    BFS discipline that survives a 100 TB graph (re-expanding settled
+    vertices each round is the classic scale killer). The frontier is
+    localCheckpoint'ed per round (it is the small frame); the visited set
+    is a union of checkpointed frontiers, so its plan stays flat.
+    """
+    spark = graph.spark if hasattr(graph, "spark") else _vertices(graph).sparkSession
+    e = _edges(graph, rel_types, undirected=undirected).persist()
+    frontier = spark.createDataFrame(
+        [(int(s),) for s in source_ids], "id long"
+    ).dropDuplicates()
+    visited = frontier.select("id", F.lit(0).cast("long").alias("dist"))
+    dist = 0
+    while max_hops is None or dist < max_hops:
+        dist += 1
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(visited, "id", "left_anti")
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():  # termination probe on the (small) frontier only
+            break
+        frontier = nxt
+        visited = visited.unionByName(
+            nxt.select("id", F.lit(dist).cast("long").alias("dist"))
+        )
+    e.unpersist()
+    return visited
+
+
 def triangle_count(graph: PropertyGraph, rel_types=()) -> DataFrame:
     """Global triangle count (undirected, ignoring parallel edges).
 

@@ -54,3 +54,31 @@ def test_degrees(two_components):
     d = {r["id"]: r for r in alg.degrees(two_components).collect()}
     assert d[2]["in_degree"] == 1 and d[2]["out_degree"] == 1 and d[2]["degree"] == 2
     assert d[11]["out_degree"] == 0 and d[11]["in_degree"] == 1
+
+
+def test_bfs_distances_chain(spark):
+    # directed chain 1 -> 2 -> 3 -> 4, plus unreachable 10 -> 11
+    g = edgelist.from_edge_df(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long")
+    )
+    d = {r["id"]: r["dist"] for r in alg.bfs_distances(g, [1]).collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3}  # unreachable nodes omitted
+
+
+def test_bfs_distances_undirected_and_max_hops(spark):
+    g = edgelist.from_edge_df(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    )
+    d = {r["id"]: r["dist"] for r in alg.bfs_distances(g, [3], undirected=True).collect()}
+    assert d == {3: 0, 2: 1, 4: 1, 1: 2}
+    capped = {r["id"]: r["dist"] for r in alg.bfs_distances(g, [1], max_hops=1).collect()}
+    assert capped == {1: 0, 2: 1}
+
+
+def test_bfs_multi_source_min_dist(spark):
+    # sources 1 and 4 meet in the middle; each node gets the MIN distance
+    g = edgelist.from_edge_df(
+        spark.createDataFrame([(1, 2), (2, 3), (4, 3)], "src long, dst long")
+    )
+    d = {r["id"]: r["dist"] for r in alg.bfs_distances(g, [1, 4]).collect()}
+    assert d == {1: 0, 4: 0, 2: 1, 3: 1}
