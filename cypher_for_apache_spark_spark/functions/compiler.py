@@ -428,8 +428,13 @@ def _index(e: A.Index, ctx: CompileCtx) -> Column:
         if isinstance(e.index, A.Lit) and isinstance(e.index.value, str):
             return base.getField(e.index.value)
         raise CypherCompileError("struct access requires a literal key")
-    # list: Cypher 0-based, out-of-range -> null (F.get is exactly that)
-    return F.get(base, idx.cast("int"))
+    # list: Cypher 0-based, out-of-range -> null (F.get is exactly that);
+    # negative indices count from the end (xs[-1] = last) — element_at's
+    # negative convention matches, and try_element_at nulls out-of-range
+    # instead of erroring (element_at(arr, 0) would throw, but idx 0 takes
+    # the F.get branch)
+    i = idx.cast("int")
+    return F.when(i >= 0, F.get(base, i)).otherwise(F.try_element_at(base, i))
 
 
 def _slice(e: A.Slice, ctx: CompileCtx) -> Column:

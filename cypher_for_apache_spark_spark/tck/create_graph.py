@@ -11,6 +11,7 @@ second CREATE grammar to drift out of sync.
 
 from __future__ import annotations
 
+import datetime
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import SparkSession, types as T
@@ -31,6 +32,22 @@ def _literal(expr: A.Expr):
         return [_literal(e) for e in expr.items]
     if isinstance(expr, A.Neg):
         return -_literal(expr.expr)
+    # constant temporal constructors (TCK fixtures use them as literals)
+    if isinstance(expr, A.FuncCall) and len(expr.args) == 1:
+        name = expr.name.lower()
+        arg = _literal(expr.args[0])
+        if isinstance(arg, str):
+            if name == "date":
+                return datetime.date.fromisoformat(arg)
+            if name == "localdatetime":
+                return datetime.datetime.fromisoformat(arg)
+            if name == "duration":
+                from cypher_for_apache_spark_spark.functions.compiler import (
+                    _parse_iso_duration,
+                )
+
+                d, h, mi, s = _parse_iso_duration(arg)
+                return datetime.timedelta(days=d, hours=h, minutes=mi, seconds=s)
     raise CypherSyntaxError(
         f"CREATE supports literal properties only, got {type(expr).__name__}"
     )
@@ -116,6 +133,12 @@ def _spark_type(values: List[object]) -> T.DataType:
             return T.DoubleType()
         if isinstance(v, str):
             return T.StringType()
+        if isinstance(v, datetime.datetime):
+            return T.TimestampNTZType()
+        if isinstance(v, datetime.date):
+            return T.DateType()
+        if isinstance(v, datetime.timedelta):
+            return T.DayTimeIntervalType()
         if isinstance(v, list):
             inner = _spark_type([x for x in v])
             return T.ArrayType(inner)

@@ -100,7 +100,9 @@ def test_in_and_case(g):
 
 def test_list_operations(g):
     assert one(g, "n.l[0]") == "a"
-    assert one(g, "n.l[-1]") is None  # out of range (Cypher: null)
+    assert one(g, "n.l[-1]") == "c"  # negative index counts from the end
+    assert one(g, "n.l[-3]") == "a"
+    assert one(g, "n.l[-4]") is None  # past the front: null
     assert one(g, "n.l[5]") is None
     assert one(g, "n.l[1..3]") == ["b", "c"]
     assert one(g, "n.l[..2]") == ["a", "b"]
