@@ -578,22 +578,26 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = batch_funnel(_read_events(spark, sf_dir))
     return out.select(
-        "user_id", F.unix_micros(F.col("completed_at")).alias("completed_us")
+        "user_id",
+        F.unix_micros(F.col("completed_at").cast("timestamp")).alias("completed_us"),
     )
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects — read nanos as long and rebuild a (microsecond)
-    timestamp column JVM-side."""
+    """events.parquet stores TIMESTAMP(NANOS). Depending on the Spark build
+    and session confs this surfaces as ``bigint`` (legacy nanosAsLong),
+    ``timestamp_ntz`` (native nanos read, Spark 4+), or ``timestamp`` —
+    normalize every case to a session-tz TIMESTAMP column (session tz is
+    pinned UTC, so instants are stable)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":  # nanos-as-long: rebuild micros timestamp JVM-side
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt != "timestamp":  # timestamp_ntz (or date): cast keeps the wall
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

@@ -21,8 +21,13 @@ def sessionize(
     partitioned by user — scales with user cardinality, not total rows."""
     w = W.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
-    # microsecond-precision gap (unix_timestamp truncates to seconds)
-    gap = (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) / F.lit(1e6)
+    # microsecond-precision gap (unix_timestamp truncates to seconds);
+    # cast makes this dtype-agnostic — unix_micros rejects TIMESTAMP_NTZ,
+    # which is what parquet TIMESTAMP(NANOS) reads as on Spark 4+
+    gap = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        - F.unix_micros(prev_ts.cast("timestamp"))
+    ) / F.lit(1e6)
     new_sess = F.when(prev_ts.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn(
         "session_seq", F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))

@@ -41,11 +41,49 @@ def test_windowed_rollup_matches_batch(spark, stream):
 
 
 def test_streaming_sessionize(spark, stream):
-    S.run_to_memory(S.streaming_sessionize(stream, gap="30 minutes"), "sess_out")
+    # complete mode: in append mode a finite availableNow replay never
+    # advances the watermark past the final sessions, so nothing is emitted
+    # before the query stops (the rollup test hits the same Structured
+    # Streaming property above)
+    S.run_to_memory(
+        S.streaming_sessionize(stream, gap="30 minutes"),
+        "sess_out",
+        output_mode="complete",
+    )
     rows = spark.sql("SELECT * FROM sess_out").collect()
     assert len(rows) > 0
     assert all(r["session_end"] > r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+    # cross-check against the batch operator: identical gap definition, so
+    # per-user session counts and per-user event totals must agree
+    from cypher_for_apache_spark_spark.operators.events import sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(SF_DIR + "/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    want = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in sessionize(batch, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            """SELECT user_id, count(*) AS n_sessions,
+                      sum(n_events) AS n_events
+               FROM sess_out GROUP BY user_id"""
+        ).collect()
+    }
+    assert got == want
 
 
 def test_streaming_dedup(spark, stream):
