@@ -15,36 +15,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, functions as F
 
 from cypher_for_apache_spark_spark.graph import PropertyGraph
-
-
-def _reset_stats(df: DataFrame) -> DataFrame:
-    """Rewrap a materialized (checkpointed) DataFrame in a fresh LogicalRDD
-    that does NOT inherit the origin plan's Catalyst statistics.
-
-    ``localCheckpoint`` truncates lineage but copies the *stats estimate* of
-    the plan it replaces into the new LogicalRDD. In an iterative loop whose
-    body self-joins the checkpoint k times, the sizeInBytes estimate is
-    *multiplied* k+1 times per round, so its bit-length grows as (k+1)^round —
-    by round ~6 Catalyst's SizeInBytesOnlyStatsPlanVisitor is multiplying
-    megabit BigIntegers and the driver spends minutes in stats estimation
-    (measured: 0.9s -> 3.3s -> 52s per round). Rebuilding the DataFrame from
-    the already-checkpointed InternalRow RDD resets the estimate to the
-    session default and keeps every round's planning cost flat."""
-    try:
-        jdf = df._jdf  # classic API only; no-op elsewhere
-        spark = df.sparkSession
-        new_jdf = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(new_jdf, spark)
-    except Exception:
-        return df
-
-
-def _checkpoint(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint + stats reset: the safe way to truncate lineage
-    inside an iterative DataFrame loop (see _reset_stats)."""
-    return _reset_stats(df.localCheckpoint())
+from cypher_for_apache_spark_spark.materialize import materialize as _checkpoint
 
 
 def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> DataFrame:
@@ -269,11 +240,12 @@ def triangle_count(graph: PropertyGraph, rel_types=()) -> DataFrame:
 
     Canonical-ordering join: each triangle {a<b<c} is counted exactly once
     via edges (a,b),(b,c),(a,c)."""
-    e = (
+    # three join branches read the canonical edge set — scoped
+    # materialization (persist() here leaked a CacheManager entry per call)
+    e = _checkpoint(
         _edges(graph, rel_types, undirected=True)
         .filter(F.col("src") < F.col("dst"))
         .dropDuplicates()
-        .persist()
     )
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))

@@ -14,6 +14,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from cypher_for_apache_spark_spark.materialize import materialize
 from cypher_for_apache_spark_spark.operators.text import WHITESPACE, normalize_text
 
 
@@ -177,8 +178,9 @@ def minhash_dedup(
     ``duplicate_pairs`` externally.)"""
     # signatures feed banding and both sides of the verification join;
     # materialize before the branches fan out (see ngram_jaccard_pairs)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode).persist()
-    sigs.count()
+    sigs = materialize(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
+    )
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -221,16 +223,15 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n, mode))).alias("_sh"),
     )
     # the shingle frame feeds four plan branches (frequency, ranking, and
-    # both sides of the verification join) — persist it or Spark re-runs
+    # both sides of the verification join) — materialize it or Spark re-runs
     # the shingling subtree per branch (the reference's relational
     # optimizer exists for exactly this: InsertCachingOperators,
-    # RelationalOptimizer.scala:35-93). The count() materializes the cache
-    # BEFORE the branches fan out: Spark schedules independent stages of
-    # one job concurrently, and concurrent stages racing an unmaterialized
-    # persist each recompute the subtree from scratch (measured 3-4x the
-    # shingling cost, 5s -> 20s swings at sf0.1)
-    sh = sh.persist()
-    sh.count()
+    # RelationalOptimizer.scala:35-93). Materializing BEFORE the branches
+    # fan out also means concurrent stages of one job can never race an
+    # unmaterialized cache and recompute the subtree from scratch (measured
+    # 3-4x the shingling cost, 5s -> 20s swings at sf0.1); scoped storage
+    # is freed when the result goes out of scope.
+    sh = materialize(sh)
 
     from pyspark.sql import Window as W
 
@@ -272,8 +273,8 @@ def ngram_jaccard_pairs(
     # repetitive corpus where the prefix filter admits many pairs, that
     # intermediate dwarfs everything else in the query (measured 16s vs 4s
     # at sf0.1).
-    doc_sets = sh.groupBy("_id").agg(F.collect_list("_sh").alias("_set")).persist()
-    doc_sets.count()  # materialize before both join branches fan out
+    # materialize before both join branches fan out
+    doc_sets = materialize(sh.groupBy("_id").agg(F.collect_list("_sh").alias("_set")))
     common = (
         cand.join(
             doc_sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_seta")),
@@ -365,8 +366,7 @@ def simhash_pairs(
     ).select("_id", "_fp", F.col("_p.idx").alias("idx"), F.col("_p.piece").alias("piece"))
     # both self-join sides would otherwise recompute the vote aggregation
     # under fp_df concurrently (see ngram_jaccard_pairs)
-    pieces = pieces.persist()
-    pieces.count()
+    pieces = materialize(pieces)
     a = pieces.alias("a")
     b = pieces.alias("b")
     cand = (

@@ -125,20 +125,31 @@ def frame_sample(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
-                n = 0 if payload is None else min(max_frames, 1 + len(payload) % max_frames)
-                for i in range(n):
-                    rows.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_idx": i,
-                            "frame_payload": bytes(payload[:16]) if payload else None,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
+            payloads = pdf[payload_col]
+            # frames per row (the stub's deterministic frame count; the
+            # real ffmpeg probe replaces this map)
+            n = payloads.map(
+                lambda p: 0 if p is None else min(max_frames, 1 + len(p) % max_frames)
+            ).to_numpy(dtype="int64")
+            # vectorized fan-out: numpy repeat/cumsum instead of the old
+            # per-row iterrows() append loop (a real scale cost at media
+            # volumes — every other op here is O(batch) numpy)
+            row_idx = np.repeat(np.arange(len(pdf)), n)
+            ends = n.cumsum()
+            frame_idx = np.arange(int(n.sum())) - np.repeat(ends - n, n)
+            prefixes = payloads.map(
+                lambda p: None if p is None else bytes(p[:16])
+            ).to_numpy(dtype=object)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_idx],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_payload": prefixes[row_idx],
+                }
+            )
 
     return df.mapInPandas(batches, out_schema)
 

@@ -18,6 +18,8 @@ from typing import List, Optional, Sequence
 import pandas as pd  # type-hint resolution for the Arrow-batched UDF
 from pyspark.sql import Column, DataFrame, functions as F
 
+from cypher_for_apache_spark_spark.materialize import materialize
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -157,9 +159,9 @@ def lsh_candidates(
         .drop("_rn")
     )
     # materialize before the self-join: concurrent stages racing an
-    # unmaterialized cache each run the signature UDF + window from scratch
-    capped = capped.persist()
-    capped.count()
+    # unmaterialized cache each run the signature UDF + window from scratch;
+    # scoped (block-manager) storage, freed when callers drop the result
+    capped = materialize(capped)
     x = capped.alias("x")
     y = capped.alias("y")
     return (

@@ -33,6 +33,7 @@ from cypher_for_apache_spark_spark.functions.compiler import (
 )
 from cypher_for_apache_spark_spark.graph import PropertyGraph
 from cypher_for_apache_spark_spark.header import EntityMeta, Header
+from cypher_for_apache_spark_spark.materialize import materialize
 from cypher_for_apache_spark_spark.plans.record import Record
 
 
@@ -812,11 +813,6 @@ class Planner:
             return out, tgt_var
         if rdf is not None:
             rdf = self._prop_filter(rdf, rmeta, rel.props)
-            if self.cache_varlength_scans and hi > 1:
-                # the same scan is joined up to ``hi`` times — cache it or
-                # Spark recomputes per branch (reference:
-                # RelationalOptimizer.scala InsertCachingOperators)
-                rdf = rdf.persist()
 
         u = self._u(rel_var)
         ids_col, end_col = f"{u}#ids", f"{u}#end"
@@ -835,7 +831,14 @@ class Planner:
                     orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col)
                 )
             if self.cache_varlength_scans and hi > 1:
-                step = step.persist()
+                # the same oriented scan is joined up to ``hi`` times —
+                # materialize it or Spark recomputes the scan per branch
+                # (reference: RelationalOptimizer.scala
+                # InsertCachingOperators). Scoped block-manager storage:
+                # freed automatically when the query's frames are dropped,
+                # unlike the round-2 persist() that accumulated CacheManager
+                # entries across queries in a long-lived session.
+                step = materialize(step)
         else:
             step = None
 
