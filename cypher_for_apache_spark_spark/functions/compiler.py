@@ -293,6 +293,14 @@ def _xor(e: A.Xor, ctx: CompileCtx) -> Column:
 
 def _cmp(e: A.Cmp, ctx: CompileCtx) -> Column:
     l, r = compile_expr(e.lhs, ctx), compile_expr(e.rhs, ctx)
+    if not _statically_comparable(ctx, l, r):
+        # openCypher comparability: ordering across incomparable types is
+        # null; equality across incomparable types is false (null operands
+        # stay null). Without this Spark fails analysis (e.g. true > 0).
+        if e.op in ("=", "<>"):
+            neq = F.lit(e.op == "<>")
+            return F.when(l.isNull() | r.isNull(), F.lit(None).cast("boolean")).otherwise(neq)
+        return F.lit(None).cast("boolean")
     if e.op == "=":
         return l == r
     if e.op == "<>":
@@ -304,6 +312,34 @@ def _cmp(e: A.Cmp, ctx: CompileCtx) -> Column:
     if e.op == ">":
         return l > r
     return l >= r
+
+
+_NUMERIC_T = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+_TEMPORAL_T = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _statically_comparable(ctx: CompileCtx, l: Column, r: Column) -> bool:
+    """Plan-time comparability check: numbers compare with numbers,
+    temporals with temporals, otherwise only same-kind types. Unknown
+    types (unresolvable inside lambdas) defer to Spark."""
+    lt, rt = _dtype(ctx, l), _dtype(ctx, r)
+    if lt is None or rt is None:
+        return True
+    if _is(lt, T.NullType) or _is(rt, T.NullType):
+        return True
+    if _is(lt, *_NUMERIC_T) and _is(rt, *_NUMERIC_T):
+        return True
+    if _is(lt, *_TEMPORAL_T) and _is(rt, *_TEMPORAL_T):
+        return True
+    return type(lt) is type(rt)
 
 
 def _is_null(e: A.IsNull, ctx: CompileCtx) -> Column:
@@ -349,7 +385,16 @@ def _in(e: A.In, ctx: CompileCtx) -> Column:
     if _is(rt, T.ArrayType) and isinstance(rt.elementType, T.NullType):
         # list of only-null literals: containment is unknown
         return F.lit(None).cast("boolean")
-    return F.array_contains(r, l)
+    if _is(_dtype(ctx, l), T.NullType) and _is(rt, T.ArrayType):
+        # a bare null lhs reaches array_contains as VOID, which it rejects
+        l = l.cast(rt.elementType)
+    # array_contains already implements SQL's three-valued IN (true if
+    # found; null if not found but the list holds a null, or an operand is
+    # null; false otherwise) — Cypher differs in exactly one case:
+    # null IN [] is false, not null
+    return F.when(
+        l.isNull() & (F.size(r) == F.lit(0)), F.lit(False)
+    ).otherwise(F.array_contains(r, l))
 
 
 # -- arithmetic ----------------------------------------------------------------
@@ -575,10 +620,14 @@ def _fn_size(e, ctx):
 
 
 def _fn_range(e, ctx):
+    # openCypher range() is empty when step moves away from stop;
+    # Spark's sequence() auto-reverses direction instead
     args = _args(e, ctx)
-    if len(args) == 2:
-        return F.sequence(args[0], args[1])
-    return F.sequence(args[0], args[1], args[2])
+    start, stop = args[0].cast("long"), args[1].cast("long")
+    step = args[2].cast("long") if len(args) > 2 else F.lit(1).cast("long")
+    return F.when(
+        (stop - start) * step < 0, F.array().cast("array<long>")
+    ).otherwise(F.sequence(start, stop, step))
 
 
 def _fn_substring(e, ctx):

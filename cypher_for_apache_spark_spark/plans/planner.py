@@ -1273,6 +1273,12 @@ class Planner:
         ctx = self._ctx(rec)
         col = compile_expr(clause.expr, ctx)
         out_col = f"{self._u(clause.var)}#val"
+        from cypher_for_apache_spark_spark.functions.compiler import _dtype, _is
+
+        dt = _dtype(ctx, col)
+        if _is(dt, T.NullType):
+            # UNWIND null produces no rows; explode(VOID) fails analysis
+            col = col.cast("array<long>")
         # explode drops null / empty lists — exactly UNWIND's semantics
         df = rec.df.select("*", F.explode(col).alias(out_col))
         header = dict(rec.header)
