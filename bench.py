@@ -4,6 +4,22 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 The value is total wall-clock seconds over all headline queries (each
 executed to completion via a count/collect action).
+
+METHODOLOGY — FROZEN since round 2 (commit 5ac75a0) so cross-round
+numbers stay comparable; do not change without re-baselining every prior
+BENCH_r*.json:
+
+1. one full UNTIMED warmup pass over every query (JIT, parquet footer
+   cache, Python worker pool spin-up), then
+2. each query timed twice, best-of-2 recorded;
+3. per-query work is never reduced to improve numbers (e.g. iteration
+   counts stay as the operator's documented defaults) — a faster bench
+   must come from a faster plan, not less work;
+4. queries run in queries() dict order with _HEAVY_LAST plan shapes at
+   the end (their codegen volume pollutes the JIT for whatever runs
+   next);
+5. the bench process must run alone — concurrent work on the same box
+   (even a pytest run) inflates individual query walls by 2-5x.
 """
 
 from __future__ import annotations
