@@ -445,6 +445,54 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive catalog round-trip exercised end-to-end: build a
+    customer->nation graph, store it through HiveGraphSource (files +
+    catalog tables), rebuild the graph FROM THE CATALOG ONLY, then answer
+    a Cypher aggregation on the rebuilt graph. The oracle is plain SQL on
+    the original parquet — any loss in the round trip breaks the match.
+    Reference semantics: FSGraphSource.scala:56-110 (hiveDatabaseName) +
+    HiveTableName.scala."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.graph import NodeTable, PropertyGraph, RelationshipTable
+    from cypher_for_apache_spark_spark.sources.hive import HiveGraphSource
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c_nodes = cust.select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    n_nodes = nat.select(
+        F.col("n_nationkey").cast("long").alias("id"), F.col("n_name").alias("name")
+    )
+    rels = cust.select(
+        (F.col("c_custkey") + F.lit(2_000_000)).alias("id"),
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("src"),
+        F.col("c_nationkey").cast("long").alias("dst"),
+    )
+    g = PropertyGraph(
+        [NodeTable.create(["Customer"], c_nodes), NodeTable.create(["Nation"], n_nodes)],
+        [RelationshipTable.create("IN_NATION", rels, src_labels=["Customer"], dst_labels=["Nation"])],
+    )
+    src = HiveGraphSource(spark, "/tmp/spark_graft_hive_demo", database="graft_demo")
+    src.store("custnation", g, mode="overwrite")
+    back = src.graph_from_catalog("custnation")
+    back._session = _session(spark)
+    return back.cypher(
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+           RETURN n.name AS nation, count(*) AS customers"""
+    ).df
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import quality_features
 
@@ -1001,6 +1049,29 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
     "fingerprint_docs": (
         _q_fingerprint,
         f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+    ),
+    "repetition_stats_docs": (
+        _q_repetition_stats,
+        f"""WITH toks AS (
+              SELECT doc_id, w
+              FROM (SELECT doc_id,
+                           unnest(string_split({_NORM_SQL}, ' ')) AS w
+                    FROM documents)
+              WHERE w <> ''),
+            per_word AS (
+              SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   count(*) AS n_unique,
+                   round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_word_frac,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+            FROM per_word GROUP BY doc_id""",
+    ),
+    "hive_roundtrip_nation": (
+        _q_hive_roundtrip,
+        """SELECT n_name AS nation, count(*) AS customers
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name""",
     ),
     "knn_brute_embeddings": (
         _q_knn_brute,

@@ -123,3 +123,38 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(alpha_ratio, 6).alias("q_alpha_ratio"),
         score.alias("q_score"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition metrics (the Gopher-rules family of
+    quality signals): highly repetitive documents are low-value training
+    data even when individual tokens look fine.
+
+    Per document:
+    - ``n_words``: whitespace token count
+    - ``n_unique``: distinct token count
+    - ``dup_word_frac``: 1 - unique/total (0 = all distinct)
+    - ``top_word_frac``: occurrences of the most frequent token / total
+
+    One explode + one two-level aggregation, all JVM-side; tokens shuffle
+    as (doc_id, token) pairs — bounded width, map-side combinable, no raw
+    document travels past the explode."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), WHITESPACE)).alias("_w"),
+    ).filter(F.col("_w") != "")
+    per_word = toks.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("_c").alias("n_words"),
+        F.count("*").alias("n_unique"),
+        F.max("_c").alias("_top"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_words",
+        "n_unique",
+        F.round(F.lit(1.0) - F.col("n_unique") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("_top") / F.col("n_words"), 6).alias("top_word_frac"),
+    )
