@@ -202,3 +202,50 @@ def batch_funnel(
         ).groupBy("user_id").agg(F.min(ts_col).alias("_t"))
         cur = nxt
     return cur.select("user_id", F.col("_t").alias("completed_at"))
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against a batch dimension
+    table (the standard fact-stream x dim-table production shape).
+
+    Spark plans this as a per-micro-batch join with NO streaming state —
+    the dimension side is re-resolved each batch (so slowly-changing dims
+    pick up updates), and a small dim broadcasts automatically under AQE.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    join_window: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed stream-stream inner join with bounded state.
+
+    Both sides are watermarked and the join predicate constrains the two
+    event times to ``join_window`` — the combination lets Spark expire
+    buffered rows once the watermark passes the window, so state is
+    O(in-flight window), not O(stream history). Without BOTH the
+    watermarks and the time-range predicate, a stream-stream join keeps
+    every row forever.
+    """
+    l = left.withWatermark(ts_col, left_watermark).alias("l")
+    r = right.withWatermark(ts_col, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {join_window}")
+        )
+    )
+    return l.join(r, cond, "inner")

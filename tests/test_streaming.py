@@ -138,3 +138,71 @@ def test_streaming_funnel_no_reemit(spark, tmp_path):
         "SELECT user_id, count(*) AS n FROM funnel_once GROUP BY user_id"
     ).collect()
     assert rows and all(r["n"] == 1 for r in rows)
+
+
+def test_enrich_stream_static(spark, stream, tmp_path):
+    """Stream-static join: every event row picks up its dimension label;
+    results match the equivalent batch join."""
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(200)], "user_id long, segment string"
+    )
+    S.run_to_memory(
+        S.enrich_stream(stream, dim).groupBy("segment").count(),
+        "enrich_out",
+        output_mode="complete",
+    )
+    got = {
+        (r["segment"], r["count"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(SF_DIR + "/events.parquet")
+        .join(dim, "user_id", "left")
+        .groupBy("segment")
+        .count()
+    )
+    want = {(r["segment"], r["count"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_bounded(spark, tmp_path):
+    """Windowed stream-stream join: clicks join views of the same user
+    within the window; a view outside the window finds no match."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(dirname, rows):
+        p = str(tmp_path / dirname)
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, kind string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, kind string")
+            .parquet(p)
+        )
+
+    views = write(
+        "views",
+        [
+            (1, t0, "view"),
+            (2, t0, "view"),
+            (3, t0 - dt.timedelta(hours=3), "view"),  # too old to match
+        ],
+    )
+    clicks = write(
+        "clicks",
+        [
+            (1, t0 + dt.timedelta(minutes=10), "click"),
+            (2, t0 + dt.timedelta(minutes=50), "click"),  # outside 30m window
+            (3, t0, "click"),
+        ],
+    )
+    joined = S.stream_stream_join(
+        views, clicks, on="user_id", join_window="30 minutes"
+    ).select(F.col("l.user_id").alias("user_id"))
+    S.run_to_memory(joined, "ssj_out", output_mode="append")
+    got = {r["user_id"] for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert got == {1}
