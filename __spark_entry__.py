@@ -493,6 +493,23 @@ def _q_hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL distinct-user rollup: sketch per (day, event_type),
+    merge to event_type. Rows-only check (Spark's DataSketches estimates
+    aren't reproducible in DuckDB); the merge-equals-direct-sketch algebra
+    and the accuracy envelope are pinned in tests/test_sketches.py."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.sketches import distinct_rollup
+
+    ev = _read_events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    return distinct_rollup(
+        ev, "user_id", fine_cols=["day", "event_type"], coarse_cols=["event_type"]
+    )
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import quality_features
 
@@ -1073,6 +1090,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name""",
     ),
+    "hll_rollup_events": (_q_hll_rollup, None),
     "knn_brute_embeddings": (
         _q_knn_brute,
         """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
