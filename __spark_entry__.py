@@ -493,6 +493,19 @@ def _q_hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.events import cohort_retention
+
+    out = cohort_retention(_read_events(spark, sf_dir), period="week")
+    return out.select(
+        F.col("cohort").cast("date").cast("string").alias("cohort_week"),
+        F.datediff(F.col("period"), F.col("cohort")).cast("long").alias("day_offset"),
+        "active_users",
+    )
+
+
 def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-HLL distinct-user rollup: sketch per (day, event_type),
     merge to event_type. Rows-only check (Spark's DataSketches estimates
@@ -1091,6 +1104,20 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            GROUP BY n_name""",
     ),
     "hll_rollup_events": (_q_hll_rollup, None),
+    "cohort_retention_events": (
+        _q_cohort_retention,
+        """WITH cohorts AS (
+             SELECT user_id, date_trunc('week', min(ts)) AS cohort
+             FROM events GROUP BY user_id),
+           activity AS (
+             SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+             FROM events)
+           SELECT CAST(CAST(c.cohort AS DATE) AS VARCHAR) AS cohort_week,
+                  CAST(date_diff('day', CAST(c.cohort AS DATE), CAST(a.period AS DATE)) AS BIGINT) AS day_offset,
+                  count(*) AS active_users
+           FROM activity a JOIN cohorts c USING (user_id)
+           GROUP BY c.cohort, a.period""",
+    ),
     "knn_brute_embeddings": (
         _q_knn_brute,
         """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),

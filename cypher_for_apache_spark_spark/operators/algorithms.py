@@ -95,8 +95,29 @@ def connected_components(
     rel_types=(),
     jumps_per_round: int = 2,
 ) -> DataFrame:
+    """(id, component) over a PropertyGraph — see
+    ``connected_components_edges`` for the algorithm; this wrapper feeds it
+    the graph's edge and vertex frames (isolated vertices get their own
+    component id)."""
+    return connected_components_edges(
+        _edges(graph, rel_types),
+        vertices=_vertices(graph),
+        max_iterations=max_iterations,
+        jumps_per_round=jumps_per_round,
+    )
+
+
+def connected_components_edges(
+    edges: DataFrame,
+    vertices: Optional[DataFrame] = None,
+    max_iterations: int = 30,
+    jumps_per_round: int = 2,
+) -> DataFrame:
     """(id, component) where component is the minimum node id in each
-    undirected connected component.
+    undirected connected component of an (src, dst) edge frame — usable
+    directly on any pair list (duplicate pairs, co-occurrence edges), not
+    just PropertyGraphs. ``vertices`` (optional single ``id`` column) adds
+    isolated vertices as their own components.
 
     Min-star **edge contraction** (the Kiveris et al. "Connected Components
     in MapReduce" family): each round (1) every vertex adopts the minimum of
@@ -121,16 +142,14 @@ def connected_components(
     - All shuffles are equi-joins / aggregations on long ids; AQE turns the
       late-round tiny label maps into broadcast joins at runtime.
     """
-    e0 = _edges(graph, rel_types)
     # canonical undirected edge set: src < dst, no self-loops, deduped
     cur_e = _checkpoint(
-        e0.select(
+        edges.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
     )
-    all_v = _vertices(graph)
     incident = (
         cur_e.select(F.col("src").alias("id"))
         .unionByName(cur_e.select(F.col("dst").alias("id")))
@@ -185,12 +204,13 @@ def connected_components(
         total = total.join(jmp, total.component == jmp._lid, "left_outer").select(
             "id", F.coalesce("_lcomp", "component").alias("component")
         )
-    isolated = all_v.join(incident, "id", "left_anti").select(
-        "id", F.col("id").alias("component")
-    )
-    out = total.unionByName(isolated)
+    if vertices is not None:
+        isolated = vertices.join(incident, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        total = total.unionByName(isolated)
     incident.unpersist()
-    return out
+    return total
 
 
 def bfs_distances(

@@ -160,6 +160,36 @@ def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig_a)
 
 
+def minhash_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    mode: str = "word",
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Signature-verified near-duplicate pairs ``(id_a, id_b,
+    jaccard_est >= threshold)`` from MinHash + LSH banding — the shared
+    candidate stage behind both dedup policies below."""
+    # signatures feed banding and both sides of the verification join;
+    # materialize before the branches fan out (see ngram_jaccard_pairs)
+    sigs = materialize(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
+    )
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", signature_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -173,25 +203,49 @@ def minhash_dedup(
     """Near-duplicate removal: MinHash -> LSH banding -> signature-verified
     pairs above ``threshold`` -> drop the larger id of each pair.
 
-    (Keeping min-of-pair is the standard single-pass policy; full
-    connected-components clustering is available via iterating
-    ``duplicate_pairs`` externally.)"""
-    # signatures feed banding and both sides of the verification join;
-    # materialize before the branches fan out (see ngram_jaccard_pairs)
-    sigs = materialize(
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
-    )
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    verified = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard_est", signature_jaccard(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("jaccard_est") >= threshold)
-        .select("id_a", "id_b", "jaccard_est")
+    (Keeping min-of-pair is the standard single-pass policy; see
+    ``minhash_dedup_cc`` for full-cluster semantics.)"""
+    verified = minhash_duplicate_pairs(
+        df, text_col, id_col, num_hashes, shingle_size, mode, bands, threshold
     )
     losers = verified.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    mode: str = "word",
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cluster-complete near-duplicate removal: duplicate pairs form an
+    undirected similarity graph; connected components collapse transitive
+    chains (A~B, B~C but A!~C still lands A, B, C in one cluster); exactly
+    one document (the minimum id) survives per cluster.
+
+    The pairwise policy above can keep both ends of a transitive chain —
+    this one cannot, which is the semantics most corpus-dedup pipelines
+    (e.g. the C4/RefinedWeb family) actually want. Costs one
+    edge-contraction CC over the PAIR list (tiny relative to the corpus;
+    work proportional to duplicate-pair count, not corpus size)."""
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        connected_components_edges,
+    )
+
+    verified = minhash_duplicate_pairs(
+        df, text_col, id_col, num_hashes, shingle_size, mode, bands, threshold
+    )
+    comps = connected_components_edges(
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # component == min id of the cluster by construction: everything else drops
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, id_col, "left_anti")
 
 

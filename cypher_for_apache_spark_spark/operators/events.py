@@ -70,3 +70,31 @@ def time_rollup(
             F.sum(F.col(value_col)).alias("sum_value"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are assigned to the period of their
+    FIRST activity; each cell counts distinct users of that cohort active
+    in a later period.
+
+    Two aggregations and one equi-join, all keyed on the user id / small
+    (cohort, period) pairs — the cohort map is |users| wide and the
+    activity frame collapses to distinct (user, period) before the join,
+    so no shuffle ever carries more than one row per user-period."""
+    ts = F.col(ts_col).cast("timestamp")
+    cohorts = df.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts)).alias("cohort")
+    )
+    activity = df.select(
+        F.col(user_col), F.date_trunc(period, ts).alias("period")
+    ).dropDuplicates()
+    return (
+        activity.join(cohorts, user_col)
+        .groupBy("cohort", "period")
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -313,3 +313,31 @@ def test_cosine_dedup_greedy(cos_vecs):
     # losers (the larger id of each near-dup pair) are dropped
     assert {100, 101, 102}.isdisjoint(ids)
     assert {0, 1, 2, 103} <= ids
+
+
+def test_minhash_dedup_cc_collapses_transitive_chains(spark):
+    """A~B and B~C similar but A!~C: pairwise min-keep may keep two of the
+    chain; cluster-complete dedup keeps exactly one."""
+    from cypher_for_apache_spark_spark.operators.dedup import (
+        minhash_dedup_cc,
+        minhash_duplicate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 4),
+            (2, base * 4 + "tail one two three"),
+            (3, base * 4 + "tail one two three four five six seven"),
+            (4, "completely different text about spark catalyst planning"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_duplicate_pairs(docs, threshold=0.5)
+    linked = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in linked  # the chain exists
+    kept = sorted(
+        r["doc_id"] for r in minhash_dedup_cc(docs, threshold=0.5).collect()
+    )
+    # one survivor (min id) for the 1-2-3 cluster, plus the unrelated doc
+    assert kept == [1, 4]
