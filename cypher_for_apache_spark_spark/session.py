@@ -39,10 +39,23 @@ class CypherResult:
     def show(self, n: int = 20, truncate=False):
         self.df.show(n, truncate=truncate)
 
-    def explain(self, mode: str = "formatted"):
-        """Physical-plan inspection hook (reference: printPhysicalPlan,
-        SparkTable.scala:505-514)."""
-        self.df.explain(mode)
+    def explain(self, mode: str = "formatted") -> str:
+        """Physical-plan text for the compiled query (reference:
+        PrintRelationalPlan / MorpheusRecords plan output). Useful for
+        asserting what actually reaches the scan — PushedFilters,
+        ReadSchema pruning, join strategies, WholeStageCodegen spans.
+
+        ``mode``: any Spark explain mode (simple/extended/codegen/cost/
+        formatted) or "physical" for the raw executed-plan tree."""
+        if mode == "physical":
+            return self.df._jdf.queryExecution().executedPlan().toString()
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.df.explain(mode=mode)
+        return buf.getvalue()
 
 
 def _spark_tuning(spark: SparkSession) -> None:
