@@ -429,6 +429,15 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, bench, n=8)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.contamination import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("source = 'src0'")
+    train = docs.where("source <> 'src0'")
+    return decontaminate(train, bench, n=8, max_overlap=0.2).select("doc_id")
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1018,6 +1027,29 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                          ELSE 0.0 END, 6) AS contamination
             FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
             LEFT JOIN agg a USING (doc_id)""",
+    ),
+    "decontaminate_docs": (
+        _q_decontaminate,
+        f"""WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM n),
+            grams AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(w) >= 8
+                          THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                                              for i in generate_series(1, len(w)-7)])
+                          ELSE [] END AS g
+              FROM toks),
+            bg AS (SELECT DISTINCT unnest(g) AS gram, 1 AS hit
+                   FROM grams WHERE source = 'src0'),
+            tg AS (SELECT doc_id, unnest(g) AS gram
+                   FROM grams WHERE source <> 'src0'),
+            agg AS (
+              SELECT tg.doc_id, count(*) AS total, coalesce(sum(hit), 0) AS matched
+              FROM tg LEFT JOIN bg USING (gram) GROUP BY tg.doc_id)
+            SELECT doc_id FROM documents
+            WHERE source <> 'src0'
+              AND doc_id NOT IN (
+                SELECT doc_id FROM agg WHERE matched > total * 0.2)""",
     ),
     "token_stats_docs": (
         _q_token_stats,

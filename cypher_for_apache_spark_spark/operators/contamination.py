@@ -70,3 +70,49 @@ def ngram_contamination(
             6,
         ).alias("contamination"),
     )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    mode: str = "word",
+    max_overlap: float = 0.0,
+) -> DataFrame:
+    """Drop TRAINING documents that share more than ``max_overlap`` of
+    their distinct n-grams with any benchmark text — the removal step that
+    ``ngram_contamination``'s report motivates (decontamination runs
+    train-side in every serious pipeline; the report above is bench-side).
+
+    Same scale shape as the report: grams travel as 8-byte hashes, the
+    benchmark gram set is the broadcast side, and the per-train-doc
+    overlap is one map-side-combinable aggregation. ``max_overlap=0.0``
+    drops a doc on ANY shared n-gram."""
+    train_grams = train_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingle_hashes(F.col(text_col), n, mode))
+        ).alias("_g"),
+    )
+    bench_grams = (
+        bench_df.select(
+            F.explode(
+                F.array_distinct(shingle_hashes(F.col(text_col), n, mode))
+            ).alias("_g")
+        )
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(1))
+    )
+    overlap = (
+        train_grams.join(F.broadcast(bench_grams), "_g", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_total"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("_matched"),
+        )
+        .filter(F.col("_matched") > F.col("_total") * F.lit(max_overlap))
+        .select(id_col)
+    )
+    return train_df.join(overlap, id_col, "left_anti")

@@ -341,3 +341,31 @@ def test_minhash_dedup_cc_collapses_transitive_chains(spark):
     )
     # one survivor (min id) for the 1-2-3 cluster, plus the unrelated doc
     assert kept == [1, 4]
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    from cypher_for_apache_spark_spark.operators.contamination import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+            (2, "entirely unrelated training content with other words here"),
+            (3, "alpha beta gamma delta epsilon zeta"),  # exact overlap
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, n=4, max_overlap=0.0).collect()
+    )
+    assert kept == [2]
+    # permissive threshold keeps the partially-overlapping doc
+    kept_loose = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, n=4, max_overlap=0.9).collect()
+    )
+    assert kept_loose == [1, 2]
