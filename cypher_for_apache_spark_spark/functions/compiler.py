@@ -333,6 +333,10 @@ def _statically_comparable(ctx: CompileCtx, l: Column, r: Column) -> bool:
     lt, rt = _dtype(ctx, l), _dtype(ctx, r)
     if lt is None or rt is None:
         return True
+    return _statically_comparable_types(lt, rt)
+
+
+def _statically_comparable_types(lt: T.DataType, rt: T.DataType) -> bool:
     if _is(lt, T.NullType) or _is(rt, T.NullType):
         return True
     if _is(lt, *_NUMERIC_T) and _is(rt, *_NUMERIC_T):
@@ -385,9 +389,24 @@ def _in(e: A.In, ctx: CompileCtx) -> Column:
     if _is(rt, T.ArrayType) and isinstance(rt.elementType, T.NullType):
         # list of only-null literals: containment is unknown
         return F.lit(None).cast("boolean")
-    if _is(_dtype(ctx, l), T.NullType) and _is(rt, T.ArrayType):
+    lt = _dtype(ctx, l)
+    if _is(lt, T.NullType) and _is(rt, T.ArrayType):
         # a bare null lhs reaches array_contains as VOID, which it rejects
         l = l.cast(rt.elementType)
+    elif (
+        _is(rt, T.ArrayType)
+        and lt is not None
+        and not _statically_comparable_types(lt, rt.elementType)
+    ):
+        # 'a' IN [1, 2]: element equality across incomparable types is
+        # false, so membership is false — unless an operand is null or the
+        # list holds a null (three-valued logic); Spark's lenient cast
+        # would produce null for the false cases instead
+        return (
+            F.when(l.isNull() | r.isNull(), F.lit(None).cast("boolean"))
+            .when(F.exists(r, lambda x: x.isNull()), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False))
+        )
     # array_contains already implements SQL's three-valued IN (true if
     # found; null if not found but the list holds a null, or an operand is
     # null; false otherwise) — Cypher differs in exactly one case:
