@@ -429,6 +429,15 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, bench, n=8)
 
 
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import gopher_filter
+
+    docs = _docs(spark, sf_dir)
+    return gopher_filter(
+        docs, min_tokens=25, max_dup_word_frac=0.85, max_top_word_frac=0.12
+    ).select("doc_id")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.contamination import decontaminate
 
@@ -1027,6 +1036,34 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                          ELSE 0.0 END, 6) AS contamination
             FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
             LEFT JOIN agg a USING (doc_id)""",
+    ),
+    "gopher_filter_docs": (
+        _q_gopher_filter,
+        f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm, trim(text) AS t FROM documents),
+            q AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(t) = 0 THEN 0
+                          ELSE len(string_split_regex(t, '\\s+')) END AS BIGINT) AS n_tokens,
+                     CASE WHEN length(norm) > 0
+                          THEN length(regexp_replace(norm, '[^a-z]', '', 'g'))
+                               / CAST(length(norm) AS DOUBLE)
+                          ELSE 0.0 END AS alpha_ratio
+              FROM n),
+            toks AS (
+              SELECT doc_id, w
+              FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM n)
+              WHERE w <> ''),
+            per_word AS (
+              SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+            rep AS (
+              SELECT doc_id,
+                     1.0 - count(*) / CAST(sum(c) AS DOUBLE) AS dup_word_frac,
+                     max(c) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+              FROM per_word GROUP BY doc_id)
+            SELECT doc_id FROM q JOIN rep USING (doc_id)
+            WHERE n_tokens >= 25 AND round(dup_word_frac, 6) <= 0.85
+              AND round(top_word_frac, 6) <= 0.12
+              AND round(alpha_ratio, 6) >= 0.6""",
     ),
     "decontaminate_docs": (
         _q_decontaminate,

@@ -158,3 +158,35 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         ),
         F.round(F.col("_top") / F.col("n_words"), 6).alias("top_word_frac"),
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_dup_word_frac: float = 0.4,
+    max_top_word_frac: float = 0.2,
+    min_alpha_ratio: float = 0.6,
+) -> DataFrame:
+    """Gopher-rules-style corpus filter: drop documents that are too
+    short, too repetitive, or too symbol-heavy — the composition of
+    ``quality_features`` and ``repetition_stats`` that an LLM-data
+    pipeline actually ships as its first quality gate.
+
+    One pass for the cheap per-row features, one explode+agg for the
+    repetition metrics (joined back on the id), one filter. Raw text is
+    read once and never shuffles; the join key is the doc id."""
+    q = quality_features(df.select(id_col, text_col), text_col=text_col)
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col)
+    keep = (
+        q.join(rep, id_col)
+        .filter(
+            (F.col("q_n_tokens") >= min_tokens)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+            & (F.col("top_word_frac") <= max_top_word_frac)
+            & (F.col("q_alpha_ratio") >= min_alpha_ratio)
+        )
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
