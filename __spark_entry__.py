@@ -429,6 +429,16 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, bench, n=8)
 
 
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the customer/order/lineitem graph (iterative peeling —
+    no SQL oracle; exactness pinned on known graphs in
+    tests/test_algorithms.py)."""
+    from cypher_for_apache_spark_spark.operators.algorithms import k_core
+
+    g = _graph(spark, sf_dir)
+    return k_core(g, k=2, rel_types=["PLACED", "LINE"])
+
+
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import gopher_filter
 
@@ -1173,6 +1183,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            GROUP BY n_name""",
     ),
     "hll_rollup_events": (_q_hll_rollup, None),
+    "k_core_tpch": (_q_k_core, None),
     "cohort_retention_events": (
         _q_cohort_retention,
         """WITH cohorts AS (

@@ -293,3 +293,59 @@ def degrees(graph: PropertyGraph, rel_types=()) -> DataFrame:
             ),
         )
     )
+
+
+def k_core(
+    graph: PropertyGraph,
+    k: int,
+    rel_types=(),
+    max_iterations: int = 100,
+) -> DataFrame:
+    """(id, degree) for vertices of the k-core: the maximal subgraph where
+    every vertex has undirected degree >= k.
+
+    Iterative peeling: each round computes degrees on the REMAINING edge
+    set and deletes vertices below k together with their incident edges.
+    Work per round is proportional to remaining edges, which only
+    shrinks; every per-round frame is lineage-truncated with the scoped
+    checkpoint (the same discipline as connected_components — the classic
+    failure mode of iterative DataFrames is exponential plan growth, not
+    data volume). Converges when a round deletes nothing.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e0 = _edges(graph, rel_types)
+    cur_e = _checkpoint(
+        e0.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    for _ in range(max_iterations):
+        deg = (
+            cur_e.select(F.col("src").alias("id"))
+            .unionByName(cur_e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("degree"))
+        )
+        survivors = deg.filter(F.col("degree") >= k).select("id")
+        nxt = _checkpoint(
+            cur_e.join(
+                survivors.select(F.col("id").alias("src")), "src", "left_semi"
+            ).join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
+        )
+        if nxt.count() == cur_e.count():  # fixed point: nothing peeled
+            cur_e = nxt
+            break
+        cur_e = nxt
+        if not cur_e.take(1):
+            break
+    final_deg = (
+        cur_e.select(F.col("src").alias("id"))
+        .unionByName(cur_e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+    return final_deg

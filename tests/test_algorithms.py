@@ -82,3 +82,35 @@ def test_bfs_multi_source_min_dist(spark):
     )
     d = {r["id"]: r["dist"] for r in alg.bfs_distances(g, [1, 4]).collect()}
     assert d == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_k_core_peels_tail(spark):
+    """Triangle {1,2,3} with a tail 3-4-5: the 2-core is the triangle
+    only (4 and 5 peel off transitively)."""
+    from cypher_for_apache_spark_spark.operators import algorithms as alg2
+    from cypher_for_apache_spark_spark.sources import edgelist as el
+
+    g = el.from_edge_df(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+        )
+    )
+    core = {r["id"]: r["degree"] for r in alg2.k_core(g, k=2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}
+    # 1-core keeps everything (every vertex has degree >= 1)
+    assert sorted(r["id"] for r in alg2.k_core(g, k=1).collect()) == [1, 2, 3, 4, 5]
+    # 3-core of this graph is empty
+    assert alg2.k_core(g, k=3).count() == 0
+
+
+def test_k_core_two_components(spark):
+    from cypher_for_apache_spark_spark.operators import algorithms as alg2
+    from cypher_for_apache_spark_spark.sources import edgelist as el
+
+    # K4 on {1..4} plus a path 10-11-12: 3-core = the K4 exactly
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    g = el.from_edge_df(
+        spark.createDataFrame(k4 + [(10, 11), (11, 12)], "src long, dst long")
+    )
+    core3 = sorted(r["id"] for r in alg2.k_core(g, k=3).collect())
+    assert core3 == [1, 2, 3, 4]
