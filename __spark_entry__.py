@@ -720,6 +720,32 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase matched to the user's most recent
+    click at-or-before it (union + running-last trick, one shuffle — see
+    operators/asof.py; oracle is DuckDB's native ASOF LEFT JOIN)."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.asof import asof_join
+
+    ev = _read_events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    # one row per (user, ts) keeps tie-breaking engine-independent
+    clicks = (
+        ev.where("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], right_cols=["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("click_us"),
+        F.round(F.col("click_value_right") * 1000).cast("long").alias("click_milli"),
+    )
+
+
 def _q_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1197,6 +1223,21 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                   count(*) AS active_users
            FROM activity a JOIN cohorts c USING (user_id)
            GROUP BY c.cohort, a.period""",
+    ),
+    "asof_clicks_events": (
+        _q_asof_clicks,
+        """WITH p AS (
+             SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+           c AS (
+             SELECT user_id, ts, max(value) AS click_value FROM events
+             WHERE event_type = 'click' GROUP BY user_id, ts)
+           SELECT p.event_id, p.user_id,
+                  epoch_us(p.ts) AS purchase_us,
+                  epoch_us(c.ts) AS click_us,
+                  CAST(round(c.click_value * 1000) AS BIGINT) AS click_milli
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.ts >= c.ts""",
     ),
     "knn_brute_embeddings": (
         _q_knn_brute,
