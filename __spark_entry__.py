@@ -439,6 +439,30 @@ def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(g, k=2, rel_types=["PLACED", "LINE"])
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), chunk_size=32)
+
+
+def _q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.sampling import rebalance_mix
+
+    docs = _docs(spark, sf_dir)
+    return rebalance_mix(
+        docs, "source", "doc_id", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(docs, "doc_id", "n_chars", k=50).select(
+        "doc_id", "n_chars"
+    )
+
+
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import gopher_filter
 
@@ -1044,6 +1068,48 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            SELECT source, bin, count(*) AS n_docs,
                   CAST(sum(t) AS BIGINT) AS n_tokens
            FROM p GROUP BY 1, 2""",
+    ),
+    "chunk_docs": (
+        _q_chunk_docs,
+        f"""WITH t AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                       CAST(ceil(len(toks) / 32.0) AS INT) - 1)) AS chunk_id
+              FROM t)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   array_to_string(toks[(chunk_id*32+1):(chunk_id*32+32)], ' ')
+                     AS chunk_text,
+                   CAST(len(toks[(chunk_id*32+1):(chunk_id*32+32)]) AS BIGINT)
+                     AS n_tokens
+            FROM c""",
+    ),
+    "rebalance_mix_docs": (
+        _q_rebalance_mix,
+        """WITH w(source, p) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+           counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           j AS (SELECT w.source, w.p, counts.n FROM w JOIN counts USING (source)),
+           t AS (SELECT min(n / p) AS T FROM j),
+           fr AS (
+             SELECT source,
+                    CASE WHEN p * T / n >= 1 THEN 'g'
+                         ELSE printf('%08x', CAST(floor(p * T / n * 4294967296.0)
+                                                  AS BIGINT)) END AS cut
+             FROM j, t)
+           SELECT d.doc_id, d.source
+           FROM documents d JOIN fr USING (source)
+           WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < fr.cut""",
+    ),
+    "weighted_sample_docs": (
+        _q_weighted_sample,
+        """WITH s AS (
+             SELECT doc_id, n_chars,
+                    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) + 1.0) / 4294967296.0) / n_chars AS pr
+             FROM documents)
+           SELECT doc_id, n_chars FROM s ORDER BY pr DESC, doc_id LIMIT 50""",
     ),
     "contamination_docs": (
         _q_contamination,

@@ -118,3 +118,78 @@ def pack_sequences(
     return df.withColumn(
         bin_col, F.floor(before / F.lit(max_tokens)).cast("long")
     )
+
+
+def rebalance_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: Dict[str, float],
+) -> DataFrame:
+    """Downsample groups so the surviving corpus matches a target mix
+    (e.g. domain weights for a training run): find the largest total T
+    with p_g * T <= n_g for every group, then hash-sample each group at
+    fraction p_g * T / n_g. The binding group survives whole; everything
+    else is thinned deterministically (same md5-bucket discipline as
+    ``hash_sample`` — re-run- and partition-stable).
+
+    Groups not named in ``weights`` are dropped. Plan shape: one count
+    aggregation over the group column (map-side combinable), a broadcast
+    of the |groups|-row fraction table, then a stateless per-row filter —
+    the raw data is read once and never shuffles."""
+    total = float(sum(weights.values()))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, w / total) for g, w in weights.items()], f"{group_col} string, p double"
+    )
+    counts = df.groupBy(group_col).count()
+    j = counts.join(wdf, group_col)
+    t = j.select(F.min(F.col("count") / F.col("p")).alias("T"))
+    # frac == 1 for the binding group: 'g' sentinel sorts after every hex
+    # digit, keeping the whole group (mirrors split_cutoffs)
+    frac = F.col("p") * F.col("T") / F.col("count")
+    cut = F.when(frac >= 1, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(frac * F.lit(float(1 << 32)))), 8, "0"))
+    )
+    fractions = j.crossJoin(F.broadcast(t)).select(group_col, cut.alias("_cut"))
+    return (
+        df.join(F.broadcast(fractions), group_col)
+        .filter(hash_key(F.col(key_col)) < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str = None,
+) -> DataFrame:
+    """Weighted sampling without replacement (k rows, inclusion odds
+    proportional to ``weight_col``), deterministic: the A-ES exponential
+    jump method with the randomness replaced by the md5 hash of the key.
+    Each row gets u = (h+1)/2^32 in (0,1] and priority ln(u)/w; the k
+    largest priorities win. Re-run-stable, partition-independent, and
+    reproducible in any engine with md5 + ln.
+
+    With ``group_col``, k rows per group (one window shuffle on the
+    group); without, a global TakeOrdered top-k (no full sort)."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 32))
+    priority = F.log(u) / F.col(weight_col)
+    if group_col is None:
+        return (
+            df.withColumn("_pr", priority)
+            .orderBy(F.col("_pr").desc(), F.col(key_col))
+            .limit(k)
+            .drop("_pr")
+        )
+    w = W.partitionBy(group_col).orderBy(priority.desc(), F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

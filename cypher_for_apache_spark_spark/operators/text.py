@@ -190,3 +190,35 @@ def gopher_filter(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+) -> DataFrame:
+    """Split every document into fixed-size contiguous token chunks —
+    the sequence-prep step that turns a cleaned corpus into trainer
+    input (the packing sibling is ``sampling.pack_sequences``).
+
+    Returns (id, chunk_id, chunk_text, n_tokens); the final chunk may be
+    short. The chunk list is built with JVM-side HOFs (``transform`` +
+    ``slice``) and fanned out in a single generator — no Python, no
+    shuffle, and the parquet scan reads only (id, text). At 100 TB the
+    fan-out multiplies rows ~n_tokens/chunk_size×, which is exactly the
+    output volume; nothing intermediate is wider."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * chunk_size + 1, chunk_size),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_ct")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.array_join("_ct", " ").alias("chunk_text"),
+        F.size("_ct").cast("long").alias("n_tokens"),
+    )
