@@ -463,6 +463,64 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the nations-sharing-a-region graph (each
+    region's nations form a clique: C(5,3) triangles per 5-nation
+    region). Exercises the canonical-ordering 3-branch join."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import triangle_count
+    from cypher_for_apache_spark_spark.sources import edgelist
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a = n.select(F.col("n_nationkey").alias("a"), "n_regionkey")
+    b = n.select(F.col("n_nationkey").alias("b"), "n_regionkey")
+    e = (
+        a.join(b, "n_regionkey")
+        .filter("a < b")
+        .select(
+            F.col("a").cast("long").alias("src"),
+            F.col("b").cast("long").alias("dst"),
+        )
+    )
+    return triangle_count(edgelist.from_edge_df(e))
+
+
+def _k_core_oracle_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled peeling oracle for k_core_tpch (PLACED+LINE edges, k=2).
+
+    DuckDB's recursive CTEs can't reference the working table twice (the
+    degree check needs both endpoints), so peel rounds are unrolled —
+    the same discipline as the unrolled-SQL PageRank oracle. sf0.01
+    converges in 1 round; extra rounds are fixpoint no-ops, so 4 is a
+    safety margin, not a tuning knob."""
+    S = 1 << 40
+    sql = f"""WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT o_custkey + {2 * S} AS src, o_orderkey + {5 * S} AS dst FROM orders
+        UNION ALL
+        SELECT l_partkey + {4 * S} AS src, l_orderkey + {5 * S} AS dst FROM lineitem)
+      WHERE src <> dst)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT id, count(*) AS deg FROM (
+          SELECT src AS id FROM {prev} UNION ALL SELECT dst FROM {prev})
+        GROUP BY id) WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN d{i} a ON e.src = a.id
+      JOIN d{i} b ON e.dst = b.id)"""
+        prev = f"e{i}"
+    sql += f"""
+    SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT src AS id FROM {prev} UNION ALL SELECT dst FROM {prev})
+    GROUP BY id HAVING count(*) >= {k}"""
+    return sql
+
+
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import gopher_filter
 
@@ -1275,7 +1333,16 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            GROUP BY n_name""",
     ),
     "hll_rollup_events": (_q_hll_rollup, None),
-    "k_core_tpch": (_q_k_core, None),
+    "k_core_tpch": (_q_k_core, _k_core_oracle_sql()),
+    "triangles_nations": (
+        _q_triangles,
+        """SELECT CAST(count(*) AS BIGINT) AS triangles
+           FROM nation a
+           JOIN nation b ON a.n_regionkey = b.n_regionkey
+                        AND a.n_nationkey < b.n_nationkey
+           JOIN nation c ON b.n_regionkey = c.n_regionkey
+                        AND b.n_nationkey < c.n_nationkey""",
+    ),
     "cohort_retention_events": (
         _q_cohort_retention,
         """WITH cohorts AS (
