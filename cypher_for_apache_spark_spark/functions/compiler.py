@@ -881,7 +881,21 @@ def compile_aggregate(e: A.Expr, ctx: CompileCtx) -> Column:
     if name == "count":
         return F.count_distinct(arg) if e.distinct else F.count(arg)
     if name == "sum":
-        return F.sum_distinct(arg) if e.distinct else F.sum(arg)
+        s = F.sum_distinct(arg) if e.distinct else F.sum(arg)
+        # Cypher: sum over zero rows (or only nulls) is 0 — Spark's SUM
+        # yields null. Coalesce with a zero of the argument's own type
+        # (numeric 0, zero duration for interval sums).
+        dt = _dtype(ctx, arg)
+        if isinstance(dt, T.DayTimeIntervalType):
+            return F.coalesce(s, F.expr("INTERVAL '0' SECOND").cast(dt))
+        if isinstance(dt, T.NullType):
+            # typed-null arg (e.g. property that exists nowhere): no values
+            # can ever contribute, and Cypher's zero here is integer 0 —
+            # Spark would promote SUM(NULL) to double
+            return F.coalesce(s.cast("long"), F.lit(0).cast("long"))
+        if dt is None:  # unresolvable (lambda body)
+            return F.coalesce(s, F.lit(0))
+        return F.coalesce(s, F.lit(0).cast(dt))
     if name == "avg":
         if e.distinct:
             # avg(DISTINCT x) = sum(DISTINCT x) / count(DISTINCT x) — Spark
