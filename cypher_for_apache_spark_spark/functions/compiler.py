@@ -38,7 +38,10 @@ class CompileCtx:
     def with_lambda(self, name: str, col: Column) -> "CompileCtx":
         lv = dict(self.lambda_vars)
         lv[name] = col
-        return CompileCtx(self.df, self.scope, self.params, lv)
+        # df=None: columns referencing a lambda variable can never resolve
+        # against the outer frame, so _dtype probes inside lambda bodies
+        # are pure waste (a py4j round-trip + a JVM-side ERROR log each)
+        return CompileCtx(None, self.scope, self.params, lv)
 
 
 def _dtype(ctx: CompileCtx, col: Column) -> Optional[T.DataType]:
