@@ -463,6 +463,35 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep, the operators composed the way a real
+    training-data job chains them: Gopher quality gate -> benchmark
+    decontamination -> exact dedup -> deterministic split; returns
+    per-split doc counts + whitespace-token sums. Every stage is the
+    already-oracled operator with the same thresholds, so the oracle is
+    the composition of their SQL as CTEs."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.contamination import decontaminate
+    from cypher_for_apache_spark_spark.operators.dedup import exact_dedup
+    from cypher_for_apache_spark_spark.operators.sampling import hash_split
+    from cypher_for_apache_spark_spark.operators.text import gopher_filter, token_count
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("source = 'src0'")
+    train = docs.where("source <> 'src0'")
+    kept = gopher_filter(
+        train, min_tokens=25, max_dup_word_frac=0.85, max_top_word_frac=0.12
+    )
+    clean = decontaminate(kept, bench, n=8, max_overlap=0.2)
+    deduped = exact_dedup(clean)
+    split = hash_split(deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the nations-sharing-a-region graph (each
     region's nations form a clique: C(5,3) triangles per 5-nation
@@ -1247,6 +1276,70 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
             WHERE source <> 'src0'
               AND doc_id NOT IN (
                 SELECT doc_id FROM agg WHERE matched > total * 0.2)""",
+    ),
+    "pipeline_e2e_docs": (
+        _q_pipeline_e2e,
+        f"""WITH nd AS (
+              SELECT doc_id, source, {_NORM_SQL} AS norm, trim(text) AS t
+              FROM documents),
+            tr AS (SELECT * FROM nd WHERE source <> 'src0'),
+            q AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(t) = 0 THEN 0
+                          ELSE len(string_split_regex(t, '\\s+')) END AS BIGINT) AS n_tokens,
+                     CASE WHEN length(norm) > 0
+                          THEN length(regexp_replace(norm, '[^a-z]', '', 'g'))
+                               / CAST(length(norm) AS DOUBLE)
+                          ELSE 0.0 END AS alpha_ratio
+              FROM tr),
+            toks AS (
+              SELECT doc_id, w
+              FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM tr)
+              WHERE w <> ''),
+            pw AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+            rep AS (
+              SELECT doc_id,
+                     1.0 - count(*) / CAST(sum(c) AS DOUBLE) AS dup_word_frac,
+                     max(c) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+              FROM pw GROUP BY doc_id),
+            kept AS (
+              SELECT doc_id FROM q JOIN rep USING (doc_id)
+              WHERE n_tokens >= 25 AND round(dup_word_frac, 6) <= 0.85
+                AND round(top_word_frac, 6) <= 0.12
+                AND round(alpha_ratio, 6) >= 0.6),
+            gw AS (SELECT doc_id, source, string_split(norm, ' ') AS w FROM nd),
+            grams AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(w) >= 8
+                          THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                                              for i in generate_series(1, len(w)-7)])
+                          ELSE [] END AS g
+              FROM gw),
+            bg AS (SELECT DISTINCT unnest(g) AS gram, 1 AS hit
+                   FROM grams WHERE source = 'src0'),
+            tg AS (SELECT doc_id, unnest(g) AS gram
+                   FROM grams JOIN kept USING (doc_id)),
+            agg AS (
+              SELECT tg.doc_id, count(*) AS total, coalesce(sum(hit), 0) AS matched
+              FROM tg LEFT JOIN bg USING (gram) GROUP BY tg.doc_id),
+            clean AS (
+              SELECT doc_id FROM kept
+              WHERE doc_id NOT IN (SELECT doc_id FROM agg WHERE matched > total * 0.2)),
+            dd AS (
+              SELECT min(doc_id) AS doc_id FROM nd JOIN clean USING (doc_id)
+              GROUP BY md5(norm)),
+            s AS (
+              SELECT CASE
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{format(round(0.9 * (1 << 32)), "08x")}' THEN 'train'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                            < '{format(round(0.95 * (1 << 32)), "08x")}' THEN 'val'
+                       ELSE 'test' END AS split,
+                     CASE WHEN length(t) = 0 THEN 0
+                          ELSE len(string_split_regex(t, '\\s+')) END AS tk
+              FROM nd JOIN dd USING (doc_id))
+            SELECT split, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
+            FROM s GROUP BY split""",
     ),
     "token_stats_docs": (
         _q_token_stats,
