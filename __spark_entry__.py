@@ -356,6 +356,23 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(simhash(docs), max_distance=3, chunks=4)
 
 
+def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pigeonhole pipeline as dedup_simhash_pairs but with the
+    portable md5 token hash, so the ENTIRE simhash computation (votes,
+    fingerprints, candidate pieces, Hamming verify) has an exact DuckDB
+    oracle. Candidate generation is exact for distance < chunks, so the
+    oracle may verify all pairs brute-force."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    out = simhash_pairs(simhash(docs, hash_mode="md5"), max_distance=3, chunks=4)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1089,6 +1106,30 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
     ),
     "dedup_minhash_docs": (_q_dedup_minhash, None),
     "dedup_simhash_pairs": (_q_simhash_pairs, None),
+    "dedup_simhash_portable": (
+        _q_simhash_portable,
+        f"""WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+                  FROM toks),
+            bits AS (SELECT doc_id, h, unnest(generate_series(0, 59)) AS i
+                     FROM h),
+            votes AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY doc_id, i),
+            fp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                                   ELSE 0 END) AS BIGINT) AS f
+              FROM votes GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3""",
+    ),
     # exact algorithm (prefix filter only prunes, never drops a true pair),
     # so a string-n-gram DuckDB oracle reproduces it: Jaccard over 64-bit
     # shingle hashes == Jaccard over shingle strings absent collisions

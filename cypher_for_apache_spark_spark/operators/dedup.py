@@ -359,21 +359,34 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: token hashes vote per bit position;
     the fingerprint bit is 1 where the vote sum is positive.
 
     explode + one aggregation with ``bits`` map-side-combinable sums.
+
+    hash_mode: ``xxhash64`` (default, fastest) or ``md5`` — a portable
+    60-bit token hash (first 15 hex chars of md5) that any engine with
+    md5 can reproduce bit-for-bit, giving the whole simhash pipeline an
+    exact cross-engine oracle. The 4 top fingerprint bits are then
+    constant zero, which only shifts Hamming distances uniformly by 0.
     """
     def bit_mask(i: int) -> int:
         # two's-complement long literal (1 << 63 overflows signed long)
         m = 1 << i
         return m - (1 << 64) if i == 63 else m
 
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+    elif hash_mode == "xxhash64":
+        h = F.xxhash64("_t")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), WHITESPACE)).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", h)
     votes = [
         F.sum(
             F.when(F.col("_h").bitwiseAND(F.lit(bit_mask(i))) != 0, 1).otherwise(-1)
