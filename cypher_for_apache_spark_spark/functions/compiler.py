@@ -108,7 +108,9 @@ def _param(e: A.Param, ctx: CompileCtx) -> Column:
 
 def _list_lit(e: A.ListLit, ctx: CompileCtx) -> Column:
     if not e.items:
-        return F.array().cast("array<string>")
+        # typed-null element type: concat/comparison against a typed list
+        # unifies to the other side ([] + [1] must be [1], not ['1'])
+        return F.array()
     return F.array(*[compile_expr(x, ctx) for x in e.items])
 
 

@@ -1,0 +1,55 @@
+"""Plan-shape assertions for the round-3 operators: the properties that
+matter at 100 TB, asserted on the executed plan string."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_spark_spark.operators.sampling import (
+    hash_split,
+    rebalance_mix,
+    weighted_sample,
+)
+from cypher_for_apache_spark_spark.operators.text import chunk_tokens
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs.parquet")
+    rows = [(i, f"word{i} common text body {i % 7}", f"s{i % 3}", 10 + i % 5) for i in range(300)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_chunk_tokens_no_shuffle_and_pruned_scan(docs):
+    plan = _plan(chunk_tokens(docs, chunk_size=4))
+    assert "Exchange" not in plan  # pure per-row fan-out
+    # column pruning reaches the parquet scan: n_chars/source not read
+    assert "ReadSchema" in plan and "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_hash_split_no_shuffle(docs):
+    plan = _plan(hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2}))
+    assert "Exchange" not in plan
+
+
+def test_rebalance_mix_broadcasts_fraction_table(docs):
+    out = rebalance_mix(docs, "source", "doc_id", {"s0": 0.5, "s1": 0.5})
+    plan = _plan(out)
+    # the per-group fraction table reaches the data via broadcast join;
+    # the raw rows themselves never hash-shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_global_is_take_ordered(docs):
+    plan = _plan(weighted_sample(docs, "doc_id", "n_chars", k=10))
+    # top-k must not be a full sort: TakeOrderedAndProject keeps k rows
+    # per partition then merges
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
