@@ -480,6 +480,51 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from customer #1 over PLACED (w=1) + LINE
+    (w=quantity): every part's distance is min over that customer's
+    orders of 1 + line quantity — relaxation competition across parallel
+    paths, exactly reproducible by the unrolled Bellman-Ford oracle."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import sssp
+
+    g = _graph(spark, sf_dir)
+    src = 1 + (2 << 40)  # Customer stride (sources/tpch.py) + custkey 1
+    out = sssp(g, [src], weight_prop="quantity", rel_types=["PLACED", "LINE"])
+    return out.select("id", F.round("dist", 6).alias("dist"))
+
+
+def _sssp_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford rounds (same discipline as the k-core
+    oracle): relax all edges against the previous distance frame, merge
+    with min. The PLACED+LINE graph from one customer converges in 2
+    rounds; extra rounds are fixpoint no-ops."""
+    S = 1 << 40
+    src = 1 + 2 * S
+    sql = f"""WITH e AS MATERIALIZED (
+      SELECT o_custkey + {2 * S} AS src, o_orderkey + {5 * S} AS dst, 1.0 AS w
+      FROM orders
+      UNION ALL
+      SELECT l_orderkey + {5 * S}, l_partkey + {4 * S}, CAST(l_quantity AS DOUBLE)
+      FROM lineitem),
+    d0 AS (SELECT CAST({src} AS BIGINT) AS id, 0.0 AS d)"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    r{i} AS MATERIALIZED (
+      SELECT dst AS id, min(d + w) AS d FROM {prev} JOIN e ON id = src
+      GROUP BY dst),
+    d{i} AS MATERIALIZED (
+      SELECT id, min(d) AS d FROM
+        (SELECT id, d FROM {prev} UNION ALL SELECT id, d FROM r{i})
+      GROUP BY id)"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT id, round(d, 6) AS dist FROM {prev}"""
+    return sql
+
+
 def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus prep, the operators composed the way a real
     training-data job chains them: Gopher quality gate -> benchmark
@@ -1468,6 +1513,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
     ),
     "hll_rollup_events": (_q_hll_rollup, None),
     "k_core_tpch": (_q_k_core, _k_core_oracle_sql()),
+    "sssp_customer_parts": (_q_sssp, _sssp_oracle_sql()),
     "triangles_nations": (
         _q_triangles,
         """SELECT CAST(count(*) AS BIGINT) AS triangles

@@ -349,3 +349,54 @@ def k_core(
         .filter(F.col("degree") >= k)
     )
     return final_deg
+
+
+def sssp(
+    graph: PropertyGraph,
+    sources: List[int],
+    weight_prop: Optional[str] = None,
+    rel_types=(),
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Weighted single-/multi-source shortest-path distances over directed
+    edges with non-negative weights: (id, dist) for every reachable node.
+
+    Bellman-Ford frontier iteration — the same delta discipline as
+    ``bfs_distances`` but carrying a double distance: each round relaxes
+    only edges leaving nodes whose distance improved last round, merges
+    candidate distances with a min-aggregation, and stops when no node
+    improves. Work per round is O(frontier-out-edges); every per-round
+    frame is lineage-truncated with the scoped checkpoint. With
+    ``weight_prop`` unset (or null on an edge) the weight is 1.0.
+    """
+    e = graph.scan_rels(rel_types, out_id="_eid", out_src="src", out_dst="dst")
+    if e is None:
+        raise ValueError("graph has no relationship tables")
+    if weight_prop is not None and weight_prop in e.columns:
+        w = F.coalesce(F.col(weight_prop).cast("double"), F.lit(1.0))
+    else:
+        w = F.lit(1.0)
+    edges = _checkpoint(e.select("src", "dst", w.alias("w")))
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(s), 0.0) for s in sources], "id long, d double")
+    dist = _checkpoint(dist.groupBy("id").agg(F.min("d").alias("d")))
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("_nd"))
+            .groupBy("id")
+            .agg(F.min("_nd").alias("_nd"))
+        )
+        improved = _checkpoint(
+            cand.join(dist, "id", "left_outer")
+            .filter(F.col("d").isNull() | (F.col("_nd") < F.col("d")))
+            .select("id", F.col("_nd").alias("d"))
+        )
+        if not improved.take(1):
+            break
+        dist = _checkpoint(
+            dist.unionByName(improved).groupBy("id").agg(F.min("d").alias("d"))
+        )
+        frontier = improved
+    return dist.select("id", F.col("d").alias("dist"))

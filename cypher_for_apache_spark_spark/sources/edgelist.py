@@ -17,8 +17,11 @@ from cypher_for_apache_spark_spark.graph import NodeTable, PropertyGraph, Relati
 
 
 def from_edge_df(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> PropertyGraph:
+    extra = [c for c in edges.columns if c not in (src_col, dst_col)]
     e = edges.select(
-        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        *[F.col(c) for c in extra],
     )
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -26,12 +29,15 @@ def from_edge_df(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -
         .dropDuplicates()
     )
     w = W.partitionBy("src", "dst").orderBy(F.lit(1))
+    # any columns beyond the endpoints ride along as :E properties
+    # (weights for sssp, timestamps, ...)
     rels = e.withColumn("_ordinal", F.row_number().over(w)).select(
         (
             F.xxhash64(F.col("src"), F.col("dst"), F.col("_ordinal"))
         ).alias("id"),
         "src",
         "dst",
+        *[F.col(c) for c in extra],
     )
     return PropertyGraph(
         [NodeTable.create(["V"], nodes)],

@@ -114,3 +114,33 @@ def test_k_core_two_components(spark):
     )
     core3 = sorted(r["id"] for r in alg2.k_core(g, k=3).collect())
     assert core3 == [1, 2, 3, 4]
+
+
+def test_sssp_weighted_chain(spark):
+    # 1 -2.0-> 2 -2.0-> 3 and a heavy shortcut 1 -5.0-> 3: path via 2 wins
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 2.0), (1, 3, 5.0), (4, 5, 1.0)],
+        "src long, dst long, w double",
+    )
+    g = edgelist.from_edge_df(edges)
+    d = {r["id"]: r["dist"] for r in alg.sssp(g, [1], weight_prop="w").collect()}
+    assert d == {1: 0.0, 2: 2.0, 3: 4.0}  # 4,5 unreachable: absent
+
+
+def test_sssp_default_weight_matches_bfs(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    g = edgelist.from_edge_df(edges)
+    d = {r["id"]: r["dist"] for r in alg.sssp(g, [1]).collect()}
+    b = {r["id"]: float(r["dist"]) for r in alg.bfs_distances(g, [1]).collect()}
+    assert d == b  # unweighted sssp == hop counts
+
+
+def test_sssp_multi_source_min(spark):
+    edges = spark.createDataFrame(
+        [(1, 3, 10.0), (2, 3, 1.0)], "src long, dst long, w double"
+    )
+    g = edgelist.from_edge_df(edges)
+    d = {r["id"]: r["dist"] for r in alg.sssp(g, [1, 2], weight_prop="w").collect()}
+    assert d[3] == 1.0  # nearest source wins
