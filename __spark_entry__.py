@@ -456,6 +456,20 @@ def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(g, k=2, rel_types=["PLACED", "LINE"])
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.retrieval import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    out = bm25_scores(docs, ["spark", "table", "row"])
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import chunk_tokens
 
@@ -1241,6 +1255,30 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            SELECT source, bin, count(*) AS n_docs,
                   CAST(sum(t) AS BIGINT) AS n_tokens
            FROM p GROUP BY 1, 2""",
+    ),
+    "bm25_docs": (
+        _q_bm25,
+        f"""WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('row', 'spark', 'table')
+                   GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+            idf AS (SELECT term,
+                           ln(1.0 + (N - df_t + 0.5) / (df_t + 0.5)) AS idf,
+                           avgdl
+                    FROM dfq, st),
+            sc AS (
+              SELECT tf.doc_id,
+                     sum(idf * (tf * 2.2) /
+                         (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+              FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+              GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM sc
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 20""",
     ),
     "chunk_docs": (
         _q_chunk_docs,
