@@ -322,6 +322,7 @@ def k_core(
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
     )
+    _cnt = cur_e.count()
     for _ in range(max_iterations):
         deg = (
             cur_e.select(F.col("src").alias("id"))
@@ -335,11 +336,14 @@ def k_core(
                 survivors.select(F.col("id").alias("src")), "src", "left_semi"
             ).join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
         )
-        if nxt.count() == cur_e.count():  # fixed point: nothing peeled
+        # carry the edge count across rounds: one count job per round,
+        # not two (cur_e's count is last round's nxt count)
+        nc = nxt.count()
+        if nc == _cnt:  # fixed point: nothing peeled
             cur_e = nxt
             break
-        cur_e = nxt
-        if not cur_e.take(1):
+        cur_e, _cnt = nxt, nc
+        if nc == 0:
             break
     final_deg = (
         cur_e.select(F.col("src").alias("id"))
