@@ -476,6 +476,35 @@ def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_tokens(_docs(spark, sf_dir), chunk_size=32)
 
 
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir))
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level boilerplate removal. The synthetic corpus
+    has no newlines, so the entry runs at token granularity (delimiter=' ')
+    — same plan shape, real oracle."""
+    from cypher_for_apache_spark_spark.operators.text import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), delimiter=" ", max_count=200)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-bounded embedding dedup — approximate by design
+    (cross-cluster duplicates are missed); recall vs the exact pair set is
+    measured in tests/test_pipeline_ops.py, so rows-only here."""
+    from cypher_for_apache_spark_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return semantic_dedup(emb, n_centroids=8, threshold=0.4).select(
+        "vec_id", "label"
+    )
+
+
 def _q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.sampling import rebalance_mix
 
@@ -1475,6 +1504,53 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
             FROM documents""",
     ),
+    "classifier_score_docs": (
+        _q_classifier_score,
+        f"""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 w -> w <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(toks) AS n,
+                     coalesce(list_sum(list_transform(toks, w ->
+                       ((('0x' || substr(md5(w), 1, 15))::BIGINT % 1048576)
+                        % 2001) - 1000)), 0) AS total
+              FROM t),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN n > 0 THEN total / (1000.0 * n)
+                          ELSE 0.0 END AS logit
+              FROM s)
+            SELECT doc_id, round(logit, 6) AS logit,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS clf_score
+            FROM l""",
+    ),
+    "line_dedup_docs": (
+        _q_line_dedup,
+        """WITH parts AS (
+             SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+           lines AS (
+             SELECT doc_id, t.i AS pos, p[t.i] AS line
+             FROM parts,
+                  LATERAL (SELECT unnest(generate_series(1, len(p))) AS i) t),
+           heavy AS (
+             SELECT line FROM lines GROUP BY line HAVING count(*) > 200),
+           kept AS (
+             SELECT * FROM lines
+             WHERE line NOT IN (SELECT line FROM heavy)),
+           agg AS (
+             SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+                    count(*) AS n_kept
+             FROM kept GROUP BY doc_id)
+           SELECT d.doc_id,
+                  coalesce(a.text, '') AS text,
+                  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                  CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0)
+                       AS BIGINT) AS n_lines_removed
+           FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    ),
+    "semantic_dedup_embeddings": (_q_semantic_dedup, None),
     "text_quality": (
         _q_text_quality,
         f"""WITH n AS (

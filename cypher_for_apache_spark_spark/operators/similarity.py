@@ -348,3 +348,46 @@ def ivf_search(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    iterations: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with k-means, then compare pairs ONLY within a cluster and drop every
+    row whose cosine similarity to a smaller-id cluster-mate exceeds the
+    threshold (greedy keep-first, same policy as ``dedup.cosine_dedup``).
+
+    This is the scale path for embedding dedup that complements the LSH
+    bucket variant: the quadratic pair work is bounded per cluster
+    (sum of c_i^2 instead of n^2), clusters are an equi-join key, and the
+    centroid model is a tiny driver-side list — the assignment is one
+    Arrow-batched matmul over the scan. Near-duplicates split across two
+    clusters are missed by construction; recall vs the exact pair set is
+    measured in tests (mirrors the LSH-recall discipline).
+    """
+    cents = ivf_train_centroids(df, vec_col, id_col, n_centroids, iterations)
+    assigned = materialize(
+        _assign(df, vec_col, cents).select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("_v"), "_centroid"
+        )
+    )
+    a = assigned.select(
+        F.col("_centroid"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col("_centroid"), F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    pairs = (
+        a.join(b, "_centroid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_sim") >= threshold)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")

@@ -192,6 +192,125 @@ def gopher_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+def portable_hash60(col: Column) -> Column:
+    """Deterministic 60-bit token hash both Spark and DuckDB can compute
+    bit-for-bit: the first 15 hex chars of md5, read as an integer
+    (Spark ``conv(.., 16, 10)``; DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``).
+    Used wherever a hashed value must survive an exact cross-engine oracle;
+    the xxhash64 builtins stay the default on pure-Spark hot paths."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1 << 20,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier: each token hashes
+    into a weight bucket, the document logit is the mean bucket weight, and
+    the score is its sigmoid.
+
+    The weight table is *implicit* — ``weight(b) = (b mod 2001 - 1000)/1000``
+    — standing in for a trained model's lookup; swapping in real weights
+    means replacing one arithmetic expression with a broadcast map join
+    (the plan shape is identical). Everything runs inside ONE projection:
+    ``transform`` + ``aggregate`` over the split-token array, so there is
+    no explode, no shuffle, and no Python — per-document cost is linear in
+    tokens and the parquet scan reads only (id, text). At 100 TB this is a
+    pure map stage that scales with input splits.
+    """
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+
+    # integer milli-weights accumulate exactly (no float-summation-order
+    # drift between engines); one division at the end
+    def weight_milli(t: Column) -> Column:
+        b = F.pmod(portable_hash60(t), F.lit(buckets))
+        return F.pmod(b, F.lit(2001)) - 1000
+
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + weight_milli(t)
+    )
+    n = F.size(toks)
+    logit = F.when(n > 0, total / (F.lit(1000.0) * n)).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(
+        F.col(id_col),
+        F.round(logit, 6).alias("logit"),
+        F.round(score, 6).alias("clf_score"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    max_count: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the CCNet / RefinedWeb
+    pipeline stage): any line occurring more than ``max_count`` times
+    across the WHOLE corpus (nav bars, cookie banners, license headers) is
+    stripped from every document; per-document line order is preserved.
+
+    Scale shape (the part that matters at 100 TB):
+
+    - line frequencies are counted over the portable 60-bit line hash, so
+      the counting aggregation shuffles 8-byte keys with map-side combine
+      — raw text never enters that exchange;
+    - the heavy-hitter set is at most corpus_lines / max_count entries and
+      is broadcast to the kept-lines anti-join, so surviving text is
+      filtered without a shuffle;
+    - reassembly is the single unavoidable text shuffle: one groupBy on
+      the doc id with sort_array(collect_list(struct(pos, line))).
+
+    Returns (id, text, n_lines_kept, n_lines_removed) with cleaned text.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_h", portable_hash60(F.col("_line")))
+    heavy = (
+        lines.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_count)
+        .select("_h")
+    )
+    kept = lines.join(F.broadcast(heavy), "_h", "left_anti")
+    n_total = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit(delimiter), -1)).cast("long").alias(
+            "_n_total"
+        ),
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                delimiter,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .join(n_total, id_col, "right")
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     text_col: str = "text",

@@ -369,3 +369,72 @@ def test_decontaminate_drops_overlapping_train_docs(spark):
         for r in decontaminate(train, bench, n=4, max_overlap=0.9).collect()
     )
     assert kept_loose == [1, 2]
+
+
+def test_semantic_dedup_drops_planted_dups(cos_vecs):
+    out = similarity.semantic_dedup(
+        cos_vecs, n_centroids=4, threshold=0.99, iterations=2
+    )
+    ids = {r["vec_id"] for r in out.collect()}
+    # near-identical vectors land in the same k-means cluster, so the
+    # cluster-bounded pair scan still sees every planted duplicate
+    assert {100, 101, 102}.isdisjoint(ids)
+    assert {0, 1, 2, 103} <= ids
+
+
+def test_semantic_dedup_recall_vs_exact(cos_vecs):
+    exact = {r["vec_id"] for r in dedup.cosine_dedup(cos_vecs, threshold=0.9).collect()}
+    approx = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            cos_vecs, n_centroids=4, threshold=0.9
+        ).collect()
+    }
+    # semantic dedup may MISS cross-cluster dups (keeps extra rows) but must
+    # never invent one (drop a row the exact pass keeps)
+    assert exact <= approx
+    extra = len(approx - exact) / max(len(exact), 1)
+    assert extra <= 0.2, f"cross-cluster miss rate {extra:.3f}"
+
+
+def test_classifier_score_matches_hand_computation(spark):
+    import hashlib
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.classifier_score(df).collect()}
+
+    def w(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return ((h % (1 << 20)) % 2001) - 1000
+
+    logit = (2 * w("alpha") + w("beta")) / (1000.0 * 3)
+    assert got[1]["logit"] == round(logit, 6)
+    assert got[1]["clf_score"] == round(1 / (1 + math.exp(-logit)), 6)
+    # empty / whitespace-only documents: zero logit, sigmoid(0) = 0.5
+    for d in (2, 3):
+        assert got[d]["logit"] == 0.0 and got[d]["clf_score"] == 0.5
+
+
+def test_line_dedup_removes_corpus_boilerplate(spark):
+    boiler = "accept cookies to continue"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique one\nmiddle\n{boiler}"),
+            (2, f"unique two\n{boiler}"),
+            (3, f"{boiler}"),
+            (4, "untouched doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.line_dedup(df, max_count=2).collect()}
+    # 4 occurrences > max_count=2 -> stripped everywhere, order preserved
+    assert out[1]["text"] == "unique one\nmiddle"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_removed"] == 2
+    assert out[2]["text"] == "unique two"
+    # a document that was pure boilerplate survives as an empty row
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[4]["text"] == "untouched doc" and out[4]["n_lines_removed"] == 0
