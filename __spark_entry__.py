@@ -500,9 +500,9 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    return semantic_dedup(emb, n_centroids=8, threshold=0.4).select(
-        "vec_id", "label"
-    )
+    return semantic_dedup(
+        emb, n_centroids=8, threshold=0.4, max_train_rows=2000
+    ).select("vec_id", "label")
 
 
 def _q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

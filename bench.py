@@ -112,6 +112,13 @@ def main() -> None:
             # accumulate memory pressure
             gc.collect()
             spark.catalog.clearCache()
+            # Python gc never triggers JVM gc: without this nudge the JVM
+            # accumulates dead broadcast/localCheckpoint blocks and query
+            # codegen classes across the 75-query run, and ContextCleaner
+            # (which acts on JVM gc) never fires — measured: the late
+            # compute-dense queries degrade several-fold (cosine_dup_pairs
+            # 2.6s -> 17.4s by suite position alone; 1.8s isolated)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)

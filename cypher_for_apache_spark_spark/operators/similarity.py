@@ -255,10 +255,47 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     n_centroids: int = 16,
     iterations: int = 2,
+    train_fraction: Optional[float] = None,
+    max_train_rows: Optional[int] = None,
 ) -> List[List[float]]:
     """k-means-lite centroid training with pure DataFrame aggregations:
     deterministic seeding (hash-sampled rows), Lloyd iterations via
-    argmin-assignment + per-cluster mean."""
+    argmin-assignment + per-cluster mean.
+
+    ``train_fraction`` fits the model on a deterministic hash sample (the
+    standard scale move: centroid quality needs a representative sample,
+    not the full corpus — at 100 TB nobody Lloyd-iterates every row). The
+    sample is hash-of-id so training stays partition- and rerun-stable.
+
+    ``max_train_rows`` additionally bounds the sample and runs the Lloyd
+    iterations driver-side in numpy: ONE Spark job (TakeOrdered of the
+    hash-smallest rows) replaces 2 jobs + 4 shuffles per iteration. The
+    rows are chosen by md5-of-id order, so the model is identical across
+    runs/partitionings; the collected matrix is max_train_rows x dim —
+    bounded regardless of corpus size, which is the point."""
+    if train_fraction is not None:
+        from cypher_for_apache_spark_spark.operators.sampling import hash_sample
+
+        df = hash_sample(df, id_col, train_fraction)
+    if max_train_rows is not None:
+        import numpy as np
+
+        rows = (
+            df.select(as_double(F.col(vec_col)).alias("v"), F.col(id_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(max_train_rows)
+            .collect()
+        )
+        X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        C = X[:n_centroids].copy()
+        for _ in range(iterations):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            for k in range(len(C)):
+                m = X[lab == k]
+                if len(m):
+                    C[k] = m.mean(axis=0)
+        return [list(map(float, c)) for c in C]
     seeds = (
         df.select(as_double(F.col(vec_col)).alias("v"), F.col(id_col))
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -357,6 +394,8 @@ def semantic_dedup(
     n_centroids: int = 16,
     threshold: float = 0.4,
     iterations: int = 2,
+    train_fraction: Optional[float] = None,
+    max_train_rows: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with k-means, then compare pairs ONLY within a cluster and drop every
@@ -371,12 +410,26 @@ def semantic_dedup(
     clusters are missed by construction; recall vs the exact pair set is
     measured in tests (mirrors the LSH-recall discipline).
     """
-    cents = ivf_train_centroids(df, vec_col, id_col, n_centroids, iterations)
+    cents = ivf_train_centroids(
+        df,
+        vec_col,
+        id_col,
+        n_centroids,
+        iterations,
+        train_fraction,
+        max_train_rows,
+    )
+    # unit-normalize ONCE per row (zero vectors -> null, never a pair), so
+    # the quadratic stage pays one dot product per pair instead of a dot
+    # plus two norms
+    v = as_double(F.col(vec_col))
+    n = norm(v)
+    unit = F.when(n != 0, F.transform(v, lambda x: x / n))
     assigned = materialize(
         _assign(df, vec_col, cents).select(
-            F.col(id_col), as_double(F.col(vec_col)).alias("_v"), "_centroid"
+            F.col(id_col), unit.alias("_v"), "_centroid"
         )
-    )
+    ).filter(F.col("_v").isNotNull())
     a = assigned.select(
         F.col("_centroid"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
     )
@@ -386,7 +439,7 @@ def semantic_dedup(
     pairs = (
         a.join(b, "_centroid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("_sim", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("_sim") >= threshold)
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
