@@ -505,6 +505,68 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+def _q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketches: sketch per (day,
+    event_type), roll up to per-day by element-wise array sum, then read
+    p50/p95 off the merged sketch — the two-level path a 100 TB metrics
+    store takes (never rescans raw data for a coarser grain). Bin sums
+    are exact integers, so the DuckDB oracle reproduces the estimates
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    ev = _read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    fine = histogram_sketch(
+        ev, "value", ["day", "event_type"], bins=50, lo=0.0, hi=500.0
+    )
+    daily = histogram_merge(fine, ["day"])
+    daily = histogram_quantile(daily, 0.5, lo=0.0, hi=500.0, out_col="p50_est")
+    daily = histogram_quantile(daily, 0.95, lo=0.0, hi=500.0, out_col="p95_est")
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.aggregate(F.col("hist"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "n_events"
+        ),
+        "p50_est",
+        "p95_est",
+    )
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a nested loop: per-day maintenance windows
+    (02:00-04:00) derived from the event days, events matched to their
+    window by bucketed equi-join (operators/asof.py:range_join), counts
+    per (day, event_type). Oracle: DuckDB's native non-equi range join."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.asof import range_join
+
+    ev = _read_events(spark, sf_dir)
+    ev = ev.select(
+        F.expr("unix_micros(ts) div 1000000").alias("ep"), "event_type"
+    )
+    wins = (
+        _read_events(spark, sf_dir)
+        .select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .select(
+            F.col("day").cast("date").cast("string").alias("day"),
+            (F.expr("unix_micros(day) div 1000000") + 7200).alias("w_start"),
+            (F.expr("unix_micros(day) div 1000000") + 14400).alias("w_end"),
+        )
+    )
+    return (
+        range_join(ev, wins, "ep", "w_start", "w_end", bucket=3600.0)
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.sampling import rebalance_mix
 
@@ -1626,6 +1688,47 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            GROUP BY n_name""",
     ),
     "hll_rollup_events": (_q_hll_rollup, None),
+    "range_join_events": (
+        _q_range_join,
+        """WITH wins AS (
+             SELECT DISTINCT
+                    CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                    CAST(epoch(date_trunc('day', ts)) AS BIGINT) + 7200 AS s,
+                    CAST(epoch(date_trunc('day', ts)) AS BIGINT) + 14400 AS e
+             FROM events),
+           ev AS (SELECT CAST(epoch(ts) AS BIGINT) AS ep, event_type
+                  FROM events)
+           SELECT w.day, ev.event_type, count(*) AS n
+           FROM ev JOIN wins w ON ev.ep >= w.s AND ev.ep < w.e
+           GROUP BY 1, 2""",
+    ),
+    "quantile_rollup_events": (
+        _q_quantile_rollup,
+        """WITH b AS (
+             SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                    GREATEST(0, LEAST(49,
+                        CAST(floor(value / 10.0) AS INT))) AS bin
+             FROM events WHERE value IS NOT NULL),
+           c AS (SELECT day, bin, count(*) AS c FROM b GROUP BY 1, 2),
+           t AS (SELECT day, sum(c) AS total FROM c GROUP BY 1),
+           cum AS (
+             SELECT day, bin, sum(c) OVER
+                 (PARTITION BY day ORDER BY bin) AS cum
+             FROM c),
+           q50 AS (
+             SELECT cum.day, min(bin) AS bin
+             FROM cum JOIN t USING (day)
+             WHERE cum >= ceil(0.5 * total) GROUP BY cum.day),
+           q95 AS (
+             SELECT cum.day, min(bin) AS bin
+             FROM cum JOIN t USING (day)
+             WHERE cum >= ceil(0.95 * total) GROUP BY cum.day)
+           SELECT t.day, CAST(t.total AS BIGINT) AS n_events,
+                  round(q50.bin * 10.0, 6) AS p50_est,
+                  round(q95.bin * 10.0, 6) AS p95_est
+           FROM t JOIN q50 ON t.day = q50.day
+                  JOIN q95 ON t.day = q95.day""",
+    ),
     "k_core_tpch": (_q_k_core, _k_core_oracle_sql()),
     "sssp_customer_parts": (_q_sssp, _sssp_oracle_sql()),
     "triangles_nations": (

@@ -107,3 +107,46 @@ def asof_join(
     sel.append(F.col("__m.__ts").alias(right_ts + suffix))
     sel.extend(F.col(f"__m.{c}").alias(c + suffix) for c in right_cols)
     return out.select(*sel)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket: float,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval join: rows of ``left`` matched to every ``right`` row whose
+    [start, end) interval contains ``left_point`` (optionally also equal on
+    ``keys``). End-exclusive.
+
+    Scale design — Spark's plan for the naive ``l.p >= r.s AND l.p < r.e``
+    predicate is a broadcast-nested-loop (or an exploding theta join with
+    keys); both are O(|L| x |R|) at 100 TB. Bucketing makes it an
+    EQUI-join: each right interval explodes to the fixed-width buckets it
+    covers, each left point lands in exactly one bucket, and the join key
+    is (keys..., bucket) with the exact bound check as a post-filter. A
+    (left, right) pair can meet in only one bucket — the one containing
+    the point — so no dedup pass is needed. Cost is
+    O(|L| + |R| x spans) where spans = interval_width / bucket; pick the
+    bucket near the typical interval width to keep spans small. Point and
+    interval columns are numeric (cast timestamps to epoch first).
+    """
+    lb = F.floor(F.col(left_point) / F.lit(bucket)).cast("long")
+    span = F.sequence(
+        F.floor(F.col(right_start) / F.lit(bucket)).cast("long"),
+        # end-exclusive: an interval ending exactly on a bucket edge does
+        # not cover that bucket
+        F.floor(
+            (F.col(right_end) - F.lit(bucket) / F.lit(1e9)) / F.lit(bucket)
+        ).cast("long"),
+    )
+    l2 = left.withColumn("_rb", lb)
+    r2 = right.withColumn("_rb", F.explode(span))
+    joined = l2.join(r2, [*keys, "_rb"]).filter(
+        (F.col(left_point) >= F.col(right_start))
+        & (F.col(left_point) < F.col(right_end))
+    )
+    return joined.drop("_rb")

@@ -108,3 +108,39 @@ def test_single_shuffle_plan(frames):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_bucketed(spark):
+    from cypher_for_apache_spark_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 100.0), (3, 250.0), (4, 300.0), (5, 299.999)],
+        "lid long, p double",
+    )
+    right = spark.createDataFrame(
+        # [0,300): spans many buckets; [100,101): sub-bucket; [300,400)
+        [(10, 0.0, 300.0), (11, 100.0, 101.0), (12, 300.0, 400.0)],
+        "rid long, s double, e double",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "p", "s", "e", bucket=50.0).collect()
+    }
+    assert got == {
+        (1, 10), (2, 10), (3, 10), (5, 10),  # inside [0,300)
+        (2, 11),                              # exactly at start: included
+        (4, 12),                              # 300 excluded from [0,300), in [300,400)
+    }
+
+
+def test_range_join_with_keys(spark):
+    from cypher_for_apache_spark_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [("x", 5.0), ("y", 5.0)], "k string, p double"
+    )
+    right = spark.createDataFrame(
+        [("x", 0.0, 10.0)], "k string, s double, e double"
+    )
+    rows = range_join(left, right, "p", "s", "e", bucket=4.0, keys=["k"]).collect()
+    assert len(rows) == 1 and rows[0]["k"] == "x"

@@ -49,3 +49,53 @@ def test_rollup_to_global(spark, events):
 def test_sketch_column_is_compact(spark, events):
     row = hll_sketch(events, "user_id", ["day"]).collect()[0]
     assert len(row["hll"]) < 64 * 1024  # a few KB, not the value set
+
+
+def test_histogram_sketch_rollup_and_quantile(spark):
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.5), ("a", 1, 1.5), ("a", 2, 9.5), ("b", 1, -3.0),
+         ("b", 2, 99.0), ("b", 2, None)],
+        "g string, sub int, v double",
+    )
+    fine = histogram_sketch(df, "v", ["g", "sub"], bins=10, lo=0.0, hi=10.0)
+    rows = {(r["g"], r["sub"]): r["hist"] for r in fine.collect()}
+    assert rows[("a", 1)][0] == 1 and rows[("a", 1)][1] == 1
+    assert rows[("a", 2)][9] == 1
+    # clamping: -3 -> bin 0, 99 -> bin 9; nulls dropped
+    assert rows[("b", 1)][0] == 1
+    assert rows[("b", 2)][9] == 1 and sum(rows[("b", 2)]) == 1
+
+    merged = {r["g"]: r["hist"] for r in histogram_merge(fine, ["g"]).collect()}
+    assert merged["a"] == [1, 1, 0, 0, 0, 0, 0, 0, 0, 1]
+
+    q = histogram_quantile(
+        histogram_merge(fine, ["g"]), 0.5, lo=0.0, hi=10.0
+    )
+    got = {r["g"]: r["q_est"] for r in q.collect()}
+    # group a: counts [1,1,...,1] total 3, ceil(1.5)=2 -> bin 1 -> 1.0
+    assert got["a"] == 1.0
+
+
+def test_histogram_rollup_equals_direct(spark):
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    df = spark.range(200).selectExpr(
+        "cast(id % 4 as string) AS g", "cast(id % 7 as string) AS sub",
+        "cast(id % 50 as double) AS v"
+    )
+    fine = histogram_sketch(df, "v", ["g", "sub"], bins=25, lo=0.0, hi=50.0)
+    rolled = {r["g"]: r["hist"] for r in histogram_merge(fine, ["g"]).collect()}
+    direct = {
+        r["g"]: r["hist"]
+        for r in histogram_sketch(df, "v", ["g"], bins=25, lo=0.0, hi=50.0).collect()
+    }
+    assert rolled == direct  # merging fine sketches == sketching coarse
