@@ -53,3 +53,46 @@ def test_weighted_sample_global_is_take_ordered(docs):
     # per partition then merges
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_classifier_score_no_shuffle_pruned_scan(docs):
+    from cypher_for_apache_spark_spark.operators.text import classifier_score
+
+    plan = _plan(classifier_score(docs))
+    assert "Exchange" not in plan  # one projection, no explode
+    assert "ReadSchema" in plan and "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_line_dedup_broadcasts_heavy_set(docs):
+    from cypher_for_apache_spark_spark.operators.text import line_dedup
+
+    plan = _plan(line_dedup(docs, delimiter=" ", max_count=5))
+    # heavy-hitter anti-join must be broadcast (the set is bounded by
+    # corpus_lines/max_count); surviving text shuffles only once, for the
+    # per-doc reassembly groupBy
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from cypher_for_apache_spark_spark.operators.asof import range_join
+
+    left = spark.range(100).selectExpr("id AS lid", "cast(id AS double) AS p")
+    right = spark.range(10).selectExpr(
+        "id AS rid", "cast(id * 10 AS double) AS s", "cast(id * 10 + 10 AS double) AS e"
+    )
+    plan = _plan(range_join(left, right, "p", "s", "e", bucket=10.0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled hash equi-join
+
+
+def test_histogram_sketch_aggs_are_partial(spark):
+    from cypher_for_apache_spark_spark.operators.sketches import histogram_sketch
+
+    df = spark.range(1000).selectExpr(
+        "cast(id % 5 as string) AS g", "cast(id % 100 AS double) AS v"
+    )
+    plan = _plan(histogram_sketch(df, "v", ["g"], bins=20, lo=0.0, hi=100.0))
+    # the per-(group, bin) count must map-side combine: a partial
+    # HashAggregate precedes the exchange
+    before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in before_exchange
