@@ -567,6 +567,12 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), top_n=200)
+
+
 def _q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.sampling import rebalance_mix
 
@@ -1565,6 +1571,25 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                    CAST(len(regexp_extract_all({_NORM_SQL},
                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
             FROM documents""",
+    ),
+    "vocab_coverage_docs": (
+        _q_vocab_coverage,
+        f"""WITH toks AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS t
+              FROM documents),
+            f AS (SELECT t, count(*) AS n FROM toks
+                  WHERE t <> '' GROUP BY t),
+            tot AS (SELECT sum(n) AS total FROM f),
+            ranked AS (
+              SELECT t, n,
+                     row_number() OVER (ORDER BY n DESC, t) AS rank,
+                     sum(n) OVER (ORDER BY n DESC, t
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM f)
+            SELECT t AS token, n AS n_occurrences,
+                   CAST(rank AS BIGINT) AS rank,
+                   round(cum / (SELECT total FROM tot), 6) AS cum_frac
+            FROM ranked WHERE rank <= 200""",
     ),
     "classifier_score_docs": (
         _q_classifier_score,

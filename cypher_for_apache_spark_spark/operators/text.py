@@ -341,3 +341,43 @@ def chunk_tokens(
         F.array_join("_ct", " ").alias("chunk_text"),
         F.size("_ct").cast("long").alias("n_tokens"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary induction: the ``top_n`` most frequent
+    tokens with rank and cumulative corpus coverage — the table that
+    decides a vocab size by reading off "rank k covers X% of tokens".
+
+    Returns (token, n_occurrences, rank, cum_frac). Ties break by token
+    string so the ranking is total and engine-independent.
+
+    Scale shape: one explode into (token) keys with a map-side-combinable
+    count (the only full shuffle is on the token, bounded by vocabulary
+    size, not corpus size), a global top-n TakeOrdered, then rank/cumsum
+    windows over just top_n rows on a single partition — the corpus never
+    sorts."""
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), WHITESPACE)).alias("_t")
+    ).filter(F.col("_t") != "")
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("n"))
+    # the grand total joins in as a broadcast 1-row frame (no plan-time
+    # driver action, stays lazy/distributed)
+    total = counts.agg(F.sum("n").alias("_total"))
+    from pyspark.sql import Window as W
+
+    top = counts.orderBy(F.col("n").desc(), F.col("_t")).limit(top_n)
+    w = W.orderBy(F.col("n").desc(), F.col("_t"))
+    return top.crossJoin(F.broadcast(total)).select(
+        F.col("_t").alias("token"),
+        F.col("n").alias("n_occurrences"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.round(
+            F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0))
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("cum_frac"),
+    )

@@ -438,3 +438,17 @@ def test_line_dedup_removes_corpus_boilerplate(spark):
     # a document that was pure boilerplate survives as an empty row
     assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
     assert out[4]["text"] == "untouched doc" and out[4]["n_lines_removed"] == 0
+
+
+def test_vocab_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    rows = text.vocab_coverage(df, top_n=3).collect()
+    assert [(r["token"], r["n_occurrences"], r["rank"]) for r in rows] == [
+        ("a", 4, 1), ("b", 3, 2), ("c", 1, 3)
+    ]
+    # cumulative coverage is over ALL tokens (9), not just the top-n
+    assert [r["cum_frac"] for r in rows] == [
+        round(4 / 9, 6), round(7 / 9, 6), round(8 / 9, 6)
+    ]

@@ -60,6 +60,8 @@ def main():
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = 0
     for name in qs:
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
