@@ -1918,6 +1918,9 @@ _HEAVY_LAST = [
     "dedup_simhash_pairs",
     "ngram_jaccard_pairs",
     "dedup_minhash_docs",
+    # largest composed plan in the registry (gopher + dedup + clf + split
+    # + chunk in one tree): its codegen volume pollutes whatever runs next
+    "pipeline_e2e_docs",
 ]
 
 
