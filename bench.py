@@ -60,7 +60,12 @@ def main() -> None:
         # back to the interpreter and late queries stall for seconds
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            # 2g: 78 warmed query shapes' compiled methods no longer fit
+            # in 1g, and once UseCodeCacheFlushing starts evicting, hot
+            # nested-loop methods run interpreted (measured: the cosine
+            # pair scan bimodally 1.7s vs 41s across otherwise identical
+            # solo runs)
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
         # the generated-class cache defaults to 100 entries; 41 warmed query
         # shapes à several codegen units thrash the LRU and the biggest
