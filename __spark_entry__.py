@@ -567,6 +567,12 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), min_count=20)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import vocab_coverage
 
@@ -1571,6 +1577,29 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                    CAST(len(regexp_extract_all({_NORM_SQL},
                         '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
             FROM documents""",
+    ),
+    "bigram_pmi_docs": (
+        _q_bigram_pmi,
+        f"""WITH parts AS (
+              SELECT string_split({_NORM_SQL}, ' ') AS p FROM documents),
+            bg AS (
+              SELECT p[t.i] AS w1, p[t.i + 1] AS w2
+              FROM parts,
+                   LATERAL (SELECT unnest(generate_series(1, len(p) - 1))
+                            AS i) t
+              WHERE len(p) >= 2),
+            uni AS (SELECT unnest(p) AS w FROM parts),
+            uc AS (SELECT w, count(*) AS n_w FROM uni
+                   WHERE w <> '' GROUP BY w),
+            tot AS (SELECT count(*) AS n FROM uni WHERE w <> ''),
+            pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg
+                   GROUP BY 1, 2 HAVING count(*) >= 20)
+            SELECT pc.w1, pc.w2, pc.n_pair,
+                   round(ln(CAST(pc.n_pair * tot.n AS DOUBLE)
+                            / CAST(u1.n_w * u2.n_w AS DOUBLE)), 6) AS pmi
+            FROM pc
+            JOIN uc u1 ON pc.w1 = u1.w
+            JOIN uc u2 ON pc.w2 = u2.w, tot""",
     ),
     "vocab_coverage_docs": (
         _q_vocab_coverage,

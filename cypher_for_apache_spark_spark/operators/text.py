@@ -381,3 +381,69 @@ def vocab_coverage(
             6,
         ).alias("cum_frac"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: adjacent-token pairs scored by pointwise mutual
+    information, ``pmi = ln(P(w1,w2) / (P(w1) P(w2)))`` — the standard
+    phrase-detection signal (high PMI = tokens that co-occur far more than
+    chance, e.g. multiword entities worth a single vocab slot).
+
+    Numerator/denominator are products of exact integer counts, divided
+    once as doubles, so the DuckDB oracle reproduces scores bit-for-bit.
+
+    Scale shape: one fan-out to (w1, w2) pairs (bounded by corpus token
+    count), two map-side-combinable count aggregations (pair + unigram),
+    then joins against the unigram table — which is vocabulary-sized, so
+    it broadcasts; raw text never shuffles. ``min_count`` prunes the pair
+    table before the joins."""
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    n = F.size(toks)
+    pairs = df.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = df.select(F.explode(toks).alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    total = uni.agg(F.count(F.lit(1)).alias("_n_total"))
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    out = (
+        pair_counts.join(
+            F.broadcast(uni_counts.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_w1")),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    ratio = (F.col("n_pair") * F.col("_n_total")).cast("double") / (
+        F.col("n_w1") * F.col("n_w2")
+    ).cast("double")
+    return out.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.round(F.log(ratio), 6).alias("pmi"),
+    )

@@ -452,3 +452,19 @@ def test_vocab_coverage(spark):
     assert [r["cum_frac"] for r in rows] == [
         round(4 / 9, 6), round(7 / 9, 6), round(8 / 9, 6)
     ]
+
+
+def test_bigram_pmi(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "new york new york city"), (2, "old york")],
+        "doc_id long, text string",
+    )
+    rows = {(r["w1"], r["w2"]): r for r in text.bigram_pmi(df, min_count=2).collect()}
+    # (york, new), (york, city), (old, york) occur once -> pruned
+    assert set(rows) == {("new", "york")}
+    r = rows[("new", "york")]
+    # counts: 'new' x2, 'york' x3, total 7 tokens, pair 'new york' x2
+    assert r["n_pair"] == 2
+    assert r["pmi"] == round(math.log((2 * 7) / (2 * 3)), 6)
