@@ -573,6 +573,38 @@ def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(_docs(spark, sf_dir), min_count=20)
 
 
+def _q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the parts co-purchase graph
+    (parts adjacent iff they share an order) — triadic closure on a graph
+    that actually has open triangles, unlike the per-region nation
+    cliques. Restricted to small orders (<= 3 lineitems) to bound the
+    per-order pair fan-out in the oracle and the entry identically."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        clustering_coefficient_edges,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 3)
+        .select("l_orderkey")
+    )
+    li = li.join(small, "l_orderkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return clustering_coefficient_edges(edges)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import vocab_coverage
 
@@ -1793,6 +1825,40 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                         AND a.n_nationkey < b.n_nationkey
            JOIN nation c ON b.n_regionkey = c.n_regionkey
                         AND b.n_nationkey < c.n_nationkey""",
+    ),
+    "clustering_parts": (
+        _q_clustering_parts,
+        """WITH small AS (
+             SELECT l_orderkey FROM lineitem
+             GROUP BY l_orderkey HAVING count(*) <= 3),
+           li AS (
+             SELECT l.l_orderkey, l.l_partkey
+             FROM lineitem l JOIN small USING (l_orderkey)),
+           e AS (
+             SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey),
+           tri AS (
+             SELECT ab.s AS a, ab.d AS b, bc.d AS c
+             FROM e ab
+             JOIN e bc ON ab.d = bc.s
+             JOIN e ac ON ac.s = ab.s AND ac.d = bc.d),
+           members AS (
+             SELECT a AS id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri),
+           t AS (SELECT id, count(*) AS triangles FROM members GROUP BY id),
+           deg AS (
+             SELECT id, count(*) AS degree FROM (
+               SELECT s AS id FROM e UNION ALL SELECT d FROM e)
+             GROUP BY id)
+           SELECT deg.id, deg.degree,
+                  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+                  CASE WHEN deg.degree >= 2
+                       THEN round(2.0 * coalesce(t.triangles, 0)
+                                  / (deg.degree * (deg.degree - 1)), 6)
+                       ELSE 0.0 END AS coeff
+           FROM deg LEFT JOIN t USING (id)""",
     ),
     "cohort_retention_events": (
         _q_cohort_retention,

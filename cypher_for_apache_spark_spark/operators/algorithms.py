@@ -404,3 +404,53 @@ def sssp(
         )
         frontier = improved
     return dist.select("id", F.col("d").alias("dist"))
+
+
+def clustering_coefficient_edges(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected (src, dst)
+    edge frame: ``2 * triangles(v) / (deg(v) * (deg(v) - 1))``, 0.0 for
+    degree < 2 — how close each node's neighborhood is to a clique (the
+    per-node refinement of ``triangle_count``).
+
+    Same canonical-ordering discipline as triangle_count (each triangle
+    {a<b<c} materializes once; every member gets one credit via a 3-wide
+    fan-out), so the joins stay equi-joins on node ids and the work is
+    bounded by the triangle count, not degree^2. Returns
+    (id, degree, triangles, coeff) with coeff rounded to 6 for exact
+    cross-engine comparison.
+    """
+    canon = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    e = _checkpoint(canon.dropDuplicates())
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(per_node, "id", "left_outer").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

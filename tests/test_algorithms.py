@@ -144,3 +144,20 @@ def test_sssp_multi_source_min(spark):
     g = edgelist.from_edge_df(edges)
     d = {r["id"]: r["dist"] for r in alg.sssp(g, [1, 2], weight_prop="w").collect()}
     assert d[3] == 1.0  # nearest source wins
+
+
+def test_clustering_coefficient_edges(spark):
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        clustering_coefficient_edges,
+    )
+
+    # triangle 1-2-3 plus pendant 4 attached to 1; duplicate + reversed
+    # edges must not double-count
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 1), (4, 1)], "src long, dst long"
+    )
+    got = {r["id"]: r for r in clustering_coefficient_edges(edges).collect()}
+    assert got[1]["degree"] == 3 and got[1]["triangles"] == 1
+    assert got[1]["coeff"] == round(2 * 1 / (3 * 2), 6)
+    assert got[2]["coeff"] == 1.0 and got[3]["coeff"] == 1.0
+    assert got[4]["degree"] == 1 and got[4]["coeff"] == 0.0
