@@ -373,6 +373,26 @@ def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with the portable md5 hash mode: every stage
+    (token hashes, shingle hashes, seeded min-hashes, band buckets,
+    signature-overlap verify) is bit-for-bit reproducible in DuckDB, so the
+    whole near-dup pipeline — including which candidate pairs LSH banding
+    surfaces — has an EXACT cross-engine oracle (the fast xxhash64 twin is
+    dedup_minhash_docs)."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.dedup import minhash_duplicate_pairs
+
+    docs = _docs(spark, sf_dir)
+    out = minhash_duplicate_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.5, hash_mode="md5"
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1299,6 +1319,55 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
             GROUP BY md5({_NORM_SQL})""",
     ),
     "dedup_minhash_docs": (_q_dedup_minhash, None),
+    # exact cross-engine MinHash: portable md5 hashes at every level mean
+    # the oracle reproduces the LSH banding itself, not just true Jaccard
+    "dedup_minhash_portable": (
+        _q_minhash_portable,
+        f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+            th AS (SELECT doc_id,
+                          list_transform(w,
+                            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+                   FROM toks WHERE len(w) >= 3),
+            sh AS (SELECT doc_id,
+                          [('0x' || substr(md5(array_to_string(
+                              list_transform(h[i:i+2], x -> CAST(x AS VARCHAR)),
+                              ',')), 1, 15))::BIGINT
+                           for i in generate_series(1, len(h) - 2)] AS s
+                   FROM th),
+            shx AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+            seeded AS (
+              SELECT doc_id, seed,
+                     min(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+                          CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS m
+              FROM shx, generate_series(0, 15) AS t(seed)
+              GROUP BY doc_id, seed),
+            sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig
+                    FROM seeded GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, band,
+                     ('0x' || substr(md5(array_to_string(
+                         list_transform(sig[band*4+1:band*4+4],
+                                        x -> CAST(x AS VARCHAR)),
+                         ',')), 1, 15))::BIGINT AS bucket
+              FROM sig, generate_series(0, 3) AS b(band)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                     sum(CASE WHEN sa.sig[t.i] = sb.sig[t.i]
+                              THEN 1 ELSE 0 END) / 16.0 AS je
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b
+              CROSS JOIN generate_series(1, 16) AS t(i)
+              GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b, round(je, 6) AS jaccard_est
+            FROM v WHERE je >= 0.5""",
+    ),
     "dedup_simhash_pairs": (_q_simhash_pairs, None),
     "dedup_simhash_portable": (
         _q_simhash_portable,

@@ -66,19 +66,51 @@ def shingles(col: Column, n: int = 3, mode: str = "word") -> Column:
     )
 
 
-def shingle_hashes(col: Column, n: int = 3, mode: str = "word") -> Column:
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash any engine with md5 can reproduce bit-for-bit: the first
+    15 hex chars of md5 of the string form, parsed base-16 (always
+    non-negative, so decimal string forms also agree across engines).
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash_long_seq(items: Column, hash_mode: str) -> Column:
+    """Hash an array<long> down to one long under either hash mode. The
+    portable form hashes the comma-joined decimal strings."""
+    if hash_mode == "md5":
+        return portable_hash60(
+            F.concat_ws(",", F.transform(items, lambda x: x.cast("string")))
+        )
+    return F.xxhash64(items)
+
+
+def shingle_hashes(
+    col: Column, n: int = 3, mode: str = "word", hash_mode: str = "xxhash64"
+) -> Column:
     """array<long> of n-gram shingle hashes WITHOUT materializing n-gram
     strings: each token (or char) is hashed once, and a shingle's hash is
     xxhash64 over the length-n slice of token hashes. String work is O(text)
     instead of O(text * n), which is the dominant cost of shingling
-    (measured ~27% faster than concat_ws shingle strings at sf0.1)."""
+    (measured ~27% faster than concat_ws shingle strings at sf0.1).
+
+    hash_mode ``md5`` swaps both hash levels for the portable 60-bit md5
+    form (see ``portable_hash60``) so the whole MinHash pipeline gains an
+    exact cross-engine oracle — same pattern as ``simhash(hash_mode)``."""
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     norm = normalize_text(col)
     empty = F.array().cast("array<bigint>")
     units = F.split(norm, WHITESPACE if mode == "word" else "")
-    th = F.transform(units, lambda t: F.xxhash64(t))
+    if hash_mode == "md5":
+        th = F.transform(units, portable_hash60)
+    else:
+        th = F.transform(units, lambda t: F.xxhash64(t))
     count = F.size(th) - F.lit(n - 1)
     return F.when(count < 1, empty).otherwise(
-        F.transform(F.sequence(F.lit(1), count), lambda i: F.xxhash64(F.slice(th, i, n)))
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: _hash_long_seq(F.slice(th, i, n), hash_mode),
+        )
     )
 
 
@@ -89,21 +121,37 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_size: int = 3,
     mode: str = "word",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>[num_hashes]) via k seeded min-hashes.
 
     One explode + one map-side-combinable aggregation; the shuffle carries
     only (id, k longs). Shingles enter as 8-byte hashes (shingle_hashes),
     so the k seeded permutations are k hashes *of a long* per shingle row —
-    string hashing happens once per token, not k times per shingle."""
+    string hashing happens once per token, not k times per shingle.
+
+    hash_mode ``md5``: portable seeded hash = portable_hash60 of
+    ``"<shingle>:<seed>"`` (DuckDB: md5(CAST(sh AS VARCHAR)||':'||seed))."""
     sh = df.select(
         F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col), shingle_size, mode)).alias("_sh"),
+        F.explode(
+            shingle_hashes(F.col(text_col), shingle_size, mode, hash_mode)
+        ).alias("_sh"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
-        for seed in range(num_hashes)
-    ]
+    if hash_mode == "md5":
+        aggs = [
+            F.min(
+                portable_hash60(
+                    F.concat(F.col("_sh").cast("string"), F.lit(f":{seed}"))
+                )
+            ).alias(f"_h{seed}")
+            for seed in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("_sh"), F.lit(seed))).alias(f"_h{seed}")
+            for seed in range(num_hashes)
+        ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         id_col, F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature")
@@ -116,6 +164,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: Optional[int] = None,
     num_hashes: Optional[int] = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and equi-join on (band index, band hash) to get
     candidate pairs (a < b). The join key is a (int, long) pair — bounded
@@ -135,7 +184,9 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.slice(F.col("signature"), b * r + 1, r)).alias("bucket"),
+                    _hash_long_seq(
+                        F.slice(F.col("signature"), b * r + 1, r), hash_mode
+                    ).alias("bucket"),
                 ),
             )
         ).alias("_bb"),
@@ -169,6 +220,7 @@ def minhash_duplicate_pairs(
     mode: str = "word",
     bands: int = 8,
     threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Signature-verified near-duplicate pairs ``(id_a, id_b,
     jaccard_est >= threshold)`` from MinHash + LSH banding — the shared
@@ -176,9 +228,13 @@ def minhash_duplicate_pairs(
     # signatures feed banding and both sides of the verification join;
     # materialize before the branches fan out (see ngram_jaccard_pairs)
     sigs = materialize(
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
+        minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size, mode, hash_mode
+        )
     )
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes=num_hashes, hash_mode=hash_mode
+    )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     return (
