@@ -625,6 +625,32 @@ def _q_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient_edges(edges)
 
 
+def _q_label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (synchronous label propagation, 3 rounds) over
+    the same parts co-purchase graph as clustering_parts — deterministic
+    min-tie-break updates give an exact unrolled-SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        label_propagation_edges,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 3)
+        .select("l_orderkey")
+    )
+    li = li.join(small, "l_orderkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return label_propagation_edges(edges, iterations=3)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import vocab_coverage
 
@@ -1928,6 +1954,33 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                                   / (deg.degree * (deg.degree - 1)), 6)
                        ELSE 0.0 END AS coeff
            FROM deg LEFT JOIN t USING (id)""",
+    ),
+    "label_prop_parts": (
+        _q_label_prop_parts,
+        """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           s AS (SELECT o FROM li GROUP BY o HAVING count(*) <= 3),
+           li2 AS (SELECT li.o, li.p FROM li JOIN s USING (o)),
+           e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                 FROM li2 a JOIN li2 b ON a.o = b.o AND a.p < b.p),
+           adj AS (SELECT src AS id, dst AS nbr FROM e
+                   UNION ALL SELECT dst, src FROM e),
+           l0 AS (SELECT DISTINCT id, id AS lbl FROM adj),
+           c1 AS (SELECT adj.id, l0.lbl, count(*) AS c
+                  FROM adj JOIN l0 ON adj.nbr = l0.id GROUP BY 1, 2),
+           l1 AS (SELECT id, lbl FROM c1
+                  QUALIFY row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lbl) = 1),
+           c2 AS (SELECT adj.id, l1.lbl, count(*) AS c
+                  FROM adj JOIN l1 ON adj.nbr = l1.id GROUP BY 1, 2),
+           l2 AS (SELECT id, lbl FROM c2
+                  QUALIFY row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lbl) = 1),
+           c3 AS (SELECT adj.id, l2.lbl, count(*) AS c
+                  FROM adj JOIN l2 ON adj.nbr = l2.id GROUP BY 1, 2),
+           l3 AS (SELECT id, lbl FROM c3
+                  QUALIFY row_number() OVER (PARTITION BY id
+                          ORDER BY c DESC, lbl) = 1)
+           SELECT id, lbl AS label FROM l3""",
     ),
     "cohort_retention_events": (
         _q_cohort_retention,

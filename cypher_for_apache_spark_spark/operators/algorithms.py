@@ -454,3 +454,54 @@ def clustering_coefficient_edges(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("coeff"),
     )
+
+
+def label_propagation_edges(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected (src, dst) edge frame. Every node starts with label = its
+    own id; each round a node adopts the most frequent label among its
+    neighbors, ties broken by the smaller label. Fixed synchronous rounds
+    make the result fully deterministic (classic asynchronous LPA is
+    order-dependent), which is what makes an exact cross-engine oracle
+    possible. Returns (id, label) after ``iterations`` rounds.
+
+    Scale shape: the adjacency (both orientations of the deduplicated
+    edge set) is persisted once and reused every round; a round is one
+    equi-join on the neighbor id plus a map-side-combinable (id, label)
+    count and a max-of-struct per node — no window function, so the only
+    shuffles are the join and the two-level aggregation, all on long
+    keys. Per-round frames are lineage-truncated with ``_checkpoint``
+    (the iterative-plan-growth discipline used by every algorithm here).
+    Reference has no algorithm library (SURVEY.md: graph algorithms are
+    out of scope for Morpheus); this extends the engine the same way
+    pagerank/connected_components do.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    e = _checkpoint(canon)
+    adj = (
+        e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        .unionAll(e.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
+        .persist()
+    )
+    labels = adj.select("id").dropDuplicates().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(iterations):
+        nl = adj.join(
+            labels.select(F.col("id").alias("nbr"), F.col("label").alias("_lbl")),
+            "nbr",
+        )
+        cnt = nl.groupBy("id", "_lbl").agg(F.count(F.lit(1)).alias("_c"))
+        # winner = max (count, -label): most frequent, then smallest label
+        new = cnt.groupBy("id").agg(
+            F.max(F.struct(F.col("_c"), (-F.col("_lbl")).alias("_neg"))).alias("_m")
+        )
+        labels = _checkpoint(new.select("id", (-F.col("_m._neg")).alias("label")))
+    adj.unpersist()
+    return labels

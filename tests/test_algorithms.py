@@ -161,3 +161,27 @@ def test_clustering_coefficient_edges(spark):
     assert got[1]["coeff"] == round(2 * 1 / (3 * 2), 6)
     assert got[2]["coeff"] == 1.0 and got[3]["coeff"] == 1.0
     assert got[4]["degree"] == 1 and got[4]["coeff"] == 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 4-cliques joined by one bridge edge: labels converge to the
+    # minimum id within each clique; the bridge does not merge them
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["label"] for r in alg.label_propagation_edges(edges, 4).collect()}
+    assert all(out[i] == 1 for i in [1, 2, 3, 4])
+    assert all(out[i] == 10 for i in [10, 11, 12, 13])
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    # node 2 sees labels {1, 3} once each -> smaller label wins every round
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r["id"]: r["label"] for r in alg.label_propagation_edges(edges, 1).collect()}
+    assert out[2] == 1
+    # endpoints adopt their only neighbor's label
+    assert out[1] == 2 and out[3] == 2
