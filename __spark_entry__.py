@@ -651,6 +651,39 @@ def _q_label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_edges(edges, iterations=3)
 
 
+def _q_random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (DeepWalk-style embedding training
+    data) over the parts co-purchase graph: 2 walks of length 3 from every
+    ~97th part. Hash-seeded picks replay identically in the unrolled SQL
+    oracle — the walk SAMPLER itself is verified, not just row counts."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import random_walks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 3)
+        .select("l_orderkey")
+    )
+    li = li.join(small, "l_orderkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    e = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    adj = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    starts = adj.select("src").filter(F.col("src") % 97 == 0).dropDuplicates()
+    out = random_walks(adj, starts, walk_length=3, walks_per_node=2)
+    return out.select(
+        F.col("start").cast("long").alias("start"),
+        F.col("walk").cast("long").alias("walk"),
+        F.col("step").cast("long").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import vocab_coverage
 
@@ -1362,11 +1395,13 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                            for i in generate_series(1, len(h) - 2)] AS s
                    FROM th),
             shx AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+            ab AS (SELECT doc_id,
+                          ('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15))::BIGINT AS a,
+                          ('0x' || substr(md5(CAST(g AS VARCHAR)), 16, 8))::BIGINT AS b
+                   FROM shx),
             seeded AS (
-              SELECT doc_id, seed,
-                     min(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
-                          CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS m
-              FROM shx, generate_series(0, 15) AS t(seed)
+              SELECT doc_id, seed, min(a + seed * b) AS m
+              FROM ab, generate_series(0, 15) AS t(seed)
               GROUP BY doc_id, seed),
             sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig
                     FROM seeded GROUP BY doc_id),
@@ -1981,6 +2016,47 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                   QUALIFY row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lbl) = 1)
            SELECT id, lbl AS label FROM l3""",
+    ),
+    "random_walks_parts": (
+        _q_random_walks_parts,
+        """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           s AS (SELECT o FROM li GROUP BY o HAVING count(*) <= 3),
+           li2 AS (SELECT li.o, li.p FROM li JOIN s USING (o)),
+           e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                 FROM li2 a JOIN li2 b ON a.o = b.o AND a.p < b.p),
+           adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           r AS (SELECT src, dst,
+                        row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+                        count(*) OVER (PARTITION BY src) AS deg
+                 FROM adj),
+           st AS (SELECT DISTINCT src AS start FROM adj WHERE src % 97 = 0),
+           s0 AS (SELECT start, w.walk, start AS cur
+                  FROM st, generate_series(0, 1) AS w(walk)),
+           s1 AS (SELECT p.start, p.walk, r.dst AS cur
+                  FROM s0 p JOIN r ON r.src = p.cur
+                   AND r.rk = 1 + (('0x' || substr(md5(
+                         CAST(p.start AS VARCHAR) || ':' ||
+                         CAST(p.walk AS VARCHAR) || ':1:' ||
+                         CAST(p.cur AS VARCHAR)), 1, 15))::BIGINT % r.deg)),
+           s2 AS (SELECT p.start, p.walk, r.dst AS cur
+                  FROM s1 p JOIN r ON r.src = p.cur
+                   AND r.rk = 1 + (('0x' || substr(md5(
+                         CAST(p.start AS VARCHAR) || ':' ||
+                         CAST(p.walk AS VARCHAR) || ':2:' ||
+                         CAST(p.cur AS VARCHAR)), 1, 15))::BIGINT % r.deg)),
+           s3 AS (SELECT p.start, p.walk, r.dst AS cur
+                  FROM s2 p JOIN r ON r.src = p.cur
+                   AND r.rk = 1 + (('0x' || substr(md5(
+                         CAST(p.start AS VARCHAR) || ':' ||
+                         CAST(p.walk AS VARCHAR) || ':3:' ||
+                         CAST(p.cur AS VARCHAR)), 1, 15))::BIGINT % r.deg))
+           SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node FROM s0
+           UNION ALL
+           SELECT start, walk, 1, cur FROM s1
+           UNION ALL
+           SELECT start, walk, 2, cur FROM s2
+           UNION ALL
+           SELECT start, walk, 3, cur FROM s3""",
     ),
     "cohort_retention_events": (
         _q_cohort_retention,

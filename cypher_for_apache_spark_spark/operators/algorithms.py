@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from cypher_for_apache_spark_spark.graph import PropertyGraph
 from cypher_for_apache_spark_spark.materialize import materialize as _checkpoint
@@ -505,3 +505,85 @@ def label_propagation_edges(edges: DataFrame, iterations: int = 3) -> DataFrame:
         labels = _checkpoint(new.select("id", (-F.col("_m._neg")).alias("label")))
     adj.unpersist()
     return labels
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_length: int = 3,
+    walks_per_node: int = 2,
+) -> DataFrame:
+    """Deterministic random-walk corpus over a directed (src, dst) edge
+    frame — the sampling stage of DeepWalk/node2vec-style graph-embedding
+    training data. Returns exploded rows (start, walk, step, node) with
+    step 0 = the start node; a walk stops early at a node with no
+    out-edges. ``starts`` is a one-column (id) frame of walk origins.
+
+    The "randomness" is a hash of (start, walk, step, current): every
+    engine replays the exact same walks (portable_hash60, so an external
+    SQL oracle can reproduce step-for-step), reruns are stable, and no
+    driver-side RNG state exists. Scale shape: out-edges are ranked once
+    (row_number per src — one shuffle, reused every step); each step is
+    two equi-joins on long keys (degree lookup to compute the pick index,
+    then (src, rank) to fetch the edge) — never a fan-out join over a
+    node's full edge list, so hub nodes cost the same as leaves. Walk
+    state is (4 longs) per active walk and is lineage-truncated per step.
+    """
+    from cypher_for_apache_spark_spark.operators.dedup import portable_hash60
+
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = _checkpoint(e.withColumn("rk", F.row_number().over(w)))
+    # materialized once: otherwise every step re-runs this aggregation
+    # over the full edge set (3 extra shuffles for a 3-step walk)
+    deg = _checkpoint(ranked.groupBy("src").agg(F.max("rk").alias("deg")))
+    state = (
+        starts.select(F.col(starts.columns[0]).alias("start"))
+        .dropDuplicates()
+        .select(
+            "start",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk"),
+            F.col("start").alias("cur"),
+        )
+    )
+    out = state.select(
+        "start", "walk", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for step in range(1, walk_length + 1):
+        pick = state.join(deg, state["cur"] == deg["src"]).select(
+            "start",
+            "walk",
+            "cur",
+            (
+                F.lit(1)
+                + F.pmod(
+                    portable_hash60(
+                        F.concat_ws(
+                            ":",
+                            F.col("start").cast("string"),
+                            F.col("walk").cast("string"),
+                            F.lit(str(step)),
+                            F.col("cur").cast("string"),
+                        )
+                    ),
+                    F.col("deg"),
+                )
+            ).alias("_idx"),
+        )
+        nxt = pick.join(
+            ranked,
+            (pick["cur"] == ranked["src"]) & (pick["_idx"] == ranked["rk"]),
+        ).select("start", "walk", F.col("dst").alias("cur"))
+        state = _checkpoint(nxt)
+        out = out.unionByName(
+            state.select(
+                "start", "walk", F.lit(step).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -185,3 +185,47 @@ def test_label_propagation_deterministic_tiebreak(spark):
     assert out[2] == 1
     # endpoints adopt their only neighbor's label
     assert out[1] == 2 and out[3] == 2
+
+
+def test_random_walks_chain(spark):
+    # deterministic: on a directed chain every node has exactly 1
+    # out-edge, so the walk is forced and the hash pick is always index 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    starts = spark.createDataFrame([(1,)], "id long")
+    rows = alg.random_walks(edges, starts, walk_length=3, walks_per_node=2).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk"], {})[r["step"]] = r["node"]
+    assert set(by_walk) == {0, 1}
+    for w in by_walk.values():
+        assert [w[s] for s in sorted(w)] == [1, 2, 3, 4]
+
+
+def test_random_walks_stop_at_sink_and_replay(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    starts = spark.createDataFrame([(1,), (3,)], "id long")
+    out = alg.random_walks(edges, starts, walk_length=4, walks_per_node=1)
+    rows = [(r["start"], r["step"], r["node"]) for r in out.collect()]
+    # node 3 has no out-edges: its walk is just step 0
+    assert (3, 0, 3) in rows and not any(s == 3 and st > 0 for s, st, _ in rows)
+    # walk from 1 ends at 3 after 2 steps and stops
+    assert (1, 2, 3) in rows and not any(s == 1 and st > 2 for s, st, _ in rows)
+    # same inputs -> identical walks (hash-seeded, no RNG state)
+    again = [(r["start"], r["step"], r["node"]) for r in
+             alg.random_walks(edges, starts, walk_length=4, walks_per_node=1).collect()]
+    assert sorted(rows) == sorted(again)
+
+
+def test_random_walks_picks_vary(spark):
+    # star with many out-edges: across walks/steps the hash picks must
+    # not all collapse to the same neighbor
+    edges = spark.createDataFrame(
+        [(0, d) for d in range(1, 9)] + [(d, 0) for d in range(1, 9)],
+        "src long, dst long",
+    )
+    starts = spark.createDataFrame([(0,)], "id long")
+    rows = alg.random_walks(edges, starts, walk_length=5, walks_per_node=4).collect()
+    picked = {r["node"] for r in rows if r["step"] % 2 == 1}
+    assert len(picked) >= 3
