@@ -684,6 +684,42 @@ def _q_random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import skipgram_pairs
+
+    return skipgram_pairs(_docs(spark, sf_dir), window=2, min_count=20)
+
+
+def _q_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch lifecycle: sketch token counts per
+    source (finest grain), merge the per-source sketches into a global
+    one (the associative rollup), then estimate every distinct token's
+    frequency from the merged counters. Portable hash -> the whole
+    lifecycle has an exact DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+    from cypher_for_apache_spark_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("key"),
+    )
+    fine = cm_sketch(tok, "key", ["source"], depth=4, width=256)
+    merged = cm_merge(fine)
+    keys = tok.select("key").dropDuplicates()
+    return cm_query(merged, keys, "key", depth=4, width=256)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import vocab_coverage
 
@@ -1762,6 +1798,50 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
             FROM pc
             JOIN uc u1 ON pc.w1 = u1.w
             JOIN uc u2 ON pc.w2 = u2.w, tot""",
+    ),
+    "skipgram_pairs_docs": (
+        _q_skipgram_pairs,
+        f"""WITH nrm AS (SELECT {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT list_filter(string_split(t, ' '),
+                                        x -> x <> '') AS w
+                     FROM nrm),
+            p AS (SELECT w[a.i] AS center, w[b.j] AS context
+                  FROM toks,
+                       LATERAL (SELECT unnest(generate_series(1, len(w)))
+                                AS i) a,
+                       LATERAL (SELECT unnest(generate_series(
+                                  greatest(1, a.i - 2),
+                                  least(len(w), a.i + 2))) AS j) b
+                  WHERE a.i <> b.j AND len(w) >= 2)
+            SELECT center, context, count(*) AS n
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 20""",
+    ),
+    "cm_freq_docs": (
+        _q_cm_freq,
+        f"""WITH nrm AS (SELECT source, {_NORM_SQL} AS t FROM documents),
+            tok AS (SELECT source,
+                           unnest(list_filter(string_split(t, ' '),
+                                              x -> x <> '')) AS k
+                    FROM nrm),
+            rws AS (SELECT source, k, g.r,
+                           (('0x' || substr(md5(k || ':' ||
+                              CAST(g.r AS VARCHAR)), 1, 15))::BIGINT
+                            % 256) AS c
+                    FROM tok, generate_series(0, 3) AS g(r)),
+            fine AS (SELECT source, r, c, count(*) AS cnt
+                     FROM rws GROUP BY 1, 2, 3),
+            merged AS (SELECT r, c, sum(cnt) AS cnt
+                       FROM fine GROUP BY r, c),
+            keys AS (SELECT DISTINCT k FROM tok),
+            probes AS (SELECT k, g.r,
+                              (('0x' || substr(md5(k || ':' ||
+                                 CAST(g.r AS VARCHAR)), 1, 15))::BIGINT
+                               % 256) AS c
+                       FROM keys, generate_series(0, 3) AS g(r))
+            SELECT p.k AS key,
+                   CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS freq_est
+            FROM probes p LEFT JOIN merged m USING (r, c)
+            GROUP BY p.k""",
     ),
     "vocab_coverage_docs": (
         _q_vocab_coverage,

@@ -15,7 +15,11 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, functions as F
 
 from cypher_for_apache_spark_spark.materialize import materialize
-from cypher_for_apache_spark_spark.operators.text import WHITESPACE, normalize_text
+from cypher_for_apache_spark_spark.operators.text import (
+    WHITESPACE,
+    normalize_text,
+    portable_hash60,
+)
 
 
 # --------------------------------------------------------------------------
@@ -64,14 +68,6 @@ def shingles(col: Column, n: int = 3, mode: str = "word") -> Column:
     return F.when(count < 1, empty).otherwise(
         F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n))
     )
-
-
-def portable_hash60(col: Column) -> Column:
-    """60-bit hash any engine with md5 can reproduce bit-for-bit: the first
-    15 hex chars of md5 of the string form, parsed base-16 (always
-    non-negative, so decimal string forms also agree across engines).
-    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _hash_long_seq(items: Column, hash_mode: str) -> Column:

@@ -174,3 +174,92 @@ def histogram_quantile(
         F.round(F.lit(lo) + folded["idx"] * width, 6),
     )
     return df.withColumn(out_col, est)
+
+
+# --------------------------------------------------------------------------
+# Count-min: mergeable frequency sketch (heavy hitters / frequency caps)
+# --------------------------------------------------------------------------
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch per group, as rows (group..., r, c, cnt): ``depth``
+    hash rows of ``width`` counters; an item increments one counter per
+    row at column ``portable_hash60(key + ':' + r) % width``.
+
+    Completes the mergeable-sketch family (HLL = distinct counts,
+    histogram = quantiles, count-min = frequencies): sketch once at the
+    finest grain, then ``cm_merge`` answers any coarser rollup by adding
+    counters — associative, so it parallelizes arbitrarily and never
+    re-reads raw data. The sparse row form costs at most depth*width rows
+    per group and aggregates map-side-combinably; the portable hash makes
+    every counter — and every estimate — reproducible by any engine with
+    md5 (exact cross-engine oracle, like the portable MinHash/SimHash
+    modes)."""
+    from cypher_for_apache_spark_spark.operators.text import portable_hash60
+
+    rows = df.select(
+        *group_cols,
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).select(
+        *group_cols,
+        "r",
+        F.pmod(
+            portable_hash60(
+                F.concat(F.col("_k"), F.lit(":"), F.col("r").cast("string"))
+            ),
+            F.lit(width),
+        ).alias("c"),
+    )
+    return rows.groupBy(*group_cols, "r", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_merge(
+    sketches: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge fine-grain count-min sketches up to ``group_cols`` by adding
+    counters (associative rollup — the point of the sketch)."""
+    return sketches.groupBy(*group_cols, "r", "c").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimated frequency per key: min over the sketch's depth rows of
+    the counter each row hashes the key to (the count-min estimate —
+    an overcount bounded by collisions, never an undercount). ``keys`` is
+    a one-column frame; missing counters read as 0. One equi-join on
+    (r, c) against the sketch and a min-aggregation per key."""
+    from cypher_for_apache_spark_spark.operators.text import portable_hash60
+
+    probes = keys.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).select(
+        key_col,
+        "r",
+        F.pmod(
+            portable_hash60(
+                F.concat(F.col(key_col), F.lit(":"), F.col("r").cast("string"))
+            ),
+            F.lit(width),
+        ).alias("c"),
+    )
+    joined = probes.join(sketch.select("r", "c", "cnt"), ["r", "c"], "left_outer")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("freq_est")
+    )

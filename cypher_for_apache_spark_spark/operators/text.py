@@ -447,3 +447,56 @@ def bigram_pmi(
         "n_pair",
         F.round(F.log(ratio), 6).alias("pmi"),
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """word2vec/skip-gram training pairs: (center, context, n) counts for
+    every token pair within ``window`` positions of each other (context
+    offset != 0), aggregated corpus-wide. The companion of ``bigram_pmi``
+    (which scores only adjacent pairs) and ``vocab_coverage`` in the
+    embedding-training prep family.
+
+    Scale shape: pair generation is a per-document array computation
+    (nested transform + flatten — no self-join on position), then ONE
+    map-side-combinable count aggregation on (center, context); raw text
+    never shuffles, and the pair stream is bounded by corpus_tokens *
+    2*window."""
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # n < 2 guard: Spark sequence(1, 0) counts DOWN, so an unguarded
+    # empty/single-token doc would emit bogus positions
+    pairs = df.select(
+        F.explode(
+            F.when(n < 2, F.expr("array()").cast("array<struct<center:string,context:string>>")).otherwise(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.transform(
+                        F.filter(
+                            F.sequence(
+                                F.greatest(F.lit(1), i - window),
+                                F.least(n, i + window),
+                            ),
+                            lambda j: j != i,
+                        ),
+                        lambda j: F.struct(
+                            F.element_at(toks, i).alias("center"),
+                            F.element_at(toks, j).alias("context"),
+                        ),
+                    ),
+                )
+            ))
+        ).alias("p")
+    ).select("p.center", "p.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

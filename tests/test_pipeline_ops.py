@@ -468,3 +468,15 @@ def test_bigram_pmi(spark):
     # counts: 'new' x2, 'york' x3, total 7 tokens, pair 'new york' x2
     assert r["n_pair"] == 2
     assert r["pmi"] == round(math.log((2 * 7) / (2 * 3)), 6)
+
+
+def test_skipgram_pairs_window(spark):
+    from cypher_for_apache_spark_spark.operators.text import skipgram_pairs
+
+    df = spark.createDataFrame([("a b c",), ("",), ("solo",)], "text string")
+    got = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(df, window=1).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1, ("c", "b"): 1,
+    }
+    wide = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(df, window=2).collect()}
+    assert wide[("a", "c")] == 1 and wide[("c", "a")] == 1

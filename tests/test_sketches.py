@@ -99,3 +99,39 @@ def test_histogram_rollup_equals_direct(spark):
         for r in histogram_sketch(df, "v", ["g"], bins=25, lo=0.0, hi=50.0).collect()
     }
     assert rolled == direct  # merging fine sketches == sketching coarse
+
+
+def test_cm_sketch_estimate_never_undercounts(spark):
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+    import pyspark.sql.functions as F
+
+    data = [("a", w) for w in ["x"] * 5 + ["y"] * 3] + [
+        ("b", w) for w in ["x"] * 2 + ["z"] * 7
+    ]
+    df = spark.createDataFrame(data, "grp string, k string")
+    fine = cm_sketch(df, "k", ["grp"], depth=4, width=64)
+    merged = cm_merge(fine)
+    keys = spark.createDataFrame([("x",), ("y",), ("z",), ("missing",)], "key string")
+    est = {r["key"]: r["freq_est"] for r in cm_query(merged, keys, depth=4, width=64).collect()}
+    true = {"x": 7, "y": 3, "z": 7, "missing": 0}
+    for k, t in true.items():
+        assert est[k] >= t  # count-min never undercounts
+    # with 4x64 counters and 3 keys there are no collisions: exact
+    assert est == true
+
+
+def test_cm_merge_equals_direct_sketch(spark):
+    from cypher_for_apache_spark_spark.operators.sketches import cm_merge, cm_sketch
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x")], "grp string, k string"
+    )
+    merged = cm_merge(cm_sketch(df, "k", ["grp"], depth=2, width=16))
+    direct = cm_sketch(df, "k", (), depth=2, width=16)
+    m = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+    d = {(r["r"], r["c"]): r["cnt"] for r in direct.collect()}
+    assert m == d  # rollup of fine sketches == sketch of the union
