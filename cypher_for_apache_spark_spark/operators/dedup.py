@@ -625,3 +625,98 @@ def cosine_dedup(
         pairs = cosine_dup_pairs(df, vec_col, id_col, threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    existing_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    mode: str = "word",
+    bands: int = 8,
+    threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Continuous-ingest dedup: drop incoming docs that near-duplicate the
+    ALREADY-SIGNED corpus or a smaller-id doc in the same batch, without
+    re-reading or re-signing the existing corpus. Returns
+    (surviving_new_df, updated_sigs) — persist ``updated_sigs`` as the
+    signature store for the next increment.
+
+    This is the shape batch dedup cannot take at 100 TB: per-increment
+    cost is O(batch) signatures + a band join against the store's banded
+    form (bounded-width keys), not O(corpus + batch) re-signing. Policy
+    matches ``minhash_dedup``: a new doc survives unless it verifies
+    >= threshold against any existing doc or any smaller-id new doc.
+    Signature parameters must match the store's (same num_hashes,
+    shingle_size, mode, hash_mode) — signatures are only comparable
+    within one parameterization.
+    """
+    new_sigs = materialize(
+        minhash_signatures(
+            new_df, text_col, id_col, num_hashes, shingle_size, mode, hash_mode
+        )
+    )
+    r = max(1, num_hashes // bands)
+
+    def banded(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        _hash_long_seq(
+                            F.slice(F.col("signature"), b * r + 1, r), hash_mode
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("_bb"),
+        ).select("_id", "_bb.band", "_bb.bucket")
+    new_b = banded(new_sigs)
+    old_b = banded(existing_sigs)
+    # candidate (new, other) pairs: vs the store (any id) OR vs an
+    # earlier-id doc within the batch — one band join each, deduplicated
+    cand = (
+        new_b.alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(F.col("n._id").alias("id_new"), F.col("o._id").alias("id_other"))
+        .unionByName(
+            new_b.alias("a")
+            .join(
+                new_b.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") > F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_new"), F.col("b._id").alias("id_other")
+            )
+        )
+        .dropDuplicates()
+    )
+    all_sigs = existing_sigs.unionByName(new_sigs)
+    sn = new_sigs.select(F.col(id_col).alias("id_new"), F.col("signature").alias("_sa"))
+    so = all_sigs.select(
+        F.col(id_col).alias("id_other"), F.col("signature").alias("_sb")
+    )
+    losers = (
+        cand.join(sn, "id_new")
+        .join(so, "id_other")
+        .withColumn("_je", signature_jaccard(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("_je") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .dropDuplicates()
+    )
+    survivors = new_df.join(losers, id_col, "left_anti")
+    updated_sigs = existing_sigs.unionByName(
+        new_sigs.join(losers, id_col, "left_anti")
+    )
+    return survivors, updated_sigs

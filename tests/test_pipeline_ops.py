@@ -480,3 +480,39 @@ def test_skipgram_pairs_window(spark):
     }
     wide = {(r["center"], r["context"]): r["n"] for r in skipgram_pairs(df, window=2).collect()}
     assert wide[("a", "c")] == 1 and wide[("c", "a")] == 1
+
+
+def test_minhash_dedup_incremental(spark):
+    from cypher_for_apache_spark_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different sentence about spark engines here")],
+        "doc_id long, text string",
+    )
+    store = minhash_signatures(corpus, num_hashes=32)
+    batch = spark.createDataFrame(
+        [
+            (10, base),                      # dup of existing doc 1 -> dropped
+            (11, "fresh unseen content about parquet column pruning today"),
+            (12, "fresh unseen content about parquet column pruning today"),
+            # ^ exact dup of smaller-id batch doc 11 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    survivors, updated = minhash_dedup_incremental(
+        batch, store, num_hashes=32, threshold=0.8
+    )
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11]
+    # store grows by exactly the surviving docs
+    assert sorted(r["doc_id"] for r in updated.select("doc_id").collect()) == [1, 2, 11]
+    # next increment: the previously-surviving doc now blocks its dups
+    batch2 = spark.createDataFrame(
+        [(20, "fresh unseen content about parquet column pruning today")],
+        "doc_id long, text string",
+    )
+    s2, _ = minhash_dedup_incremental(batch2, updated, num_hashes=32, threshold=0.8)
+    assert s2.count() == 0
