@@ -151,6 +151,29 @@ def _prop(e: A.Prop, ctx: CompileCtx) -> Column:
                 return F.lit(None)
             return F.col(c)
         base = F.col(meta.col)
+    elif (
+        isinstance(e.subject, A.FuncCall)
+        and e.subject.name.lower() in ("startnode", "endnode")
+    ):
+        # startNode(r).prop: resolve to the endpoint node variable that
+        # shares r's src/dst id column (the expand join aligns them), so
+        # the property read costs nothing extra
+        rel_meta = _meta_arg(e.subject, ctx)
+        if rel_meta.kind != "rel":
+            raise CypherCompileError(
+                f"{e.subject.name}() expects a relationship"
+            )
+        var = (
+            rel_meta.src_var
+            if e.subject.name.lower() == "startnode"
+            else rel_meta.dst_var
+        )
+        if var is not None and ctx.scope.get(var, EntityMeta("value")).kind == "node":
+            return _prop(A.Prop(A.Var(var), e.key), ctx)
+        raise CypherCompileError(
+            "property access on startNode()/endNode() requires the endpoint "
+            "node to be bound in the same directed pattern"
+        )
     else:
         base = compile_expr(e.subject, ctx)
     dt = _dtype(ctx, base)
@@ -597,13 +620,27 @@ def _fn_type(e, ctx):
 
 
 def _fn_keys(e, ctx):
-    meta = _meta_arg(e, ctx)
-    items = [
-        F.when(F.col(c).isNotNull(), F.lit(k)) for k, c in sorted(meta.prop_cols.items())
-    ]
-    if not items:
-        return F.array().cast("array<string>")
-    return F.array_compact(F.array(*items))
+    try:
+        meta = _meta_arg(e, ctx)
+    except CypherCompileError:
+        meta = None
+    if meta is not None and meta.kind in ("node", "rel"):
+        items = [
+            F.when(F.col(c).isNotNull(), F.lit(k))
+            for k, c in sorted(meta.prop_cols.items())
+        ]
+        if not items:
+            return F.array().cast("array<string>")
+        return F.array_compact(F.array(*items))
+    # keys() of a map value: struct fields are plan-time constants
+    c = compile_expr(e.args[0], ctx)
+    dt = _dtype(ctx, c)
+    if _is(dt, T.StructType):
+        names = [f.name for f in dt.fields if f.name != "_empty"]
+        return F.array(*[F.lit(n) for n in names]).cast("array<string>")
+    if _is(dt, T.MapType):
+        return F.map_keys(c)
+    raise CypherCompileError("keys() expects a node, relationship or map")
 
 
 def _fn_properties(e, ctx):

@@ -41,6 +41,12 @@ class EntityMeta:
     # possible label combinations (nodes): one per scanned node table —
     # plan-time constants, so CONSTRUCT CLONE never has to look at data
     combos: FrozenSet[FrozenSet[str]] = frozenset()
+    # rels matched in a DIRECTED pattern: the variable names of the bound
+    # endpoint nodes, letting startNode(r).prop / endNode(r).prop compile
+    # to the endpoint's own property column (no extra join). None for
+    # undirected matches (per-row orientation) or unbound endpoints.
+    src_var: Optional[str] = None
+    dst_var: Optional[str] = None
 
     def columns(self) -> List[str]:
         out = []

@@ -19,6 +19,7 @@ equi-join inside Catalyst itself.
 from __future__ import annotations
 
 import itertools
+from dataclasses import replace as dc_replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
@@ -348,6 +349,8 @@ class Planner:
             type_col=f"{ur}#type",
             prop_cols={c[len(rprefix):]: c for c in df.columns if c.startswith(rprefix)},
             types=frozenset(rel.types) if rel.types else frozenset(g.rel_tables),
+            src_var=a_var if rel.direction == "out" else (b_var if rel.direction == "in" else None),
+            dst_var=b_var if rel.direction == "out" else (a_var if rel.direction == "in" else None),
         )
         # inline property filters: self-contained ones right on the scan
         # (pushdown), variable-referencing ones after the header is merged
@@ -712,6 +715,10 @@ class Planner:
             df = one_branch("out", False).unionByName(one_branch("in", True))
 
         header = dict(rec.header)
+        if rel.direction == "out":
+            rmeta = dc_replace(rmeta, src_var=src_var, dst_var=tgt_var)
+        elif rel.direction == "in":
+            rmeta = dc_replace(rmeta, src_var=tgt_var, dst_var=src_var)
         header[rel_var] = rmeta
         if not tgt_bound:
             header[tgt_var] = tmeta
@@ -730,6 +737,19 @@ class Planner:
             raise CypherPlanningError(f"variable `{rel.var}` is not a relationship")
         src_meta = rec.header[src_var]
         tgt_var = tgt.var or self._anon()
+
+        def with_endpoints(header: Dict[str, EntityMeta]) -> Dict[str, EntityMeta]:
+            # record which bound node is the edge src/dst (directed only)
+            if rel.direction == "out":
+                m = dc_replace(rmeta, src_var=src_var, dst_var=tgt_var)
+            elif rel.direction == "in":
+                m = dc_replace(rmeta, src_var=tgt_var, dst_var=src_var)
+            else:
+                return header
+            header = dict(header)
+            header[rel.var] = m
+            return header
+
         df = rec.df
         if tgt_var not in rec.header:
             tgt_scan, tmeta = self.scan_node_record(tgt_var, tgt.labels)
@@ -751,7 +771,7 @@ class Planner:
                     & (F.col(rmeta.src_col) != F.col(rmeta.dst_col))
                 ).join(tgt_scan, F.col(rmeta.src_col) == F.col(tmeta.id_col))
                 df = a.unionByName(b)
-            return Record(df, header), tgt_var
+            return Record(df, with_endpoints(header)), tgt_var
         t = rec.header[tgt_var]
         if rel.direction == "out":
             cond = (F.col(rmeta.src_col) == F.col(src_meta.id_col)) & (
@@ -769,7 +789,7 @@ class Planner:
                 (F.col(rmeta.dst_col) == F.col(src_meta.id_col))
                 & (F.col(rmeta.src_col) == F.col(t.id_col))
             )
-        return Record(df.filter(cond), rec.header), tgt_var
+        return Record(df.filter(cond), with_endpoints(rec.header)), tgt_var
 
     # -- var-length expand -------------------------------------------------------
     def var_length_expand(
