@@ -720,6 +720,30 @@ def _q_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_query(merged, keys, "key", depth=4, width=256)
 
 
+def _q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the functional "rho" graph
+    f(p) = (p*p + 1) mod |part| over the part keys (every node one
+    out-edge: trees hanging off cycles; SCCs = the cycles; |part| is even
+    at every SF so f has no fixed points). scc_functional's pointer
+    doubling is the same computation as the oracle's unrolled doubling
+    CTEs, so components match value-for-value. The general-digraph
+    algorithm (strongly_connected_components) is cross-checked against
+    this one in pytest."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import scc_functional
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    cnt = part.agg(F.count(F.lit(1)).alias("_n"))
+    edges = part.crossJoin(F.broadcast(cnt)).select(
+        F.col("p_partkey").cast("long").alias("src"),
+        ((F.col("p_partkey") * F.col("p_partkey") + 1) % F.col("_n"))
+        .cast("long")
+        .alias("dst"),
+    )
+    return scc_functional(edges)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import vocab_coverage
 
@@ -2096,6 +2120,34 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                   QUALIFY row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lbl) = 1)
            SELECT id, lbl AS label FROM l3""",
+    ),
+    "scc_parts": (
+        _q_scc_parts,
+        # pointer doubling, unrolled: d{k} holds (p, f^(2^k)(p), min of the
+        # first 2^k path nodes); 15 doublings cover graphs up to 32768
+        # nodes (sf0.1). cyclic = image of f^(2^15); a cyclic node's
+        # component is its path min (= its cycle's min), acyclic nodes are
+        # trivial singletons.
+        """WITH d0 AS MATERIALIZED (
+             SELECT p_partkey AS p,
+                    (p_partkey * p_partkey + 1)
+                      % (SELECT count(*) FROM part) AS f,
+                    p_partkey AS m
+             FROM part),
+           """
+        + ",\n           ".join(
+            # MATERIALIZED: each level references the previous twice, so
+            # default CTE inlining would expand d0 2^15 times
+            f"d{k + 1} AS MATERIALIZED (SELECT a.p, b.f, least(a.m, b.m) AS m "
+            f"FROM d{k} a JOIN d{k} b ON a.f = b.p)"
+            for k in range(15)
+        )
+        + """,
+           cyc AS (SELECT DISTINCT f AS p FROM d15)
+           SELECT d15.p AS id,
+                  CASE WHEN cyc.p IS NOT NULL THEN d15.m ELSE d15.p END
+                    AS component
+           FROM d15 LEFT JOIN cyc ON d15.p = cyc.p""",
     ),
     "random_walks_parts": (
         _q_random_walks_parts,

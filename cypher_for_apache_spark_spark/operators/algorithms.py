@@ -587,3 +587,149 @@ def random_walks(
             )
         )
     return out
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """SCC of a directed (src, dst) edge frame via the classic coloring /
+    FW-BW peeling algorithm (Orzan; also the Pregel-style standard):
+
+    1. forward phase: propagate min reachable-ancestor label to fixpoint
+       (c(v) = min over {v} ∪ {c(u): u -> v}),
+    2. backward phase: from each color root (c(v) == v), walk REVERSE
+       edges restricted to the same color — every node reached both ways
+       is in the root's SCC,
+    3. emit those, peel them from the graph, repeat on the remainder.
+
+    Each phase is frontier/delta iteration (joins touch only rows that
+    changed last round), every per-round frame is lineage-truncated, and
+    the graph shrinks monotonically — the same discipline as
+    connected_components/bfs. Returns (id, component) with component =
+    min node id of the SCC. Trivial SCCs (no cycle through the node) get
+    component = their own id.
+    """
+    spark = edges.sparkSession
+    e = _checkpoint(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    nodes = _checkpoint(
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    out_parts: List[DataFrame] = []
+    for _ in range(max_rounds):
+        if nodes.isEmpty():
+            break
+        # ---- forward min-label to fixpoint (delta iteration) ----
+        labels = nodes.select("id", F.col("id").alias("c"))
+        frontier = labels
+        while True:
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("c").alias("_nc"))
+            )
+            improved = _checkpoint(
+                cand.join(labels, "id")
+                .filter(F.col("_nc") < F.col("c"))
+                .select("id", F.col("_nc").alias("c"))
+            )
+            if improved.isEmpty():
+                break
+            labels = _checkpoint(
+                labels.join(improved.withColumnRenamed("c", "_u"), "id", "left_outer")
+                .select("id", F.coalesce("_u", "c").alias("c"))
+            )
+            frontier = improved
+        # ---- backward phase: reverse-reach roots within the same color ----
+        # seed: the roots themselves (c(v) == v)
+        confirmed = labels.filter(F.col("id") == F.col("c")).select("id", "c")
+        bfrontier = confirmed
+        # reverse edges annotated with both endpoint colors: walk u <- v
+        # only where colors agree (the SCC cannot cross a color boundary)
+        el = (
+            e.join(labels.withColumnRenamed("id", "src").withColumnRenamed("c", "_cs"), "src")
+            .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("c", "_cd"), "dst")
+            .filter(F.col("_cs") == F.col("_cd"))
+            .select("src", "dst", F.col("_cs").alias("c"))
+        )
+        while True:
+            step = (
+                el.join(
+                    bfrontier.select(F.col("id").alias("dst"), F.col("c").alias("_fc")),
+                    "dst",
+                )
+                .filter(F.col("c") == F.col("_fc"))
+                .select(F.col("src").alias("id"), "c")
+                .dropDuplicates()
+            )
+            nxt = _checkpoint(step.join(confirmed, "id", "left_anti"))
+            if nxt.isEmpty():
+                break
+            confirmed = confirmed.unionByName(nxt)
+            bfrontier = nxt
+        scc = _checkpoint(confirmed.select("id", F.col("c").alias("component")))
+        out_parts.append(scc)
+        # ---- peel: drop settled nodes and their edges ----
+        nodes = _checkpoint(nodes.join(scc.select("id"), "id", "left_anti"))
+        e = _checkpoint(
+            e.join(scc.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(scc.select(F.col("id").alias("dst")), "dst", "left_anti")
+        )
+    else:
+        raise RuntimeError(
+            f"SCC did not converge within {max_rounds} peeling rounds"
+        )
+    result = out_parts[0]
+    for p in out_parts[1:]:
+        result = result.unionByName(p)
+    return result
+
+
+def scc_functional(edges: DataFrame) -> DataFrame:
+    """SCC of a FUNCTIONAL graph — every node has exactly one out-edge
+    (next-pointer graphs: session successor chains, parent pointers,
+    symlink targets, hash-chain rho shapes). Such a graph is a union of
+    "rho" shapes (trees hanging off cycles), and its SCCs are exactly the
+    cycles, which pointer doubling finds in O(log n) rounds — vs the
+    O(diameter) rounds the general algorithm
+    (``strongly_connected_components``) needs. Each round squares the
+    step count: (p, f^k(p), min of the first k path nodes) composes with
+    itself via one equi-join on 3-long-column rows.
+
+    A node is cyclic iff it is in the image of f^(2^rounds) once
+    2^rounds >= n (every walk of length n has entered its cycle, and
+    cycle nodes stay in the image); a cyclic node's component is the min
+    over its first 2^rounds path nodes = the min of its cycle. Acyclic
+    nodes are trivial singleton SCCs. Returns (id, component).
+    """
+    d = _checkpoint(
+        edges.select(
+            F.col("src").alias("p"), F.col("dst").alias("f"),
+            F.col("src").alias("m"),
+        ).dropDuplicates(["p"])
+    )
+    n = d.count()
+    rounds = max(1, (n - 1).bit_length())  # 2^rounds >= n
+    for _ in range(rounds):
+        b = d.select(
+            F.col("p").alias("_bp"), F.col("f").alias("_bf"),
+            F.col("m").alias("_bm"),
+        )
+        d = _checkpoint(
+            d.join(b, d["f"] == b["_bp"]).select(
+                "p", F.col("_bf").alias("f"), F.least("m", "_bm").alias("m")
+            )
+        )
+    cyc = d.select(F.col("f").alias("p")).dropDuplicates()
+    return (
+        d.join(cyc.withColumn("_cyc", F.lit(True)), "p", "left_outer")
+        .select(
+            F.col("p").alias("id"),
+            F.when(F.col("_cyc"), F.col("m")).otherwise(F.col("p")).alias("component"),
+        )
+    )

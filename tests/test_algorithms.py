@@ -229,3 +229,44 @@ def test_random_walks_picks_vary(spark):
     rows = alg.random_walks(edges, starts, walk_length=5, walks_per_node=4).collect()
     picked = {r["node"] for r in rows if r["step"] % 2 == 1}
     assert len(picked) >= 3
+
+
+def test_scc_cycle_with_tail(spark):
+    # 1 -> 2 -> 3 -> 1 cycle, 3 -> 4 tail: SCC {1,2,3} plus singleton {4}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    out = {r["id"]: r["component"]
+           for r in alg.strongly_connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_scc_two_cycles_bridged(spark):
+    # two 2-cycles joined by a one-way bridge stay separate SCCs
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)], "src long, dst long"
+    )
+    out = {r["id"]: r["component"]
+           for r in alg.strongly_connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_scc_dag_all_singletons(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = {r["id"]: r["component"]
+           for r in alg.strongly_connected_components(edges).collect()}
+    assert out == {i: i for i in [1, 2, 3, 4]}
+
+
+def test_scc_functional_matches_general(spark):
+    # rho-shaped functional graph: f(p) = (p*p + 1) mod 20
+    n = 20
+    edges = spark.createDataFrame(
+        [(p, (p * p + 1) % n) for p in range(n)], "src long, dst long"
+    )
+    fast = {r["id"]: r["component"] for r in alg.scc_functional(edges).collect()}
+    slow = {r["id"]: r["component"]
+            for r in alg.strongly_connected_components(edges).collect()}
+    assert fast == slow and len(fast) == n
