@@ -720,6 +720,27 @@ def _q_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_query(merged, keys, "key", depth=4, width=256)
 
 
+def _q_construct_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT under the driver gate: project the big-order subgraph
+    (CLONE both endpoints, NEW a :BIG rel carrying the price), then MATCH
+    on the CONSTRUCTED graph — so graph construction itself (id-space
+    reservation, clone property retention, new-rel wiring) is what the
+    oracle checks, not just the final join."""
+    g = _graph(spark, sf_dir)
+    constructed = g.cypher(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           WHERE o.totalprice > 300000.0
+           CONSTRUCT
+             CLONE c, o
+             NEW (c)-[:BIG {price: o.totalprice}]->(o)
+           RETURN GRAPH"""
+    ).graph
+    return constructed.cypher(
+        """MATCH (c:Customer)-[b:BIG]->(o:Order)
+           RETURN c.name AS name, b.price AS price, o.totalprice AS totalprice"""
+    ).df
+
+
 def _q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the functional "rho" graph
     f(p) = (p*p + 1) mod |part| over the part keys (every node one
@@ -2120,6 +2141,14 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                   QUALIFY row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lbl) = 1)
            SELECT id, lbl AS label FROM l3""",
+    ),
+    "construct_big_orders": (
+        _q_construct_big_orders,
+        """SELECT c.c_name AS name,
+                  o.o_totalprice AS price,
+                  o.o_totalprice AS totalprice
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+           WHERE o.o_totalprice > 300000.0""",
     ),
     "scc_parts": (
         _q_scc_parts,
