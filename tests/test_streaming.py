@@ -206,3 +206,30 @@ def test_stream_stream_join_bounded(spark, tmp_path):
     S.run_to_memory(joined, "ssj_out", output_mode="append")
     got = {r["user_id"] for r in spark.sql("SELECT * FROM ssj_out").collect()}
     assert got == {1}
+
+
+def test_streaming_cm_sketch_matches_batch(spark, stream):
+    # the batch count-min operator runs unchanged on a stream (explode +
+    # map-side-combinable agg, complete mode): stream-built counters are
+    # bit-identical to batch-built ones, so sketches from both paths merge
+    from cypher_for_apache_spark_spark.operators.sketches import cm_sketch
+
+    S.run_to_memory(
+        cm_sketch(stream, "event_type", depth=4, width=64),
+        "cm_stream_out",
+        output_mode="complete",
+    )
+    got = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in spark.sql("SELECT r, c, cnt FROM cm_stream_out").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(SF_DIR + "/events.parquet")
+    )
+    want = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cm_sketch(batch, "event_type", depth=4, width=64).collect()
+    }
+    assert got == want and len(got) > 0
