@@ -96,3 +96,63 @@ def test_histogram_sketch_aggs_are_partial(spark):
     # HashAggregate precedes the exchange
     before_exchange = plan.split("Exchange")[-1]
     assert "HashAggregate" in before_exchange
+
+
+def test_skipgram_pairs_single_agg_no_udf(docs):
+    from cypher_for_apache_spark_spark.operators.text import skipgram_pairs
+
+    plan = _plan(skipgram_pairs(docs, window=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one aggregation pair (partial + final) on (center, context):
+    # pair generation is per-document array work, not a positional self-join
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_cm_sketch_single_combinable_agg(docs):
+    from cypher_for_apache_spark_spark.operators.sketches import cm_sketch
+
+    plan = _plan(cm_sketch(docs, "source", depth=4, width=64))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one shuffle on (r, c); partial_count before it (map-side combine)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_cm_query_broadcasts_probes(spark, docs):
+    from cypher_for_apache_spark_spark.operators.sketches import cm_query, cm_sketch
+
+    sk = cm_sketch(docs, "source", depth=4, width=64)
+    keys = spark.createDataFrame([("s0",), ("s1",)], "key string")
+    plan = _plan(cm_query(sk, keys, depth=4, width=64))
+    # tiny probe set joins the sketch via broadcast, never a sort-merge
+    assert "SortMergeJoin" not in plan
+
+
+def test_label_propagation_no_window_function(spark):
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        label_propagation_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    plan = _plan(label_propagation_edges(edges, iterations=1))
+    # winner pick is max-of-struct aggregation, not a row_number window
+    assert "Window" not in plan
+
+
+def test_random_walks_no_python_udf(spark):
+    from cypher_for_apache_spark_spark.operators.algorithms import random_walks
+
+    edges = spark.createDataFrame(
+        [(0, d) for d in range(1, 30)] + [(d, 0) for d in range(1, 30)],
+        "src long, dst long",
+    )
+    starts = spark.createDataFrame([(0,)], "id long")
+    out = random_walks(edges, starts, walk_length=2, walks_per_node=2)
+    plan = _plan(out)
+    # hash-seeded picks are JVM expressions end to end (the per-step join
+    # plans are inside lineage-truncated frames, so assert the property
+    # that survives the checkpoint: no Python evaluation anywhere)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
