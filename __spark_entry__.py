@@ -684,6 +684,12 @@ def _q_random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import lm_doc_logprob
+
+    return lm_doc_logprob(_docs(spark, sf_dir))
+
+
 def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import skipgram_pairs
 
@@ -1843,6 +1849,31 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
             FROM pc
             JOIN uc u1 ON pc.w1 = u1.w
             JOIN uc u2 ON pc.w2 = u2.w, tot""",
+    ),
+    "lm_score_docs": (
+        _q_lm_score,
+        f"""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> x <> '') AS w
+              FROM documents),
+            bg AS (SELECT doc_id, w[t.i] AS w1, w[t.i + 1] AS w2
+                   FROM toks,
+                        LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                                 AS i) t
+                   WHERE len(w) >= 2),
+            uni AS (SELECT unnest(w) AS u FROM toks),
+            uc AS (SELECT u, count(*) AS c1 FROM uni GROUP BY u),
+            v AS (SELECT count(DISTINCT u) AS vv FROM uni),
+            pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2)
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln((pc.c12 + 1)
+                                / CAST(uc.c1 + v.vv AS DOUBLE))), 6)
+                     AS avg_logprob
+            FROM bg
+            JOIN pc ON pc.w1 = bg.w1 AND pc.w2 = bg.w2
+            JOIN uc ON uc.u = bg.w1, v
+            GROUP BY bg.doc_id""",
     ),
     "skipgram_pairs_docs": (
         _q_skipgram_pairs,

@@ -509,3 +509,163 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def lm_doc_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-based bigram language-model score per document — the classic
+    corpus-quality signal (a cheap stand-in for KenLM perplexity
+    filtering): train add-one-smoothed bigram probabilities on the corpus
+    itself, then score each doc by its mean bigram log-probability
+    ``avg ln((c(w1,w2) + 1) / (c(w1) + V))``. Low scores flag docs whose
+    token transitions are unusual for the corpus (boilerplate, garbled
+    text, wrong language). Returns (id, n_bigrams, avg_logprob) for docs
+    with at least one bigram.
+
+    Scale shape: bigram/unigram/vocab counts are the same combinable
+    aggregations as ``bigram_pmi``; the model tables are vocabulary-sized
+    so both probability joins broadcast; raw text never shuffles. The
+    score is a sum of floats — rounded to 6 decimals, same cross-engine
+    discipline as bm25/pmi."""
+    from cypher_for_apache_spark_spark.materialize import materialize
+
+    toks_df = materialize(
+        df.select(
+            F.col(id_col),
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+            ).alias("_toks"),
+        )
+    )
+    arr = F.col("_toks")
+    n = F.size(arr)
+    bg = toks_df.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("w1"),
+                        F.element_at(arr, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    uni = toks_df.select(F.explode(arr).alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.select("w").distinct().agg(F.count(F.lit(1)).alias("_v"))
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(F.broadcast(pair_counts), ["w1", "w2"])
+        .join(
+            F.broadcast(uni_counts.withColumnRenamed("w", "w1")), "w1"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("_v")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+) -> list:
+    """Induce the first ``num_merges`` BPE merge rules from the corpus —
+    the training half of byte-pair tokenization. Returns
+    ``[(step, left, right, pair_count)]`` (the model artifact; apply-side
+    tokenization is ``chunk_tokens``/``token_count_regex`` territory).
+
+    Classic BPE trains on the WORD FREQUENCY table, not the raw corpus:
+    one corpus-wide (word, count) aggregation up front, then every merge
+    round runs over the vocabulary-sized symbol table — at 100 TB the
+    corpus is petabytes but the vocabulary is ~10^6 rows, so the
+    iterations cost nothing by comparison. Per round: adjacent-pair
+    counts (weighted by word count, map-side combinable), one driver-side
+    argmax (a 1-row model decision, same pattern as IVF centroids), and a
+    greedy left-to-right merge applied as a fold over each word's symbol
+    array (Catalyst ``aggregate`` HOF — no Python in the data path).
+    Ties break deterministically: highest count, then lexicographically
+    smallest (left, right)."""
+    from cypher_for_apache_spark_spark.materialize import materialize
+
+    words = materialize(
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(normalize_text(F.col(text_col)), " "),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split(F.col("w"), "").alias("syms"), "n")
+    )
+    merges = []
+    for step in range(num_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("l"),
+                                F.element_at("syms", i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array())
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), F.col("l"), F.col("r")).first()
+        if best is None or best["c"] < 2:
+            break
+        l, r, c = best["l"], best["r"], int(best["c"])
+        merges.append((step, l, r, c))
+        def make_fold(_l: str, _r: str):
+            # closure factory: pyspark introspects the lambda's arity, so
+            # default-arg capture would be rejected
+            def fold(acc, s):
+                tail = F.element_at(acc, -1)
+                hit = (F.size(acc) > 0) & (tail == F.lit(_l)) & (s == F.lit(_r))
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_l + _r))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return fold
+
+        fold = make_fold(l, r)
+
+        words = materialize(
+            words.select(
+                F.aggregate(
+                    "syms", F.array().cast("array<string>"), fold
+                ).alias("syms"),
+                "n",
+            )
+        )
+    return merges

@@ -516,3 +516,65 @@ def test_minhash_dedup_incremental(spark):
     )
     s2, _ = minhash_dedup_incremental(batch2, updated, num_hashes=32, threshold=0.8)
     assert s2.count() == 0
+
+
+def test_lm_doc_logprob_flags_unusual_doc(spark):
+    from cypher_for_apache_spark_spark.operators.text import lm_doc_logprob
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)] + [(99, "zq xv qq zz pp")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"] for r in lm_doc_logprob(df).collect()}
+    # the repeated doc's transitions dominate the corpus model -> higher
+    # probability than the garbled outlier
+    assert out[0] == out[5] > out[99]
+    # hand-check one term: c("the","cat")=10, c("the")=20, V=10 distinct
+    import math
+    assert abs(out[0] - (
+        sum(math.log((10 + 1) / (c1 + 10)) for c1 in [20, 10, 10, 10, 20]) / 5
+    )) < 1e-5
+
+
+def _bpe_reference(word_counts, num_merges):
+    """Pure-Python greedy BPE trainer for cross-checking."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    out = []
+    for step in range(num_merges):
+        counts = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        out.append((step, l, r, c))
+        new = {}
+        for syms, n in vocab.items():
+            res = []
+            for s in syms:
+                if res and res[-1] == l and s == r:
+                    res[-1] = l + r
+                else:
+                    res.append(s)
+            new[tuple(res)] = new.get(tuple(res), 0) + n
+        vocab = new
+    return out
+
+
+def test_bpe_merges_match_reference(spark):
+    from cypher_for_apache_spark_spark.operators.text import bpe_merges
+
+    corpus = ["low lower lowest", "low low new newer", "widest wide wider"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_merges(df, num_merges=6)
+
+    wc = {}
+    for t in corpus:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 6)
+    assert got == want
+    # sanity: the most common pair of the corpus is the first rule
+    assert got[0][1] + got[0][2] in ("lo", "ow", "we", "wi", "id")
