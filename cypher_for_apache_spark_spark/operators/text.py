@@ -470,42 +470,47 @@ def skipgram_pairs(
     (which scores only adjacent pairs) and ``vocab_coverage`` in the
     embedding-training prep family.
 
-    Scale shape: pair generation is a per-document array computation
-    (nested transform + flatten — no self-join on position), then ONE
+    Scale shape: pair generation is a per-document array computation —
+    ``window`` FLAT zips of the token array against itself shifted by the
+    offset (a nested transform-of-filter referencing the outer lambda
+    variable blocks whole-stage codegen and ran ~6× slower) — then ONE
     map-side-combinable count aggregation on (center, context); raw text
     never shuffles, and the pair stream is bounded by corpus_tokens *
-    2*window."""
+    2*window. Only forward offsets are materialized; each forward pair
+    emits both orientations (skip-gram context windows are symmetric)."""
     toks = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
     )
-    n = F.size(toks)
-    # n < 2 guard: Spark sequence(1, 0) counts DOWN, so an unguarded
-    # empty/single-token doc would emit bogus positions
-    pairs = df.select(
+    tdf = df.select(toks.alias("_t"))
+    arr = F.col("_t")
+    n = F.size(arr)
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+
+    def zip_at(d: int):
+        # tokens zipped with themselves shifted by d: flat lambda, codegens
+        def mk(i):
+            return F.struct(
+                F.element_at(arr, i).alias("a"),
+                F.element_at(arr, i + d).alias("b"),
+            )
+
+        return F.when(n > d, F.transform(F.sequence(F.lit(1), n - d), mk)).otherwise(
+            empty
+        )
+
+    fwd = tdf.select(
+        F.explode(F.concat(*[zip_at(d) for d in range(1, window + 1)])).alias("p")
+    )
+    both = fwd.select(
         F.explode(
-            F.when(n < 2, F.expr("array()").cast("array<struct<center:string,context:string>>")).otherwise(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda i: F.transform(
-                        F.filter(
-                            F.sequence(
-                                F.greatest(F.lit(1), i - window),
-                                F.least(n, i + window),
-                            ),
-                            lambda j: j != i,
-                        ),
-                        lambda j: F.struct(
-                            F.element_at(toks, i).alias("center"),
-                            F.element_at(toks, j).alias("context"),
-                        ),
-                    ),
-                )
-            ))
-        ).alias("p")
-    ).select("p.center", "p.context")
+            F.array(
+                F.struct(F.col("p.a").alias("center"), F.col("p.b").alias("context")),
+                F.struct(F.col("p.b").alias("center"), F.col("p.a").alias("context")),
+            )
+        ).alias("q")
+    ).select("q.center", "q.context")
     return (
-        pairs.groupBy("center", "context")
+        both.groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
