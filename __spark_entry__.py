@@ -771,6 +771,39 @@ def _q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc_functional(edges)
 
 
+def _q_harmonic_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality over the parts
+    co-purchase graph: every ~499th part is a landmark; per-landmark BFS
+    to 3 hops, h(v) = sum of 1/dist. The unrolled-SQL oracle replays the
+    per-landmark frontier expansion level by level."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        harmonic_closeness,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 3)
+        .select("l_orderkey")
+    )
+    li = li.join(small, "l_orderkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    lms = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .filter(F.col("id") % 499 == 0)
+        .dropDuplicates()
+    )
+    return harmonic_closeness(edges, lms, max_hops=3, undirected=True)
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import vocab_coverage
 
@@ -2145,6 +2178,34 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                                   / (deg.degree * (deg.degree - 1)), 6)
                        ELSE 0.0 END AS coeff
            FROM deg LEFT JOIN t USING (id)""",
+    ),
+    "harmonic_parts": (
+        _q_harmonic_parts,
+        """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           s AS (SELECT o FROM li GROUP BY o HAVING count(*) <= 3),
+           li2 AS (SELECT li.o, li.p FROM li JOIN s USING (o)),
+           e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                 FROM li2 a JOIN li2 b ON a.o = b.o AND a.p < b.p),
+           adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           lm AS (SELECT DISTINCT src AS lm FROM adj WHERE src % 499 = 0),
+           v0 AS (SELECT lm, lm AS id, 0 AS d FROM lm),
+           f1 AS (SELECT DISTINCT v0.lm, adj.dst AS id
+                  FROM v0 JOIN adj ON adj.src = v0.id),
+           n1 AS (SELECT f1.lm, f1.id, 1 AS d
+                  FROM f1 ANTI JOIN v0 ON v0.lm = f1.lm AND v0.id = f1.id),
+           v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+           f2 AS (SELECT DISTINCT n1.lm, adj.dst AS id
+                  FROM n1 JOIN adj ON adj.src = n1.id),
+           n2 AS (SELECT f2.lm, f2.id, 2 AS d
+                  FROM f2 ANTI JOIN v1 ON v1.lm = f2.lm AND v1.id = f2.id),
+           v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+           f3 AS (SELECT DISTINCT n2.lm, adj.dst AS id
+                  FROM n2 JOIN adj ON adj.src = n2.id),
+           n3 AS (SELECT f3.lm, f3.id, 3 AS d
+                  FROM f3 ANTI JOIN v2 ON v2.lm = f3.lm AND v2.id = f3.id),
+           v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+           SELECT id, round(sum(1.0 / d), 6) AS harmonic
+           FROM v3 WHERE d > 0 GROUP BY id""",
     ),
     "label_prop_parts": (
         _q_label_prop_parts,

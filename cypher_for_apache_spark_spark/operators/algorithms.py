@@ -733,3 +733,74 @@ def scc_functional(edges: DataFrame) -> DataFrame:
             F.when(F.col("_cyc"), F.col("m")).otherwise(F.col("p")).alias("component"),
         )
     )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: Optional[int] = None,
+    undirected: bool = False,
+) -> DataFrame:
+    """Per-landmark BFS distances over an (src, dst) edge frame:
+    (landmark, id, dist) rows for every node reachable from each landmark
+    — unlike ``bfs_distances`` (which MERGES sources into one min-dist),
+    every landmark keeps its own distance field. This is the landmark /
+    pivot primitive behind approximate closeness and harmonic centrality
+    and distance-sketch embeddings.
+
+    Frontier iteration on the composite (landmark, id) key: per round one
+    equi-join of the frontier against the edge table and an anti-join
+    against that landmark's visited set — all long/(long,long) keys, work
+    proportional to the live frontiers. The edge frame is materialized
+    once and shared by every round and landmark; with L landmarks the
+    total work is O(L × reachable), the expected price of per-landmark
+    outputs.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = _checkpoint(e.dropDuplicates())
+    frontier = landmarks.select(
+        F.col(landmarks.columns[0]).alias("lm")
+    ).dropDuplicates().select("lm", F.col("lm").alias("id"))
+    visited = frontier.select("lm", "id", F.lit(0).cast("long").alias("dist"))
+    dist = 0
+    while max_hops is None or dist < max_hops:
+        dist += 1
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("lm", F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+        visited = visited.unionByName(
+            nxt.select("lm", "id", F.lit(dist).cast("long").alias("dist"))
+        )
+    return visited
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: Optional[int] = None,
+    undirected: bool = True,
+) -> DataFrame:
+    """Approximate harmonic centrality from a landmark sample:
+    ``h(v) = sum over landmarks u != v of 1 / dist(u, v)`` (unreached
+    pairs contribute 0 — the harmonic formulation needs no connectivity
+    assumption, which is why it scales where classic closeness does not).
+    With landmarks = all vertices this is exact; with a hash-sampled
+    subset it is the standard estimator. Returns (id, harmonic) with the
+    sum rounded to 6 for cross-engine comparison."""
+    d = landmark_distances(edges, landmarks, max_hops, undirected)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"))
+    )

@@ -270,3 +270,27 @@ def test_scc_functional_matches_general(spark):
     slow = {r["id"]: r["component"]
             for r in alg.strongly_connected_components(edges).collect()}
     assert fast == slow and len(fast) == n
+
+
+def test_landmark_distances_per_source(spark):
+    # chain 1-2-3-4: each landmark keeps its OWN distances (bfs_distances
+    # would merge them into min-dist)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    lms = spark.createDataFrame([(1,), (4,)], "id long")
+    out = {(r["lm"], r["id"]): r["dist"]
+           for r in alg.landmark_distances(edges, lms, undirected=True).collect()}
+    assert out[(1, 4)] == 3 and out[(4, 1)] == 3
+    assert out[(1, 2)] == 1 and out[(4, 3)] == 1
+    assert out[(1, 1)] == 0 and out[(4, 4)] == 0
+
+
+def test_harmonic_closeness_center_wins(spark):
+    # star: the hub is closest to everyone
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    lms = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    h = {r["id"]: r["harmonic"]
+         for r in alg.harmonic_closeness(edges, lms, undirected=True).collect()}
+    assert h[0] == max(h.values()) == 5.0            # hub: five at dist 1
+    assert abs(h[1] - (1.0 + 4 * 0.5)) < 1e-6        # spoke: hub 1, rest 2
