@@ -804,3 +804,28 @@ def harmonic_closeness(
         .groupBy("id")
         .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"))
     )
+
+
+def ego_network(
+    edges: DataFrame,
+    centers: DataFrame,
+    radius: int = 2,
+    undirected: bool = True,
+) -> DataFrame:
+    """Induced subgraph within ``radius`` hops of each center node:
+    (center, src, dst) edge rows — the subgraph-sampling primitive behind
+    GNN mini-batch construction and neighborhood feature extraction.
+
+    Membership comes from ``landmark_distances`` (per-center frontier
+    BFS); the induced edge set is then two equi-joins of the edge frame
+    against the membership table on the composite (center, endpoint) key —
+    an edge belongs to an ego net iff BOTH endpoints are within radius of
+    that center. No neighborhood is ever collected; everything stays as
+    joins on (long, long) keys."""
+    mem = landmark_distances(edges, centers, max_hops=radius, undirected=undirected)
+    e = edges.select("src", "dst").dropDuplicates()
+    ms = mem.select(F.col("lm").alias("center"), F.col("id").alias("src"))
+    md = mem.select(F.col("lm").alias("center"), F.col("id").alias("dst"))
+    return e.join(ms, "src").join(md, ["center", "dst"]).select(
+        "center", "src", "dst"
+    )

@@ -294,3 +294,22 @@ def test_harmonic_closeness_center_wins(spark):
          for r in alg.harmonic_closeness(edges, lms, undirected=True).collect()}
     assert h[0] == max(h.values()) == 5.0            # hub: five at dist 1
     assert abs(h[1] - (1.0 + 4 * 0.5)) < 1e-6        # spoke: hub 1, rest 2
+
+
+def test_ego_network_induced_edges(spark):
+    # path 1-2-3-4-5 plus chord (2,4): radius-1 ego of 3 must include the
+    # chord (both endpoints are neighbors of 3) but not (1,2) or (4,5)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 4)], "src long, dst long"
+    )
+    centers = spark.createDataFrame([(3,)], "id long")
+    got = {(r["src"], r["dst"])
+           for r in alg.ego_network(edges, centers, radius=1).collect()}
+    assert got == {(2, 3), (3, 4), (2, 4)}
+    # radius 2 from node 1 reaches 3: includes (2,3) and the chord (2,4)?
+    # node 4 is at dist 2 via the chord, so (2,4) and (3,4) join too
+    got2 = {(r["src"], r["dst"])
+            for r in alg.ego_network(edges, spark.createDataFrame([(1,)], "id long"),
+                                     radius=2).collect()}
+    assert (1, 2) in got2 and (2, 3) in got2 and (2, 4) in got2
+    assert (4, 5) not in got2
