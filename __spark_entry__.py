@@ -747,6 +747,37 @@ def _q_construct_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+def _q_ppr_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the order-succession chains, seeded at
+    every 1000th order key: teleport and dangling mass return to the
+    seeds, so rank measures chain-proximity to the seed orders. 3
+    iterations like pagerank_next; ranks rounded before the ordered take
+    (same cross-engine discipline)."""
+    from pyspark.sql import Window, functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        personalized_pagerank,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    e = (
+        orders.select(
+            F.col("o_orderkey").cast("long").alias("src"),
+            F.lead("o_orderkey").over(w).cast("long").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    verts = orders.select(F.col("o_orderkey").cast("long").alias("id"))
+    seeds = verts.filter(F.col("id") % 1000 == 0)
+    pr = personalized_pagerank(e, seeds, vertices=verts, iterations=3)
+    return (
+        pr.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(100)
+    )
+
+
 def _q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the functional "rho" graph
     f(p) = (p*p + 1) mod |part| over the part keys (every node one
@@ -2233,6 +2264,53 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                   QUALIFY row_number() OVER (PARTITION BY id
                           ORDER BY c DESC, lbl) = 1)
            SELECT id, lbl AS label FROM l3""",
+    ),
+    "ppr_orders": (
+        _q_ppr_orders,
+        """WITH e AS (
+             SELECT o_orderkey AS src,
+                    lead(o_orderkey) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS dst
+             FROM orders QUALIFY dst IS NOT NULL),
+           v AS (SELECT o_orderkey AS id FROM orders),
+           sd AS (SELECT o_orderkey AS id FROM orders
+                  WHERE o_orderkey % 1000 = 0),
+           kk AS (SELECT count(*) AS k FROM sd),
+           sv AS (SELECT v.id,
+                         CASE WHEN sd.id IS NOT NULL
+                              THEN 1.0 / (SELECT k FROM kk) ELSE 0.0 END AS s
+                  FROM v LEFT JOIN sd ON v.id = sd.id),
+           deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           r0 AS (SELECT id, s, s AS rank FROM sv),
+           c1 AS (SELECT e.dst AS id, sum(r0.rank / deg.d) AS c
+                  FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src
+                  GROUP BY e.dst),
+           d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0
+                  WHERE id NOT IN (SELECT src FROM e)),
+           r1 AS (SELECT sv.id, sv.s,
+                         0.15 * sv.s + 0.85 * (coalesce(c1.c, 0)
+                             + (SELECT dm FROM d1) * sv.s) AS rank
+                  FROM sv LEFT JOIN c1 ON sv.id = c1.id),
+           c2 AS (SELECT e.dst AS id, sum(r1.rank / deg.d) AS c
+                  FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src
+                  GROUP BY e.dst),
+           d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1
+                  WHERE id NOT IN (SELECT src FROM e)),
+           r2 AS (SELECT sv.id, sv.s,
+                         0.15 * sv.s + 0.85 * (coalesce(c2.c, 0)
+                             + (SELECT dm FROM d2) * sv.s) AS rank
+                  FROM sv LEFT JOIN c2 ON sv.id = c2.id),
+           c3 AS (SELECT e.dst AS id, sum(r2.rank / deg.d) AS c
+                  FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src
+                  GROUP BY e.dst),
+           d3 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2
+                  WHERE id NOT IN (SELECT src FROM e)),
+           r3 AS (SELECT sv.id, sv.s,
+                         0.15 * sv.s + 0.85 * (coalesce(c3.c, 0)
+                             + (SELECT dm FROM d3) * sv.s) AS rank
+                  FROM sv LEFT JOIN c3 ON sv.id = c3.id)
+           SELECT id, round(rank, 6) AS rank FROM r3
+           ORDER BY round(rank, 6) DESC, id LIMIT 100""",
     ),
     "construct_big_orders": (
         _q_construct_big_orders,

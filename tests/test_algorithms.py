@@ -313,3 +313,32 @@ def test_ego_network_induced_edges(spark):
                                      radius=2).collect()}
     assert (1, 2) in got2 and (2, 3) in got2 and (2, 4) in got2
     assert (4, 5) not in got2
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    # two triangles bridged by one edge: seeding in triangle A keeps most
+    # mass in A; total mass stays 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    r = {row["id"]: row["rank"]
+         for row in alg.personalized_pagerank(edges, seeds, iterations=20).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert sum(r[i] for i in [1, 2, 3]) > sum(r[i] for i in [10, 11, 12])
+    assert r[1] == max(r.values())
+
+
+def test_personalized_pagerank_dangling_returns_to_seeds(spark):
+    # 1 -> 2, 2 is a sink: its mass teleports back to the seed, not
+    # uniformly, so node 3 (isolated) gets rank 0
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    r = {row["id"]: row["rank"]
+         for row in alg.personalized_pagerank(
+             edges, seeds, vertices=verts, iterations=30).collect()}
+    assert r[3] == 0.0
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[1] > r[2] > 0
