@@ -249,3 +249,62 @@ def stream_stream_join(
         )
     )
     return l.join(r, cond, "inner")
+
+
+def streaming_dedup_against_store(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    checkpoint: str = None,
+):
+    """Continuous near-dup filtering of a document stream against a
+    PERSISTENT MinHash signature store: each micro-batch is deduped with
+    ``minhash_dedup_incremental`` (drop docs matching the store or an
+    earlier id in the batch), survivors append to ``out_path`` and their
+    signatures append to ``store_path`` — so duplicates are caught across
+    batches, restarts, and even across separate batch/streaming writers
+    sharing the store. This is the streaming face of the incremental
+    operator: per-batch cost is O(batch) signatures + a band join against
+    the store, never a corpus re-scan.
+
+    Returns the StreamingQuery (caller awaits/stops it). foreachBatch is
+    the right tool here — the dedup is a batch computation against an
+    external table, not an aggregation Spark's state store can express.
+    """
+    from cypher_for_apache_spark_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:  # first batch: empty store
+            store = minhash_signatures(batch_df.limit(0), text_col, id_col, num_hashes)
+        survivors, _ = minhash_dedup_incremental(
+            batch_df,
+            store,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        # materialize survivors BEFORE appending their signatures so the
+        # two writes see the same winner set
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_path)
+        minhash_signatures(survivors, text_col, id_col, num_hashes).write.mode(
+            "append"
+        ).parquet(store_path)
+
+    writer = docs_stream.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()

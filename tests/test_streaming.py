@@ -233,3 +233,50 @@ def test_streaming_cm_sketch_matches_batch(spark, stream):
         for r in cm_sketch(batch, "event_type", depth=4, width=64).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_against_store(spark, tmp_path):
+    # two micro-batches arriving as files: batch 2 repeats a batch-1 doc
+    # and brings an internal dup; the persistent store catches both
+    import time as _t
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "completely different sentence about spark engines and catalyst"
+    c = "fresh unseen content about parquet column pruning today folks"
+
+    def _drop(df, name):
+        # the file stream source lists FILES, not nested dirs: stage the
+        # parquet dir then move its part file into the watched directory
+        import shutil, glob as _g
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(stage))
+        part = _g.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / (name + ".parquet")))
+
+    _drop(spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string"),
+          "batch1")
+
+    q = S.streaming_dedup_against_store(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        store, out, checkpoint=ck,
+    )
+    q.awaitTermination(120)
+
+    _drop(spark.createDataFrame(
+        [(10, a), (11, c), (12, c)], "doc_id long, text string"), "batch2")
+    q2 = S.streaming_dedup_against_store(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        store, out, checkpoint=ck,
+    )
+    q2.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 11]  # 10 dups batch-1 doc, 12 dups 11 in-batch
+    sigs = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert sigs == [1, 2, 11]  # store grew by survivors only
