@@ -163,16 +163,28 @@ def _prop(e: A.Prop, ctx: CompileCtx) -> Column:
             raise CypherCompileError(
                 f"{e.subject.name}() expects a relationship"
             )
-        var = (
-            rel_meta.src_var
-            if e.subject.name.lower() == "startnode"
-            else rel_meta.dst_var
+        is_start = e.subject.name.lower() == "startnode"
+        var = rel_meta.src_var if is_start else rel_meta.dst_var
+        endpoint_id = (
+            rel_meta.src_var_id_col if is_start else rel_meta.dst_var_id_col
         )
-        if var is not None and ctx.scope.get(var, EntityMeta("value")).kind == "node":
-            return _prop(A.Prop(A.Var(var), e.key), ctx)
+        if var is not None:
+            vmeta = ctx.scope.get(var)
+            # A later projection may rebind the endpoint's NAME to a
+            # different entity (WITH r, b AS a). The recorded id column is
+            # the ground truth: only read the variable's property column if
+            # its id column is still the rel's endpoint id column.
+            if (
+                vmeta is not None
+                and vmeta.kind == "node"
+                and endpoint_id is not None
+                and vmeta.id_col == endpoint_id
+            ):
+                return _prop(A.Prop(A.Var(var), e.key), ctx)
         raise CypherCompileError(
             "property access on startNode()/endNode() requires the endpoint "
-            "node to be bound in the same directed pattern"
+            "node to be bound (and not rebound by a later projection) in "
+            "the same directed pattern"
         )
     else:
         base = compile_expr(e.subject, ctx)

@@ -47,6 +47,12 @@ class EntityMeta:
     # undirected matches (per-row orientation) or unbound endpoints.
     src_var: Optional[str] = None
     dst_var: Optional[str] = None
+    # the endpoint NODE's id column at bind time ("borrowed" — owned by the
+    # node variable, so not in columns()). Lets the compiler verify that
+    # src_var/dst_var still denotes the rel's endpoint after projections
+    # rebind names (WITH r, b AS a must not silently read b for startNode(r))
+    src_var_id_col: Optional[str] = None
+    dst_var_id_col: Optional[str] = None
 
     def columns(self) -> List[str]:
         out = []
@@ -69,6 +75,8 @@ class EntityMeta:
             dst_col=m(self.dst_col),
             col=m(self.col),
             prop_cols={k: m(v) for k, v in self.prop_cols.items()},
+            src_var_id_col=m(self.src_var_id_col),
+            dst_var_id_col=m(self.dst_var_id_col),
         )
 
 

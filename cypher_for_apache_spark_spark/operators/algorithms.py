@@ -609,7 +609,6 @@ def strongly_connected_components(
     min node id of the SCC. Trivial SCCs (no cycle through the node) get
     component = their own id.
     """
-    spark = edges.sparkSession
     e = _checkpoint(
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -622,6 +621,32 @@ def strongly_connected_components(
     )
     out_parts: List[DataFrame] = []
     for _ in range(max_rounds):
+        if nodes.isEmpty():
+            break
+        # ---- trim: peel nodes with no in- or no out-edge (iterated) ----
+        # such nodes cannot lie on a cycle, so they are singleton SCCs;
+        # emitting them before FW-BW collapses DAG regions in cheap
+        # anti-join rounds instead of one full FW-BW peel per root
+        # (a directed chain is otherwise O(n) peeling rounds)
+        while True:
+            live = (
+                e.select("src")
+                .dropDuplicates()
+                .join(
+                    e.select(F.col("dst").alias("src")).dropDuplicates(),
+                    "src",
+                )
+                .select(F.col("src").alias("id"))
+            )
+            dead = _checkpoint(nodes.join(live, "id", "left_anti"))
+            if dead.isEmpty():
+                break
+            out_parts.append(dead.select("id", F.col("id").alias("component")))
+            nodes = _checkpoint(nodes.join(dead, "id", "left_anti"))
+            e = _checkpoint(
+                e.join(dead.select(F.col("id").alias("src")), "src", "left_anti")
+                .join(dead.select(F.col("id").alias("dst")), "dst", "left_anti")
+            )
         if nodes.isEmpty():
             break
         # ---- forward min-label to fixpoint (delta iteration) ----
@@ -680,10 +705,18 @@ def strongly_connected_components(
             e.join(scc.select(F.col("id").alias("src")), "src", "left_anti")
             .join(scc.select(F.col("id").alias("dst")), "dst", "left_anti")
         )
-    else:
+    # convergence = every node settled, regardless of which round did it
+    # (the old for/else raised even when the final permitted round
+    # finished the graph)
+    if not nodes.isEmpty():
         raise RuntimeError(
             f"SCC did not converge within {max_rounds} peeling rounds"
         )
+    if not out_parts:
+        # no edges survive the self-loop/dup filter: no components
+        return edges.select(
+            F.col("src").alias("id"), F.col("src").alias("component")
+        ).limit(0)
     result = out_parts[0]
     for p in out_parts[1:]:
         result = result.unionByName(p)

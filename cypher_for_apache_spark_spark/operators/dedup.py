@@ -10,7 +10,7 @@ banding and verification are all built-in JVM expressions.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -638,7 +638,7 @@ def minhash_dedup_incremental(
     bands: int = 8,
     threshold: float = 0.8,
     hash_mode: str = "xxhash64",
-) -> DataFrame:
+) -> Tuple[DataFrame, DataFrame]:
     """Continuous-ingest dedup: drop incoming docs that near-duplicate the
     ALREADY-SIGNED corpus or a smaller-id doc in the same batch, without
     re-reading or re-signing the existing corpus. Returns

@@ -351,6 +351,8 @@ class Planner:
             types=frozenset(rel.types) if rel.types else frozenset(g.rel_tables),
             src_var=a_var if rel.direction == "out" else (b_var if rel.direction == "in" else None),
             dst_var=b_var if rel.direction == "out" else (a_var if rel.direction == "in" else None),
+            src_var_id_col=ameta.id_col if rel.direction == "out" else (bmeta.id_col if rel.direction == "in" else None),
+            dst_var_id_col=bmeta.id_col if rel.direction == "out" else (ameta.id_col if rel.direction == "in" else None),
         )
         # inline property filters: self-contained ones right on the scan
         # (pushdown), variable-referencing ones after the header is merged
@@ -715,10 +717,19 @@ class Planner:
             df = one_branch("out", False).unionByName(one_branch("in", True))
 
         header = dict(rec.header)
+        tgt_id_col = (rec.header[tgt_var] if tgt_bound else tmeta).id_col
         if rel.direction == "out":
-            rmeta = dc_replace(rmeta, src_var=src_var, dst_var=tgt_var)
+            rmeta = dc_replace(
+                rmeta,
+                src_var=src_var, dst_var=tgt_var,
+                src_var_id_col=src_meta.id_col, dst_var_id_col=tgt_id_col,
+            )
         elif rel.direction == "in":
-            rmeta = dc_replace(rmeta, src_var=tgt_var, dst_var=src_var)
+            rmeta = dc_replace(
+                rmeta,
+                src_var=tgt_var, dst_var=src_var,
+                src_var_id_col=tgt_id_col, dst_var_id_col=src_meta.id_col,
+            )
         header[rel_var] = rmeta
         if not tgt_bound:
             header[tgt_var] = tmeta

@@ -251,6 +251,67 @@ def stream_stream_join(
     return l.join(r, cond, "inner")
 
 
+def dedup_batch_against_store(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> None:
+    """One idempotent micro-batch of the streaming dedup (the foreachBatch
+    body of ``streaming_dedup_against_store``, module-level so retry
+    semantics are unit-testable). Dedups ``batch_df`` against the
+    persistent signature store, then writes survivors and their
+    signatures into ``batch_id=<n>`` partition directories with
+    OVERWRITE — an at-least-once retry of the same batch replaces its own
+    partition instead of re-appending the same docs. The store read
+    excludes the current batch's own partition, so a retry after a
+    partial failure does not dedup the batch against its failed self
+    (which would silently drop the whole batch)."""
+    from cypher_for_apache_spark_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    try:
+        # batch-id partition dirs (batch_id=N) are folded back into a
+        # plain partition column by parquet partition discovery
+        store = spark.read.parquet(store_path)
+        if "batch_id" in store.columns:
+            # partition-pruned: never see this batch's failed attempt
+            store = store.filter(F.col("batch_id") != batch_id)
+        store = store.select(id_col, "signature")
+    except AnalysisException:
+        # path-not-found / no files yet: genuinely the first batch.
+        # Any OTHER failure (transient IO, corrupt footer, permission)
+        # must PROPAGATE — treating it as an empty store would
+        # silently admit every duplicate in the batch.
+        store = minhash_signatures(batch_df.limit(0), text_col, id_col, num_hashes)
+    survivors, _ = minhash_dedup_incremental(
+        batch_df,
+        store,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    # materialize survivors BEFORE appending their signatures so the
+    # two writes see the same winner set
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+    minhash_signatures(survivors, text_col, id_col, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/batch_id={batch_id}")
+
+
 def streaming_dedup_against_store(
     docs_stream: DataFrame,
     store_path: str,
@@ -265,44 +326,32 @@ def streaming_dedup_against_store(
     """Continuous near-dup filtering of a document stream against a
     PERSISTENT MinHash signature store: each micro-batch is deduped with
     ``minhash_dedup_incremental`` (drop docs matching the store or an
-    earlier id in the batch), survivors append to ``out_path`` and their
-    signatures append to ``store_path`` — so duplicates are caught across
-    batches, restarts, and even across separate batch/streaming writers
-    sharing the store. This is the streaming face of the incremental
-    operator: per-batch cost is O(batch) signatures + a band join against
-    the store, never a corpus re-scan.
+    earlier id in the batch), survivors land in ``out_path`` and their
+    signatures in ``store_path`` (one batch_id=<n> partition per batch,
+    overwritten on retry — idempotent under foreachBatch's at-least-once
+    contract) — so duplicates are caught across batches, restarts, and
+    even across separate batch/streaming writers sharing the store. This
+    is the streaming face of the incremental operator: per-batch cost is
+    O(batch) signatures + a band join against the store, never a corpus
+    re-scan.
 
     Returns the StreamingQuery (caller awaits/stops it). foreachBatch is
     the right tool here — the dedup is a batch computation against an
     external table, not an aggregation Spark's state store can express.
     """
-    from cypher_for_apache_spark_spark.operators.dedup import (
-        minhash_dedup_incremental,
-        minhash_signatures,
-    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:  # first batch: empty store
-            store = minhash_signatures(batch_df.limit(0), text_col, id_col, num_hashes)
-        survivors, _ = minhash_dedup_incremental(
+        dedup_batch_against_store(
             batch_df,
-            store,
-            text_col,
-            id_col,
+            batch_id,
+            store_path,
+            out_path,
+            text_col=text_col,
+            id_col=id_col,
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
         )
-        # materialize survivors BEFORE appending their signatures so the
-        # two writes see the same winner set
-        survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(out_path)
-        minhash_signatures(survivors, text_col, id_col, num_hashes).write.mode(
-            "append"
-        ).parquet(store_path)
 
     writer = docs_stream.writeStream.foreachBatch(_process)
     if checkpoint:

@@ -260,6 +260,53 @@ def test_scc_dag_all_singletons(spark):
     assert out == {i: i for i in [1, 2, 3, 4]}
 
 
+def test_scc_single_edge_tight_rounds(spark):
+    # settles entirely on the last permitted round: must NOT raise
+    # (ADVICE r3: the for/else raised even when the graph converged)
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["id"]: r["component"]
+           for r in alg.strongly_connected_components(edges, max_rounds=2).collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_scc_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    df = alg.strongly_connected_components(edges)
+    assert df.columns == ["id", "component"]
+    assert df.count() == 0
+
+
+def test_scc_self_loops_only(spark):
+    edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    assert alg.strongly_connected_components(edges).count() == 0
+
+
+def test_scc_long_chain_trims_fast(spark):
+    # a 59-node directed chain is pure DAG: the trim phase must collapse
+    # it without one-FW-BW-peel-per-node (ADVICE r3: >5 min pre-fix)
+    import time
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 59)], "src long, dst long"
+    )
+    t0 = time.time()
+    out = {r["id"]: r["component"]
+           for r in alg.strongly_connected_components(edges, max_rounds=5).collect()}
+    assert out == {i: i for i in range(1, 60)}
+    assert time.time() - t0 < 120
+
+
+def test_scc_chain_into_cycle(spark):
+    # chain 1->2->3 feeding a cycle 3->4->5->3: trim peels the chain,
+    # FW-BW finds the cycle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 3)], "src long, dst long"
+    )
+    out = {r["id"]: r["component"]
+           for r in alg.strongly_connected_components(edges, max_rounds=10).collect()}
+    assert out == {1: 1, 2: 2, 3: 3, 4: 3, 5: 3}
+
+
 def test_scc_functional_matches_general(spark):
     # rho-shaped functional graph: f(p) = (p*p + 1) mod 20
     n = 20

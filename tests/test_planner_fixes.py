@@ -139,3 +139,48 @@ def test_construct_on_new_ids_disjoint_from_base(session, team_graph):
         assert all(i >= (1 << 54) for i in tag_ids)
     finally:
         session.catalog.clear()
+
+
+# -- startNode(r).prop after the endpoint name is rebound ---------------------
+
+def test_startnode_prop_direct(team_graph):
+    r = team_graph.cypher(
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+        "RETURN startNode(r).name AS s, endNode(r).name AS e ORDER BY s"
+    )
+    rows = r.to_maps()
+    assert [(m["s"], m["e"]) for m in rows] == [
+        ("Martin", "Max"), ("Mats", "Martin"), ("Stefan", "Mats"),
+    ]
+
+
+def test_startnode_prop_survives_projection_keeping_endpoint(team_graph):
+    # projection keeps a under its own name -> still resolvable
+    r = team_graph.cypher(
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) WITH r, a "
+        "RETURN startNode(r).name AS s ORDER BY s"
+    )
+    assert [m["s"] for m in r.to_maps()] == ["Martin", "Mats", "Stefan"]
+
+
+def test_startnode_prop_rejects_rebound_endpoint_name(team_graph):
+    # WITH r, b AS a shadows the start node's name with the END node;
+    # reading the shadowed variable would silently return the wrong
+    # node's property — must raise instead (ADVICE r3, compiler.py)
+    from cypher_for_apache_spark_spark.functions.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError):
+        team_graph.cypher(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WITH r, b AS a "
+            "RETURN startNode(r).name AS s"
+        ).df.collect()
+
+
+def test_endnode_prop_rejects_rebound_endpoint_name(team_graph):
+    from cypher_for_apache_spark_spark.functions.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError):
+        team_graph.cypher(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WITH r, a AS b "
+            "RETURN endNode(r).name AS e"
+        ).df.collect()

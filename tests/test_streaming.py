@@ -280,3 +280,44 @@ def test_streaming_dedup_against_store(spark, tmp_path):
     assert kept == [1, 2, 11]  # 10 dups batch-1 doc, 12 dups 11 in-batch
     sigs = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
     assert sigs == [1, 2, 11]  # store grew by survivors only
+
+
+def test_dedup_batch_retry_is_idempotent(spark, tmp_path):
+    # simulate foreachBatch's at-least-once contract: re-running the SAME
+    # batch_id must neither re-append (dup output) nor dedup the batch
+    # against its own failed attempt (which would drop the whole batch)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "completely different sentence about spark engines and catalyst"
+    batch = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+
+    S.dedup_batch_against_store(batch, 0, store, out)
+    S.dedup_batch_against_store(batch, 0, store, out)  # retry
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]
+    sigs = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert sigs == [1, 2]
+
+    # a LATER batch still dedups against the store
+    batch2 = spark.createDataFrame([(3, a)], "doc_id long, text string")
+    S.dedup_batch_against_store(batch2, 1, store, out)
+    S.dedup_batch_against_store(batch2, 1, store, out)  # retry
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]
+
+
+def test_dedup_batch_store_read_failure_propagates(spark, tmp_path):
+    # a corrupt store must raise, not be treated as "first batch"
+    store = tmp_path / "store"
+    (store / "batch_id=0").mkdir(parents=True)
+    (store / "batch_id=0" / "part-0000.parquet").write_bytes(b"not a parquet file")
+    batch = spark.createDataFrame(
+        [(1, "some text here for the batch")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        S.dedup_batch_against_store(batch, 1, str(store), str(tmp_path / "out"))
+    from pyspark.errors import AnalysisException
+
+    assert not isinstance(ei.value, AnalysisException)
