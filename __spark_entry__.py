@@ -512,16 +512,21 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup cluster-bounded embedding dedup — approximate by design
-    (cross-cluster duplicates are missed); recall vs the exact pair set is
-    measured in tests/test_pipeline_ops.py, so rows-only here."""
-    from cypher_for_apache_spark_spark.operators.similarity import semantic_dedup
+    """SemDeDup cluster-bounded embedding dedup, portable mode: md5-seeded
+    integer centroids, exact integer cluster assignment, within-cluster
+    pairs on the integer sim_micro threshold — every step reproduced
+    bit-for-bit by the DuckDB oracle (same cluster-bounded quadratic shape
+    as the Lloyd-trained ``semantic_dedup``, whose recall is measured in
+    tests/test_pipeline_ops.py)."""
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        semantic_dedup_portable,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    return semantic_dedup(
-        emb, n_centroids=8, threshold=0.4, max_train_rows=2000
+    return semantic_dedup_portable(
+        emb, n_centroids=8, threshold_micro=400000
     ).select("vec_id", "label")
 
 
@@ -1087,18 +1092,21 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-HLL distinct-user rollup: sketch per (day, event_type),
-    merge to event_type. Rows-only check (Spark's DataSketches estimates
-    aren't reproducible in DuckDB); the merge-equals-direct-sketch algebra
-    and the accuracy envelope are pinned in tests/test_sketches.py."""
+    """Mergeable-HLL distinct-user rollup, portable mode: registers on the
+    60-bit md5 hash per (day, event_type), MAX-merged to event_type, then
+    summarized to the exact integer sketch state (m, zeros, powersum).
+    The DuckDB oracle recomputes the coarse state straight from raw rows —
+    so the hash match verifies BOTH the sketch and the merge algebra.
+    The DataSketches fast path (distinct_rollup) and the estimate's
+    accuracy envelope are pinned in tests/test_sketches.py."""
     from pyspark.sql import functions as F
 
-    from cypher_for_apache_spark_spark.operators.sketches import distinct_rollup
+    from cypher_for_apache_spark_spark.operators.sketches import hll_portable_rollup
 
     ev = _read_events(spark, sf_dir).withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
-    return distinct_rollup(
+    return hll_portable_rollup(
         ev, "user_id", fine_cols=["day", "event_type"], coarse_cols=["event_type"]
     )
 
@@ -1139,41 +1147,72 @@ def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cypher_for_apache_spark_spark.operators.similarity import knn_join_lsh
+    """All-pairs ANN via banded hyperplane LSH, portable mode: md5-derived
+    ±1 planes over quantized vectors, integer bucket ids, integer
+    sim_micro re-rank — the full pipeline (bucketing, candidate equi-join,
+    re-rank, top-k) is reproduced bit-for-bit by the DuckDB oracle. The
+    random-hyperplane fast path (knn_join_lsh) keeps its recall envelope
+    in tests/test_pipeline_ops.py."""
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        knn_join_lsh_portable,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    return knn_join_lsh(emb, k=5, planes=10, dim=64)
+    return knn_join_lsh_portable(emb, k=5, planes=6, bands=4)
 
 
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact O(n^2) cosine pair baseline — CAPPED at 500 vectors so the
+    headline bench never pays an uncapped nested loop (at sf0.01 the cap
+    is the whole table, so the oracle still verifies every pair; the scale
+    path is cosine_dup_pairs_lsh)."""
     from cypher_for_apache_spark_spark.operators.dedup import cosine_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where("vec_id < 500")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     return cosine_dup_pairs(emb, threshold=0.4)
 
 
 def _q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cypher_for_apache_spark_spark.operators.dedup import cosine_dup_pairs_lsh
+    """Near-dup pairs from banded LSH, portable mode (integer buckets +
+    sim_micro threshold — exact DuckDB oracle). threshold 0.4 is far below
+    sign-LSH's sweet spot (near-dup sim>=0.9, where few planes catch
+    nearly everything) — short 6-bit bands x 8 buy recall at this low
+    threshold while the candidate fraction stays bounded; tests measure
+    recall at the high-sim design point."""
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        cosine_dup_pairs_lsh_portable,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    # threshold 0.4 is far below sign-LSH's sweet spot (near-dup sim>=0.9,
-    # where few planes catch nearly everything) — shorter bands + more of
-    # them buy recall at this low threshold while keeping the candidate
-    # fraction bounded; tests measure recall at the high-sim design point
-    return cosine_dup_pairs_lsh(emb, threshold=0.4, planes=6, dim=64, bands=12)
+    return cosine_dup_pairs_lsh_portable(
+        emb, threshold_micro=400000, planes=6, bands=8
+    )
 
 
 def _q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-smallest-id embedding dedup fed by the LSH pair set —
+    the scale path is now the advertised path (no registry entry's plan
+    contains a full-input nested loop). Portable LSH pairs make the drop
+    set oracle-exact; the exact-pair variant remains the library baseline
+    (cosine_dedup(exact=True)) verified in tests."""
     from cypher_for_apache_spark_spark.operators.dedup import cosine_dedup
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        cosine_dup_pairs_lsh_portable,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    return cosine_dedup(emb, threshold=0.4).select("vec_id", "label")
+    pairs = cosine_dup_pairs_lsh_portable(
+        emb, threshold_micro=400000, planes=6, bands=8
+    ).withColumnRenamed("sim_micro", "sim")
+    return cosine_dedup(emb, threshold=0.4, pairs=pairs).select("vec_id", "label")
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,20 +1249,24 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe-limited ANN: train centroids (driver-side model of k x dim
-    floats), search nearest probes only. k-means has no SQL equivalent —
-    rows-only; exactness vs brute force is covered by tests."""
+    """IVF probe-limited ANN, portable mode: md5-seeded integer centroid
+    model, integer-distance probe selection, sim_micro re-rank — the DuckDB
+    oracle recomputes the whole index+probe pipeline bit-for-bit. The
+    Lloyd-trained float path (ivf_train_centroids/ivf_search) keeps its
+    recall-vs-brute-force envelope in tests."""
     from cypher_for_apache_spark_spark.operators.similarity import (
-        ivf_search,
-        ivf_train_centroids,
+        ivf_search_portable,
+        portable_seed_centroids,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    cents = ivf_train_centroids(emb, n_centroids=8, iterations=1)
+    cents = portable_seed_centroids(emb, n_centroids=8)
     q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
-    return ivf_search(emb.where("vec_id <> 0"), q, cents, k=10, n_probes=4)
+    return ivf_search_portable(
+        emb.where("vec_id <> 0"), q, cents, k=10, n_probes=4
+    )
 
 
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,6 +1459,54 @@ def _q_ddl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            RETURN n.name AS nation, count(*) AS customers"""
     ).df
 
+
+# Shared CTEs for the portable ANN oracles (see operators/similarity.py
+# "Portable modes": quantized integer vectors, md5-parity ±1 hyperplanes,
+# exact-integer projections/norms — every derived value cross-engine exact).
+# {B}/{P} = bands/planes.
+_PORTABLE_Q_CTES = """
+q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings),
+ex AS (SELECT vec_id, unnest(range(0,64)) AS d, unnest(v) AS qd FROM q),
+norms AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x->x*x)) AS BIGINT) AS n2 FROM q)"""
+
+_PORTABLE_ANN_CTES = _PORTABLE_Q_CTES + """,
+signs AS (
+  SELECT band, plane, d,
+    CASE WHEN CAST('0x'||substr(md5(CAST(band AS VARCHAR)||':'||CAST(plane AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,1) AS INT)%2=0
+         THEN 1 ELSE -1 END AS s
+  FROM range(0,{B}) t1(band), range(0,{P}) t2(plane), range(0,64) t3(d)),
+proj AS (SELECT e.vec_id, s.band, s.plane, SUM(s.s*e.qd) AS pr
+         FROM ex e JOIN signs s USING(d) GROUP BY 1,2,3),
+buck AS (SELECT vec_id, band, CAST(SUM(CASE WHEN pr>=0 THEN 1<<plane ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1,2)"""
+
+# undirected portable-LSH near-dup pairs at sim_micro >= 400000 (6-plane
+# bands x 8) — shared by cosine_dup_pairs_lsh and cosine_dedup oracles
+_PORTABLE_LSH_PAIRS_SQL = (
+    "WITH "
+    + _PORTABLE_ANN_CTES.format(B=8, P=6)
+    + """,
+cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+         FROM buck x JOIN buck y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<y.vec_id),
+sims AS (SELECT c.ida AS id_a, c.idb AS id_b,
+                CAST(floor(1e6 * CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+                     / sqrt(CAST(a.n2*b.n2 AS DOUBLE))) AS BIGINT) AS sim_micro
+         FROM cand c JOIN norms a ON c.ida=a.vec_id JOIN norms b ON c.idb=b.vec_id
+         WHERE a.n2 > 0 AND b.n2 > 0)
+SELECT id_a, id_b, sim_micro FROM sims WHERE sim_micro >= 400000"""
+)
+
+# md5-seeded integer centroid model + exact integer argmin assignment
+# (shared by the semantic-dedup and IVF oracles)
+_PORTABLE_CENTROID_CTES = _PORTABLE_Q_CTES + """,
+seeds AS (SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+          FROM q QUALIFY cidx < 8),
+exc AS (SELECT cidx, unnest(range(0,64)) AS d, unnest(v) AS cd FROM seeds),
+dists AS (SELECT e.vec_id, c.cidx, SUM((e.qd-c.cd)*(e.qd-c.cd)) AS dist
+          FROM ex e JOIN exc c USING(d) GROUP BY 1,2),
+assign AS (SELECT vec_id, cidx FROM (
+             SELECT vec_id, cidx, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+             FROM dists) WHERE rn = 1)"""
 
 _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
     "ddl_graph_in_nation": (
@@ -2048,7 +2139,20 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                        AS BIGINT) AS n_lines_removed
            FROM documents d LEFT JOIN agg a USING (doc_id)""",
     ),
-    "semantic_dedup_embeddings": (_q_semantic_dedup, None),
+    "semantic_dedup_embeddings": (
+        _q_semantic_dedup,
+        "WITH "
+        + _PORTABLE_CENTROID_CTES
+        + """,
+pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+          FROM assign a JOIN assign b ON a.cidx=b.cidx AND a.vec_id<b.vec_id
+          JOIN norms na ON na.vec_id=a.vec_id JOIN norms nb ON nb.vec_id=b.vec_id
+          WHERE na.n2 > 0 AND nb.n2 > 0
+            AND floor(1e6 * CAST(list_dot_product(na.v, nb.v) AS DOUBLE)
+                / sqrt(CAST(na.n2*nb.n2 AS DOUBLE))) >= 400000)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT idb FROM pairs)""",
+    ),
     "text_quality": (
         _q_text_quality,
         f"""WITH n AS (
@@ -2123,7 +2227,24 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name""",
     ),
-    "hll_rollup_events": (_q_hll_rollup, None),
+    "hll_rollup_events": (
+        _q_hll_rollup,
+        # direct coarse-grain sketch from raw rows: matching the Spark
+        # side's fine-sketch + MAX-merge output verifies the merge algebra
+        """WITH h AS (SELECT event_type,
+                  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS hv
+           FROM events WHERE user_id IS NOT NULL),
+reg AS (SELECT event_type, hv & 255 AS bucket,
+               53 - length(regexp_replace(bin(hv >> 8), '^0+', '')) AS rho
+        FROM h),
+mx AS (SELECT event_type, bucket, MAX(rho) AS rho FROM reg GROUP BY 1,2),
+summ AS (SELECT event_type, COUNT(*) AS present,
+                CAST(SUM(1::BIGINT << (53 - rho)) AS BIGINT) AS ps FROM mx GROUP BY 1)
+SELECT event_type, CAST(256 AS BIGINT) AS m,
+       CAST(256 - present AS BIGINT) AS zeros,
+       CAST(ps + (256 - present) * (1::BIGINT << 53) AS BIGINT) AS powersum
+FROM summ""",
+    ),
     "range_join_events": (
         _q_range_join,
         """WITH wins AS (
@@ -2430,10 +2551,26 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            SELECT vec_id, round(sim, 6) AS sim FROM s
            ORDER BY sim DESC, vec_id LIMIT 10""",
     ),
-    "knn_lsh_embeddings": (_q_knn_lsh, None),
+    "knn_lsh_embeddings": (
+        _q_knn_lsh,
+        "WITH "
+        + _PORTABLE_ANN_CTES.format(B=4, P=6)
+        + """,
+cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+         FROM buck x JOIN buck y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<>y.vec_id),
+sims AS (SELECT c.ida AS vec_id, c.idb AS neighbor,
+                CAST(floor(1e6 * CAST(list_dot_product(a.v, b.v) AS DOUBLE)
+                     / sqrt(CAST(a.n2*b.n2 AS DOUBLE))) AS BIGINT) AS sim_micro
+         FROM cand c JOIN norms a ON c.ida=a.vec_id JOIN norms b ON c.idb=b.vec_id
+         WHERE a.n2 > 0 AND b.n2 > 0)
+SELECT vec_id, neighbor, sim_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_micro DESC, neighbor) AS rn
+  FROM sims) WHERE rn <= 5""",
+    ),
     "cosine_dup_pairs": (
         _q_cosine_dup_pairs,
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                      WHERE vec_id < 500),
            p AS (
              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                     round(list_dot_product(a.v, b.v)
@@ -2442,20 +2579,14 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
              FROM e a JOIN e b ON a.vec_id < b.vec_id)
            SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4""",
     ),
-    # LSH variant: approximate candidate generation — no exact SQL oracle;
-    # recall vs the exact pair set is asserted in tests/test_pipeline_ops.py
-    "cosine_dup_pairs_lsh": (_q_cosine_dup_pairs_lsh, None),
+    "cosine_dup_pairs_lsh": (_q_cosine_dup_pairs_lsh, _PORTABLE_LSH_PAIRS_SQL),
     "cosine_dedup_embeddings": (
         _q_cosine_dedup,
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           losers AS (
-             SELECT DISTINCT b.vec_id AS vec_id
-             FROM e a JOIN e b ON a.vec_id < b.vec_id
-             WHERE round(list_dot_product(a.v, b.v)
-                         / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
-           SELECT vec_id, label FROM embeddings
-           WHERE vec_id NOT IN (SELECT vec_id FROM losers)""",
+        "WITH losers AS (SELECT DISTINCT id_b FROM ("
+        + _PORTABLE_LSH_PAIRS_SQL
+        + """))
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM losers)""",
     ),
     "media_decode_docs": (
         _q_media_decode,
@@ -2474,7 +2605,24 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                 LATERAL (SELECT unnest(generate_series(
                     0, octet_length(encode(text)) % 8)) AS i) f""",
     ),
-    "ivf_search_embeddings": (_q_ivf_search, None),
+    "ivf_search_embeddings": (
+        _q_ivf_search,
+        "WITH "
+        + _PORTABLE_CENTROID_CTES
+        + """,
+exquery AS (SELECT unnest(range(0,64)) AS d, unnest(v) AS qd FROM q WHERE vec_id = 0),
+cdist AS (SELECT c.cidx, SUM((c.cd-eq.qd)*(c.cd-eq.qd)) AS dist
+          FROM exc c JOIN exquery eq USING(d) GROUP BY 1),
+probes AS (SELECT cidx FROM (SELECT cidx, row_number() OVER (ORDER BY dist, cidx) AS rn FROM cdist) WHERE rn <= 4),
+qn AS (SELECT v AS qv, n2 AS qn2 FROM norms WHERE vec_id = 0),
+scored AS (SELECT n.vec_id,
+                  CAST(floor(1e6 * CAST(list_dot_product(n.v, qn.qv) AS DOUBLE)
+                       / sqrt(CAST(n.n2*qn.qn2 AS DOUBLE))) AS BIGINT) AS sim_micro
+           FROM norms n JOIN assign a ON n.vec_id=a.vec_id JOIN probes p ON a.cidx=p.cidx
+           CROSS JOIN qn
+           WHERE n.vec_id <> 0 AND n.n2 > 0 AND qn.qn2 > 0)
+SELECT vec_id, sim_micro FROM scored ORDER BY sim_micro DESC, vec_id LIMIT 10""",
+    ),
     "funnel_events": (
         _q_funnel,
         """WITH s1 AS (

@@ -615,14 +615,26 @@ def cosine_dedup(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     pairs: Optional[DataFrame] = None,
+    exact: bool = False,
+    **lsh_kwargs,
 ) -> DataFrame:
     """Drop every row that has a cosine near-duplicate with a smaller id
-    (the standard greedy keep-first policy; pass ``pairs`` to reuse
-    ``cosine_dup_pairs_lsh`` output at scale — default is the exact pair
-    set). Anti-join on the loser-id side only: the full frame never
-    re-shuffles on anything wider than the id."""
+    (the standard greedy keep-first policy). The DEFAULT pair source is
+    ``cosine_dup_pairs_lsh`` — banded candidates, never the O(n^2)
+    nested loop — so the advertised dedup path is the scale path;
+    ``lsh_kwargs`` (planes/dim/bands/...) pass through. ``exact=True``
+    switches to the exact O(n^2) pair set (the verification baseline the
+    LSH recall tests compare against), and ``pairs=`` injects a
+    precomputed pair frame (e.g. the portable-LSH set). Anti-join on the
+    loser-id side only: the full frame never re-shuffles on anything wider
+    than the id."""
     if pairs is None:
-        pairs = cosine_dup_pairs(df, vec_col, id_col, threshold)
+        if exact:
+            pairs = cosine_dup_pairs(df, vec_col, id_col, threshold)
+        else:
+            pairs = cosine_dup_pairs_lsh(
+                df, vec_col, id_col, threshold, **lsh_kwargs
+            )
     losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(losers, id_col, "left_anti")
 

@@ -387,6 +387,330 @@ def ivf_search(
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable (cross-engine bit-exact) ANN modes
+# ---------------------------------------------------------------------------
+#
+# The same move that made MinHash/SimHash oracle-checkable: every quantity
+# that decides an output row is either an exact integer (order-independent
+# under any summation order, reproducible by any engine) or an IEEE
+# operation on identical doubles (sqrt/divide of exactly-representable
+# integers — correctly rounded everywhere).
+#
+# - vectors quantize to integers: q_d = round(v_d * scale) as long
+# - hyperplanes are deterministic ±1 matrices from md5 hex-digit parity
+#   (sign(b,p,d) = +1 iff int(md5(f"{b}:{p}:{d}")[0], 16) is even), so the
+#   SQL oracle regenerates them with the same md5
+# - projections / distances / dot products are integer sums (exact)
+# - cosine similarity is reported as sim_micro =
+#   floor(1e6 * dot / sqrt(na2 * nb2)): dot and na2*nb2 are exactly
+#   representable doubles (bounded by the quantization scale), so
+#   sqrt/divide/floor are bit-identical across engines
+#
+# The xxhash64/random-hyperplane fast paths above stay the default for
+# pure-Spark pipelines; these variants exist so the driver's DuckDB oracle
+# can verify the FULL ANN pipeline (bucketing, candidate join, re-rank,
+# top-k) hash-exact instead of rows-only.
+
+
+def portable_signs(bands: int, planes: int, dim: int) -> List[List[List[int]]]:
+    """±1 hyperplane entries from md5 hex-digit parity — reproducible in
+    any engine with md5 (DuckDB: CAST('0x'||substr(md5(b||':'||p||':'||d),1,1)
+    AS INT) % 2)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"{b}:{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1
+                for d in range(dim)
+            ]
+            for p in range(planes)
+        ]
+        for b in range(bands)
+    ]
+
+
+def quantize(col: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<long> by round(v * scale). With |v| <= ~2 and
+    scale 1000, every derived integer (projection, dot, norm^2, and the
+    norm^2 product) stays exactly representable in both long and double."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def q_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sim_micro(va: Column, vb: Column, na2: Column, nb2: Column) -> Column:
+    """floor(1e6 * cos(va, vb)) as long — deterministic across engines (see
+    module comment). Null for zero-norm vectors."""
+    s = q_dot(va, vb).cast("double") / F.sqrt((na2 * nb2).cast("double"))
+    return F.when((na2 > 0) & (nb2 > 0), F.floor(s * F.lit(1e6)).cast("long"))
+
+
+def lsh_candidates_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 6,
+    dim: int = 64,
+    bands: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Directed candidate pairs ``(_ida, _idb)`` colliding in >= 1 portable
+    LSH band. Same banded equi-join shape as ``lsh_candidates`` (bounded
+    key width, never all-pairs); signatures are integer projections against
+    the md5-derived ±1 planes, so every bucket id is cross-engine exact.
+    No per-bucket cap: the cap's xxhash64 ordering isn't portable, and the
+    oracle must see the identical candidate set — at scale use the capped
+    xxhash64 path."""
+    all_planes = [
+        [[float(s) for s in plane] for plane in band]
+        for band in portable_signs(bands, planes, dim)
+    ]
+    qv = quantize(F.col(vec_col), scale)
+    sig = lsh_buckets_batch(all_planes)(qv)
+    with_sigs = df.select(F.col(id_col).alias("_id"), sig.alias("_sigs"))
+    banded = materialize(
+        with_sigs.select("_id", F.posexplode("_sigs").alias("band", "bucket"))
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") != F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("_ida"), F.col("y._id").alias("_idb"))
+        .dropDuplicates()
+    )
+
+
+def _quantized_sides(
+    df: DataFrame, vec_col: str, id_col: str, scale: int
+) -> tuple:
+    """(a, b) frames of (id, quantized vec, exact norm^2) for pair joins."""
+    qv = quantize(F.col(vec_col), scale)
+    base = df.select(F.col(id_col).alias("_qid"), qv.alias("_qv")).withColumn(
+        "_n2", q_dot(F.col("_qv"), F.col("_qv"))
+    )
+    a = base.select(
+        F.col("_qid").alias("_ida"), F.col("_qv").alias("_va"), F.col("_n2").alias("_na2")
+    )
+    b = base.select(
+        F.col("_qid").alias("_idb"), F.col("_qv").alias("_vb"), F.col("_n2").alias("_nb2")
+    )
+    return a, b
+
+
+def knn_join_lsh_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    planes: int = 6,
+    dim: int = 64,
+    bands: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Portable-mode ``knn_join_lsh``: identical pipeline (banded candidates
+    -> exact re-rank -> top-k per id), every step cross-engine exact.
+    Returns (id, neighbor, sim_micro); ranking is (sim_micro DESC,
+    neighbor ASC) — fully integer, so the top-k frontier is deterministic."""
+    from pyspark.sql import Window as W
+
+    cand = lsh_candidates_portable(df, vec_col, id_col, planes, dim, bands, scale)
+    a, b = _quantized_sides(df, vec_col, id_col, scale)
+    pairs = (
+        cand.join(a, "_ida")
+        .join(b, "_idb")
+        .select(
+            F.col("_ida").alias(id_col),
+            F.col("_idb").alias("neighbor"),
+            sim_micro(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")).alias(
+                "sim_micro"
+            ),
+        )
+        .filter(F.col("sim_micro").isNotNull())
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("sim_micro").desc(), F.col("neighbor"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_dup_pairs_lsh_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_micro: int = 400000,
+    planes: int = 6,
+    dim: int = 64,
+    bands: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Portable-mode ``cosine_dup_pairs_lsh``: undirected near-dup pairs
+    (id_a < id_b, sim_micro >= threshold_micro) from portable LSH
+    candidates — the integer threshold compare makes the predicate exact."""
+    cand = lsh_candidates_portable(
+        df, vec_col, id_col, planes, dim, bands, scale
+    ).filter(F.col("_ida") < F.col("_idb"))
+    a, b = _quantized_sides(df, vec_col, id_col, scale)
+    return (
+        cand.join(a, "_ida")
+        .join(b, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            sim_micro(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")).alias(
+                "sim_micro"
+            ),
+        )
+        .filter(F.col("sim_micro") >= threshold_micro)
+    )
+
+
+def portable_seed_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    scale: int = 1000,
+) -> List[List[int]]:
+    """Deterministic integer centroid model: the quantized vectors of the
+    ``n_centroids`` rows with the smallest md5(id) (tie-break id) — the
+    same hash-order seeding ``ivf_train_centroids`` uses, minus the Lloyd
+    refinement whose floating means no SQL oracle can reproduce. Centroid
+    index = position in that order."""
+    rows = (
+        df.select(quantize(F.col(vec_col), scale).alias("_qv"), F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["_qv"]) for r in rows]
+
+
+def assign_int(
+    df: DataFrame,
+    centroids: List[List[int]],
+    qvec_col: str = "_qv",
+    out_col: str = "_centroid",
+) -> DataFrame:
+    """argmin integer squared distance to the centroid model; ties take the
+    lowest index (numpy argmin and the SQL row_number tie-break agree).
+    Arrow-batched exact int64 arithmetic."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.int64)  # (k, dim)
+
+    @pandas_udf("int")
+    def _argmin(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.int64)  # (batch, dim)
+        d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # exact int64
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _argmin(F.col(qvec_col)))
+
+
+def ivf_search_portable(
+    df: DataFrame,
+    query_vec,
+    centroids: List[List[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probes: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Portable-mode IVF probe: integer centroid model, integer distance
+    probe selection, portable sim_micro re-rank. ``query_vec`` is the RAW
+    float vector (quantized here with the same rule as the corpus)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # same rounding rule as quantize()/the SQL oracle: ties away from zero
+    # on the exact double product (Python round() is banker's — wrong here)
+    q = [
+        int(Decimal(float(x) * scale).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for x in query_vec
+    ]
+    dists = [
+        (i, sum((a - b) * (a - b) for a, b in zip(q, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probes = [i for i, _ in sorted(dists, key=lambda t: (t[1], t[0]))[:n_probes]]
+    qn2 = sum(x * x for x in q)
+    qlit = F.array(*[F.lit(x).cast("long") for x in q])
+    base = df.select(
+        F.col(id_col), quantize(F.col(vec_col), scale).alias("_qv")
+    )
+    assigned = assign_int(base, centroids).filter(F.col("_centroid").isin(probes))
+    scored = assigned.select(
+        F.col(id_col),
+        sim_micro(
+            F.col("_qv"), qlit, q_dot(F.col("_qv"), F.col("_qv")), F.lit(qn2).cast("long")
+        ).alias("sim_micro"),
+    ).filter(F.col("sim_micro").isNotNull())
+    return scored.orderBy(F.col("sim_micro").desc(), F.col(id_col)).limit(k)
+
+
+def semantic_dedup_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    threshold_micro: int = 400000,
+    scale: int = 1000,
+) -> DataFrame:
+    """Portable-mode SemDeDup: md5-seeded integer centroids, exact integer
+    cluster assignment, within-cluster pairs with sim_micro >=
+    threshold_micro, greedy keep-smallest-id. Same cluster-bounded
+    quadratic shape as ``semantic_dedup`` (sum of c_i^2, never n^2)."""
+    cents = portable_seed_centroids(df, vec_col, id_col, n_centroids, scale)
+    base = df.select(F.col(id_col), quantize(F.col(vec_col), scale).alias("_qv"))
+    assigned = materialize(
+        assign_int(base, cents).withColumn("_n2", q_dot(F.col("_qv"), F.col("_qv")))
+    )
+    a = assigned.select(
+        F.col("_centroid"),
+        F.col(id_col).alias("_ida"),
+        F.col("_qv").alias("_va"),
+        F.col("_n2").alias("_na2"),
+    )
+    b = assigned.select(
+        F.col("_centroid"),
+        F.col(id_col).alias("_idb"),
+        F.col("_qv").alias("_vb"),
+        F.col("_n2").alias("_nb2"),
+    )
+    pairs = (
+        a.join(b, "_centroid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn(
+            "_sm",
+            sim_micro(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")),
+        )
+        .filter(F.col("_sm") >= threshold_micro)
+    )
+    losers = pairs.select(F.col("_idb").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",

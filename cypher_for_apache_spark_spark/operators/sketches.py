@@ -69,6 +69,124 @@ def distinct_rollup(
 
 
 # --------------------------------------------------------------------------
+# Portable HLL (cross-engine bit-exact register state)
+# --------------------------------------------------------------------------
+#
+# Spark's DataSketches HLL binaries aren't reproducible in other engines,
+# so the rollup above is rows-only under the driver's oracle. This variant
+# implements classic HyperLogLog on the portable 60-bit md5 hash
+# (text.portable_hash60) with the register state kept in EXACT integers:
+#
+#   h       = portable_hash60(value)           (60 bits)
+#   bucket  = h & (m-1)                        (p low bits, m = 2^p)
+#   rho     = 1 + leading-zeros of the remaining w = 60-p bits
+#           = (w+1) - bitlength(h >> p)        (bin() + strip, no log2)
+#   M_b     = max rho per (group, bucket)      — the registers
+#
+# Per group the sketch is summarized as two integers any engine recomputes
+# bit-for-bit: ``zeros`` (registers never hit) and ``powersum`` =
+# sum(2^(w+1 - M_b)) + zeros * 2^(w+1), which is 2^(w+1) * sum(2^-M) —
+# the harmonic-mean denominator scaled to an exact bigint (every term a
+# power of two, total < m * 2^(w+1) << 2^63). The double estimate
+# alpha*m^2 / (powersum / 2^(w+1)) with linear-counting correction is a
+# pure function of those integers (hll_portable_estimate); its accuracy
+# envelope is asserted in tests, while the driver oracle hash-verifies the
+# state itself. Registers merge by MAX — same associative rollup algebra
+# as the DataSketches path.
+
+
+def hll_portable_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Per-(group, bucket) max-rho registers on the portable hash."""
+    from cypher_for_apache_spark_spark.operators.text import portable_hash60
+
+    m = 1 << p
+    w = 60 - p
+    h = portable_hash60(F.col(value_col).cast("string"))
+    rem = F.shiftright(h, p)
+    # bitlength via bin(): minimal binary string, '0' for zero — strip
+    # leading zeros so the zero case reads as length 0
+    bitlen = F.length(F.regexp_replace(F.bin(rem), "^0+", ""))
+    rho = (F.lit(w + 1) - bitlen).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_portable_merge(
+    registers: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge register frames up to ``group_cols`` (max per bucket — the
+    associative rollup step)."""
+    return registers.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_portable_summary(
+    registers: DataFrame,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """(group..., m, zeros, powersum) — the exact-integer sketch state."""
+    m = 1 << p
+    w = 60 - p
+    per_group = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_present"),
+        # shiftleft with a column shift amount needs the SQL form (the
+        # python wrapper only takes a literal int)
+        F.sum(F.expr(f"shiftleft(1L, {w + 1} - rho)")).alias("_ps_present"),
+    )
+    zeros = (F.lit(m) - F.col("_present")).cast("long")
+    return per_group.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        zeros.alias("zeros"),
+        (F.col("_ps_present") + zeros * F.lit(1 << (w + 1)).cast("long")).alias(
+            "powersum"
+        ),
+    )
+
+
+def hll_portable_estimate(
+    summary: DataFrame, p: int = 8, out_col: str = "distinct_est"
+) -> DataFrame:
+    """Cardinality estimate from the integer state: raw HLL harmonic mean
+    with the standard small-range linear-counting correction. Double
+    arithmetic — accuracy (not bit-equality) is the contract here; the
+    bit-exact surface is (m, zeros, powersum)."""
+    m = F.col("m").cast("double")
+    w1 = F.lit(float(1 << (60 - p + 1)))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    raw = alpha * m * m * w1 / F.col("powersum").cast("double")
+    lc = m * F.log(m / F.col("zeros").cast("double"))
+    est = F.when((raw <= 2.5 * m) & (F.col("zeros") > 0), lc).otherwise(raw)
+    return summary.withColumn(out_col, est)
+
+
+def hll_portable_rollup(
+    df: DataFrame,
+    value_col: str,
+    fine_cols: Sequence[str],
+    coarse_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Portable twin of ``distinct_rollup``: registers at ``fine_cols``
+    grain, MAX-merged to ``coarse_cols``, summarized to the exact integer
+    state. Merging then summarizing equals sketching directly at the
+    coarse grain (max is associative) — the property the driver oracle
+    exercises by recomputing the coarse state straight from raw rows."""
+    fine = hll_portable_registers(df, value_col, fine_cols, p=p)
+    merged = hll_portable_merge(fine, coarse_cols)
+    return hll_portable_summary(merged, coarse_cols, p=p)
+
+
+# --------------------------------------------------------------------------
 # Fixed-bin histogram sketches (mergeable quantiles)
 # --------------------------------------------------------------------------
 #

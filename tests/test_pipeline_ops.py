@@ -308,9 +308,22 @@ def test_cosine_dup_pairs_lsh_recall(cos_vecs):
 
 
 def test_cosine_dedup_greedy(cos_vecs):
-    out = dedup.cosine_dedup(cos_vecs, threshold=0.99)
+    out = dedup.cosine_dedup(cos_vecs, threshold=0.99, exact=True)
     ids = {r["vec_id"] for r in out.collect()}
     # losers (the larger id of each near-dup pair) are dropped
+    assert {100, 101, 102}.isdisjoint(ids)
+    assert {0, 1, 2, 103} <= ids
+
+
+def test_cosine_dedup_default_is_lsh_no_nested_loop(cos_vecs):
+    # the DEFAULT pair source must be the LSH scale path: no
+    # BroadcastNestedLoopJoin anywhere in the plan, and (since identical
+    # vectors always collide in every sign band) the planted exact dups
+    # are still dropped
+    out = dedup.cosine_dedup(cos_vecs, threshold=0.99, planes=6, dim=16, bands=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    ids = {r["vec_id"] for r in out.collect()}
     assert {100, 101, 102}.isdisjoint(ids)
     assert {0, 1, 2, 103} <= ids
 
@@ -383,7 +396,7 @@ def test_semantic_dedup_drops_planted_dups(cos_vecs):
 
 
 def test_semantic_dedup_recall_vs_exact(cos_vecs):
-    exact = {r["vec_id"] for r in dedup.cosine_dedup(cos_vecs, threshold=0.9).collect()}
+    exact = {r["vec_id"] for r in dedup.cosine_dedup(cos_vecs, threshold=0.9, exact=True).collect()}
     approx = {
         r["vec_id"]
         for r in similarity.semantic_dedup(

@@ -1,0 +1,117 @@
+"""Portable (cross-engine bit-exact) ANN + HLL modes: determinism of the
+md5-derived models, agreement with the exact baselines, null handling for
+zero vectors, and the HLL merge algebra. The bit-for-bit DuckDB equality
+itself is exercised by the driver oracle (tools/check_oracle.py) — these
+tests pin the Spark-side semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cypher_for_apache_spark_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-0.5, 0.5) for _ in range(64)]) for i in range(60)]
+    rows.append((100, list(rows[0][1])))  # exact dup of 0
+    rows.append((101, [0.0] * 64))  # zero vector
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_portable_signs_deterministic_and_pm1():
+    a = sim.portable_signs(2, 3, 8)
+    b = sim.portable_signs(2, 3, 8)
+    assert a == b
+    flat = [s for band in a for plane in band for s in plane]
+    assert set(flat) <= {-1, 1}
+    # not degenerate: both signs appear
+    assert len(set(flat)) == 2
+
+
+def test_knn_portable_exact_dup_is_top_neighbor(vecs):
+    out = sim.knn_join_lsh_portable(vecs, k=3, planes=6, bands=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["vec_id"], []).append((r["sim_micro"], r["neighbor"]))
+    # identical vectors collide in every band and have sim_micro 1e6
+    top0 = max(by_id[0])
+    assert top0 == (1000000, 100)
+    # zero vector emits no pairs (null sim filtered)
+    assert 101 not in by_id
+    assert all(n != 101 for pairs in by_id.values() for _, n in pairs)
+
+
+def test_cosine_pairs_portable_vs_exact_subset(vecs):
+    from cypher_for_apache_spark_spark.operators.dedup import cosine_dup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(vecs, threshold=0.99).collect()
+    }
+    port = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_dup_pairs_lsh_portable(
+            vecs, threshold_micro=990000, planes=6, bands=8
+        ).collect()
+    }
+    # candidates are verified exactly -> no false positives; the planted
+    # exact dup always collides
+    assert port <= exact
+    assert (0, 100) in port
+
+
+def test_portable_seed_centroids_stable(vecs):
+    a = sim.portable_seed_centroids(vecs, n_centroids=4)
+    b = sim.portable_seed_centroids(vecs.repartition(7), n_centroids=4)
+    assert a == b  # md5-order seeding is partitioning-independent
+    assert len(a) == 4 and all(len(c) == 64 for c in a)
+    assert all(isinstance(x, int) for c in a for x in c)
+
+
+def test_semantic_dedup_portable_drops_planted_dup(vecs):
+    out = sim.semantic_dedup_portable(vecs, n_centroids=4, threshold_micro=990000)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 100 not in ids  # larger id of the identical pair is dropped
+    assert 0 in ids and 101 in ids  # keeper + zero vector survive
+
+
+def test_ivf_portable_finds_exact_dup(vecs):
+    cents = sim.portable_seed_centroids(vecs, n_centroids=4)
+    q = vecs.where("vec_id = 0").select("embedding").first()["embedding"]
+    out = sim.ivf_search_portable(
+        vecs.where("vec_id <> 0"), q, cents, k=5, n_probes=4
+    ).collect()
+    # probing every centroid makes the search exhaustive: the planted
+    # dup of vec 0 must rank first at sim_micro 1e6
+    assert out[0]["vec_id"] == 100 and out[0]["sim_micro"] == 1000000
+
+
+def test_hll_portable_merge_equals_direct(spark):
+    from cypher_for_apache_spark_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i % 7, f"u{i % 400}") for i in range(3000)], "g int, u string"
+    )
+    direct = sk.hll_portable_summary(
+        sk.hll_portable_registers(df, "u", ["g"]), ["g"]
+    )
+    fine = sk.hll_portable_registers(
+        df.withColumn("half", (F.col("g") % 2)), "u", ["g", "half"]
+    )
+    merged = sk.hll_portable_summary(sk.hll_portable_merge(fine, ["g"]), ["g"])
+    d = {r["g"]: (r["zeros"], r["powersum"]) for r in direct.collect()}
+    m = {r["g"]: (r["zeros"], r["powersum"]) for r in merged.collect()}
+    assert d == m  # max-merge of registers == sketching at the coarse grain
+
+
+def test_hll_portable_estimate_accuracy(spark):
+    from cypher_for_apache_spark_spark.operators import sketches as sk
+
+    n = 5000
+    df = spark.createDataFrame([(f"user-{i}",) for i in range(n)], "u string")
+    summ = sk.hll_portable_summary(sk.hll_portable_registers(df, "u"), p=8)
+    est = sk.hll_portable_estimate(summ).first()["distinct_est"]
+    assert abs(est - n) / n < 0.15  # ~1.04/sqrt(256) = 6.5% expected error
