@@ -171,6 +171,15 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
         """SELECT c_name AS name, c_acctbal AS acctbal FROM customer
            ORDER BY acctbal DESC, name LIMIT 10 OFFSET 5""",
     ),
+    # big skip: deeper than any single shuffle partition's rows (1500
+    # customers over 32 partitions at sf0.01), so df.offset must compose
+    # globally across partitions, not per-partition
+    "order_big_skip": (
+        """MATCH (c:Customer) RETURN c.name AS name, c.acctbal AS acctbal
+           ORDER BY acctbal DESC, name SKIP 1200 LIMIT 100""",
+        """SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+           ORDER BY acctbal DESC, name LIMIT 100 OFFSET 1200""",
+    ),
     # -- UNWIND ---------------------------------------------------------------
     "unwind_words": (
         """MATCH (p:Part) UNWIND split(p.type, ' ') AS word
@@ -1227,7 +1236,10 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return decode_media(media).select(
+    # codec pinned to the deterministic stub: the payloads are text bytes,
+    # and the oracle reproduces the sha256-derived fake exactly — a
+    # PIL-equipped deploy would otherwise auto-select the real decoder
+    return decode_media(media, codec="stub").select(
         "doc_id", "decoded_width", "decoded_height", "decode_ok"
     )
 
@@ -1266,6 +1278,23 @@ def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
     return ivf_search_portable(
         emb.where("vec_id <> 0"), q, cents, k=10, n_probes=4
+    )
+
+
+def _q_order_skip_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SKIP/LIMIT ($skip/$limit resolve at plan time —
+    reference: Skip/Limit take Expr, RelationalPlanner.scala) under the
+    oracle, with the skip again crossing partition boundaries."""
+    _harden(spark)
+    return (
+        _graph(spark, sf_dir)
+        .cypher(
+            """MATCH (c:Customer)
+               RETURN c.name AS name, c.mktsegment AS mktsegment
+               ORDER BY c.name SKIP $skip LIMIT $limit""",
+            {"skip": 777, "limit": 33},
+        )
+        .df
     )
 
 
@@ -2622,6 +2651,11 @@ scored AS (SELECT n.vec_id,
            CROSS JOIN qn
            WHERE n.vec_id <> 0 AND n.n2 > 0 AND qn.qn2 > 0)
 SELECT vec_id, sim_micro FROM scored ORDER BY sim_micro DESC, vec_id LIMIT 10""",
+    ),
+    "order_skip_param": (
+        _q_order_skip_param,
+        """SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
+           ORDER BY c_name LIMIT 33 OFFSET 777""",
     ),
     "funnel_events": (
         _q_funnel,

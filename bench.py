@@ -37,6 +37,30 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as E
 
 
+def _jvm_stats(spark) -> tuple[int, int, int]:
+    """(gc_count, gc_time_ms, codecache_used_bytes) via the JVM's
+    management beans — telemetry only (never affects timing), so
+    cross-round deltas can separate plan regressions from session noise
+    (GC pressure, code-cache growth) without re-running anything."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        gc_count = gc_time = code_used = 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            b = it.next()
+            gc_count += max(0, b.getCollectionCount())
+            gc_time += max(0, b.getCollectionTime())
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            p = it.next()
+            name = p.getName()
+            if "CodeHeap" in name or "Code Cache" in name:
+                code_used += p.getUsage().getUsed()
+        return gc_count, gc_time, code_used
+    except Exception:
+        return -1, -1, -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -102,9 +126,11 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    jvm_stats: dict[str, dict] = {}
     total = 0.0
     for name, fn in queries.items():
         best = None
+        gc0, gct0, _cc0 = _jvm_stats(spark)
         # best-of-2: the host VM sees bursty CPU steal (measured multi-
         # second penalties landing on a random query each run); the min of
         # two runs estimates the true cost with the burst probability
@@ -139,20 +165,44 @@ def main() -> None:
         if best is None:
             continue
         timings[name] = round(best, 3)
+        gc1, gct1, cc1 = _jvm_stats(spark)
+        jvm_stats[name] = {
+            "gc_n": gc1 - gc0,
+            "gc_ms": gct1 - gct0,
+            "codecache_mb": round(cc1 / (1 << 20), 1),
+        }
         total += best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # ONE JSON line, flushed immediately, with nothing after it on stdout:
+    # the driver's tail capture must always parse (round 3 lost 19 queries
+    # to post-JSON chatter + truncation)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "jvm": jvm_stats,
+        }
     )
-    spark.stop()
+    print(line, flush=True)
+    # belt-and-braces: the full record also lands next to the repo so a
+    # truncated driver capture never loses per-query data again
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
+            ),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

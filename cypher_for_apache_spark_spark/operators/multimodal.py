@@ -59,9 +59,49 @@ def _decode_bytes_stub(payload: bytes) -> dict:
     }
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def _decode_bytes_pil(payload: bytes) -> dict:  # pragma: no cover - no PIL here
+    """Real image decode via PIL, imported lazily inside the executor so
+    the module stays importable (and the stub selectable) without it."""
+    if payload is None:
+        return {"width": None, "height": None, "ok": False}
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        with Image.open(BytesIO(bytes(payload))) as im:
+            return {"width": int(im.width), "height": int(im.height), "ok": True}
+    except Exception:
+        return {"width": None, "height": None, "ok": False}
+
+
+_CODECS = {"stub": _decode_bytes_stub, "pil": _decode_bytes_pil}
+
+
+def default_codec() -> str:
+    """'pil' when PIL is importable, else 'stub' — auto-detected once at
+    call time so the component upgrades at deploy time (install pillow)
+    without code changes. The plan shape (mapInPandas, output schema) is
+    identical either way, which tests assert."""
+    try:
+        import PIL  # noqa: F401
+
+        return "pil"
+    except ImportError:
+        return "stub"
+
+
+def decode_media(
+    df: DataFrame, payload_col: str = "payload", codec=None
+) -> DataFrame:
     """Adds decoded_width / decoded_height / decode_ok via Arrow-batched
-    mapInPandas (the real-codec swap point)."""
+    mapInPandas. ``codec`` selects the per-payload decoder: None =
+    auto-detect (``default_codec``), 'stub' / 'pil' by name, or any
+    callable ``bytes -> {width, height, ok}`` (the swap point for
+    torchaudio/ffmpeg-style decoders)."""
+    if codec is None:
+        codec = default_codec()
+    decode = _CODECS[codec] if isinstance(codec, str) else codec
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -73,7 +113,7 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf[payload_col].map(_decode_bytes_stub)
+            decoded = pdf[payload_col].map(decode)
             pdf = pdf.assign(
                 decoded_width=decoded.map(lambda d: d["width"]).astype("Int32"),
                 decoded_height=decoded.map(lambda d: d["height"]).astype("Int32"),

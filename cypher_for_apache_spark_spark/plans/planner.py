@@ -33,7 +33,7 @@ from cypher_for_apache_spark_spark.functions.compiler import (
     entity_column,
 )
 from cypher_for_apache_spark_spark.graph import PropertyGraph
-from cypher_for_apache_spark_spark.header import EntityMeta, Header
+from cypher_for_apache_spark_spark.header import EntityMeta, Header, fresh
 from cypher_for_apache_spark_spark.materialize import materialize
 from cypher_for_apache_spark_spark.plans.record import Record
 
@@ -62,6 +62,7 @@ class Planner:
         driving_table: Optional[DataFrame] = None,
         views: Optional[dict] = None,
         graph_params: Optional[dict] = None,
+        expand_salt_factor: int = 0,
     ):
         self.spark = spark
         self.graph = graph
@@ -71,6 +72,7 @@ class Planner:
         self.driving_table = driving_table
         self.views = views if views is not None else {}
         self.graph_params = graph_params or {}
+        self.expand_salt_factor = expand_salt_factor
         self._uid = itertools.count()
 
     # ------------------------------------------------------------------ utils
@@ -695,7 +697,32 @@ class Planner:
             branch_rdf = rdf
             if dedup_self_loops:
                 branch_rdf = rdf.filter(F.col(rmeta.src_col) != F.col(rmeta.dst_col))
-            d = rec.df.join(branch_rdf, F.col(src_meta.id_col) == F.col(near))
+            if self.expand_salt_factor > 1:
+                # supernode salting (opt-in; operators/skew.py rationale):
+                # a hub node's relationship rows all land on one reducer in
+                # the plain equi-join — salt the REL side by (near id, rel
+                # id) and replicate the record side over the salt range so
+                # each hot node spreads across `factor` reducers. AQE's
+                # skew split covers sort-merge spills, but not a broadcast
+                # or window downstream keyed on the same hub id.
+                factor = self.expand_salt_factor
+                sl, sr = fresh("salt"), fresh("salt")
+                salted = branch_rdf.withColumn(
+                    sr,
+                    F.pmod(
+                        F.xxhash64(F.col(near), F.col(rmeta.id_col)), F.lit(factor)
+                    ).cast("int"),
+                )
+                replicated = rec.df.withColumn(
+                    sl, F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                d = replicated.join(
+                    salted,
+                    (F.col(src_meta.id_col) == F.col(near))
+                    & (F.col(sl) == F.col(sr)),
+                ).drop(sl, sr)
+            else:
+                d = rec.df.join(branch_rdf, F.col(src_meta.id_col) == F.col(near))
             if tgt_bound:
                 t = rec.header[tgt_var]
                 if t.kind != "node":

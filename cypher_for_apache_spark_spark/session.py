@@ -73,11 +73,18 @@ def _spark_tuning(spark: SparkSession) -> None:
 
 
 class CypherSession:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, expand_salt_factor: int = 0):
+        """``expand_salt_factor``: opt-in skew salting for pattern expands
+        on supernode-heavy graphs (hub nodes whose degree pins one
+        reducer). 0/1 = off (default — AQE's skew-join split covers
+        sort-merge skew); N>1 spreads each hot node's relationship rows
+        over N reducers (operators/skew.py rationale). The result is
+        plan-asserted equal to the unsalted expand in tests."""
         self.spark = spark
         _spark_tuning(spark)
         self.catalog: Dict[str, PropertyGraph] = {}
         self.views: Dict[str, tuple] = {}  # name -> (params, query AST)
+        self.expand_salt_factor = expand_salt_factor
 
     # -- graph ingestion ----------------------------------------------------
     def read_from(
@@ -174,6 +181,7 @@ class CypherSession:
             catalog=self.catalog,
             driving_table=driving_table,
             views=self.views,
+            expand_salt_factor=self.expand_salt_factor,
         )
         result = planner.plan(ast)
         if result.graph is not None:

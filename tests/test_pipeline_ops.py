@@ -591,3 +591,20 @@ def test_bpe_merges_match_reference(spark):
     assert got == want
     # sanity: the most common pair of the corpus is the first rule
     assert got[0][1] + got[0][2] in ("lo", "ow", "we", "wi", "id")
+
+
+def test_multimodal_codec_flag(spark):
+    # auto-detect picks the stub in this env (no PIL); a custom callable
+    # codec produces the SAME schema/plan shape (the deploy-time swap is a
+    # config change, not a code change)
+    assert multimodal.default_codec() == "stub"
+    media = multimodal.synthetic_media(spark, n=4)
+    stub = multimodal.decode_media(media, codec="stub")
+    custom = multimodal.decode_media(
+        media, codec=lambda p: {"width": 1, "height": 2, "ok": p is not None}
+    )
+    assert stub.schema == custom.schema
+    rows = custom.collect()
+    assert all(r["decoded_width"] == 1 and r["decoded_height"] == 2 for r in rows)
+    # default (auto) equals explicit stub here
+    assert multimodal.decode_media(media).collect() == stub.collect()

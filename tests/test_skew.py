@@ -64,3 +64,43 @@ def test_salt_actually_spreads(skewed, dim):
 def test_unsupported_how_rejected(skewed, dim):
     with pytest.raises(ValueError):
         salted_join(skewed, dim, ["k"], how="full")
+
+
+def test_salted_expand_matches_plain_on_hub_graph(spark):
+    """90%-skew graph (one hub node owns 90% of the edges): the salted
+    expand must return exactly the plain expand's rows, and its physical
+    plan must join on the widened (id, salt) key."""
+    from cypher_for_apache_spark_spark.session import CypherSession
+
+    import random
+
+    rng = random.Random(4)
+    n = 40
+    people = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(n)], "id long, name string"
+    )
+    edges = []
+    rid = 0
+    for _ in range(180):  # 90% from hub node 0
+        edges.append((rid, 0, rng.randrange(1, n))); rid += 1
+    for _ in range(20):
+        edges.append((rid, rng.randrange(1, n), rng.randrange(1, n))); rid += 1
+    rels = spark.createDataFrame(edges, "id long, src long, dst long")
+
+    q = ("MATCH (a:Person)-[r:FOLLOWS]->(b:Person) "
+         "RETURN a.name AS a, id(r) AS r, b.name AS b")
+
+    plain_sess = CypherSession(spark)
+    g1 = plain_sess.read_from({"Person": people}, {"FOLLOWS": rels})
+    plain = sorted(map(tuple, (d.values() for d in g1.cypher(q).to_maps())))
+
+    salted_sess = CypherSession(spark, expand_salt_factor=8)
+    g2 = salted_sess.read_from({"Person": people}, {"FOLLOWS": rels})
+    res = g2.cypher(q)
+    salted = sorted(map(tuple, (d.values() for d in res.to_maps())))
+
+    assert salted == plain
+    assert len(plain) == 200
+    # plan assertion: the expand's equi-join carries the salt column
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "salt#" in plan
