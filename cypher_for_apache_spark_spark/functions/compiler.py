@@ -34,14 +34,26 @@ class CompileCtx:
     scope: Header
     params: Dict[str, object] = field(default_factory=dict)
     lambda_vars: Dict[str, Column] = field(default_factory=dict)
+    # statically-known types of lambda variables (reduce accumulator,
+    # comprehension element): lambda bodies can't probe the frame, so
+    # callers that DO know the type (they probed the source/init outside
+    # the lambda) record it here for operator overload resolution
+    lambda_types: Dict[str, T.DataType] = field(default_factory=dict)
 
-    def with_lambda(self, name: str, col: Column) -> "CompileCtx":
+    def with_lambda(
+        self, name: str, col: Column, dtype: Optional[T.DataType] = None
+    ) -> "CompileCtx":
         lv = dict(self.lambda_vars)
         lv[name] = col
+        lt = dict(self.lambda_types)
+        if dtype is not None:
+            lt[name] = dtype
+        else:
+            lt.pop(name, None)
         # df=None: columns referencing a lambda variable can never resolve
         # against the outer frame, so _dtype probes inside lambda bodies
         # are pure waste (a py4j round-trip + a JVM-side ERROR log each)
-        return CompileCtx(None, self.scope, self.params, lv)
+        return CompileCtx(None, self.scope, self.params, lv, lt)
 
 
 def _dtype(ctx: CompileCtx, col: Column) -> Optional[T.DataType]:
@@ -58,6 +70,33 @@ def _dtype(ctx: CompileCtx, col: Column) -> Optional[T.DataType]:
 
 def _is(dt, *classes) -> bool:
     return dt is not None and isinstance(dt, classes)
+
+
+def _static_type(e: A.Expr, ctx: CompileCtx) -> Optional[T.DataType]:
+    """AST-level type inference for positions where frame probes can't
+    resolve (lambda bodies): literals, known-typed lambda variables, and
+    string/list-producing operators. None = unknown."""
+    if isinstance(e, A.Lit):
+        v = e.value
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return None
+    if isinstance(e, A.Var):
+        return ctx.lambda_types.get(e.name)
+    if isinstance(e, A.ListLit):
+        return T.ArrayType(T.NullType())
+    if isinstance(e, A.Bin) and e.op == "+":
+        lt = _static_type(e.lhs, ctx)
+        rt = _static_type(e.rhs, ctx)
+        if _is(lt, T.StringType) or _is(rt, T.StringType):
+            return T.StringType()
+    return None
 
 
 def compile_expr(e: A.Expr, ctx: CompileCtx) -> Column:
@@ -193,7 +232,10 @@ def _prop(e: A.Prop, ctx: CompileCtx) -> Column:
         return _temporal_accessor(base, e.key, dt)
     if _is(dt, T.MapType):
         return F.element_at(base, F.lit(e.key))
-    return base.getField(e.key) if _is(dt, T.StructType) else base.getItem(e.key)
+    if _is(dt, T.StructType):
+        # Cypher: accessing a missing map key is null, not an error
+        return base.getField(e.key) if e.key in dt.names else F.lit(None)
+    return base.getItem(e.key)
 
 
 # -- temporal accessors -------------------------------------------------------
@@ -462,7 +504,8 @@ def _in(e: A.In, ctx: CompileCtx) -> Column:
 def _bin(e: A.Bin, ctx: CompileCtx) -> Column:
     l, r = compile_expr(e.lhs, ctx), compile_expr(e.rhs, ctx)
     if e.op == "+":
-        lt, rt = _dtype(ctx, l), _dtype(ctx, r)
+        lt = _dtype(ctx, l) or _static_type(e.lhs, ctx)
+        rt = _dtype(ctx, r) or _static_type(e.rhs, ctx)
         if _is(lt, T.StringType) or _is(rt, T.StringType):
             # Cypher `+` string concat (either side string -> string)
             return F.concat(
@@ -543,26 +586,44 @@ def _index(e: A.Index, ctx: CompileCtx) -> Column:
 
 def _slice(e: A.Slice, ctx: CompileCtx) -> Column:
     base = compile_expr(e.subject, ctx)
-    lo = compile_expr(e.lo, ctx).cast("int") if e.lo is not None else F.lit(0)
-    hi = compile_expr(e.hi, ctx).cast("int") if e.hi is not None else F.size(base)
+    n = F.size(base)
+
+    def norm(c: Column) -> Column:
+        # negative bounds count from the end (xs[-3..-1] = xs[n-3..n-1]);
+        # both directions clamp into [0, n]. Null bounds -> null result.
+        return F.when(c < 0, F.greatest(n + c, F.lit(0))).otherwise(F.least(c, n))
+
+    lo = norm(compile_expr(e.lo, ctx).cast("int")) if e.lo is not None else F.lit(0)
+    hi = norm(compile_expr(e.hi, ctx).cast("int")) if e.hi is not None else n
     return F.slice(base, lo + F.lit(1), F.greatest(hi - lo, F.lit(0)))
+
+
+def _elem_type(ctx: CompileCtx, src: Column) -> Optional[T.DataType]:
+    src_t = _dtype(ctx, src)
+    return src_t.elementType if _is(src_t, T.ArrayType) else None
 
 
 def _list_comp(e: A.ListComp, ctx: CompileCtx) -> Column:
     src = compile_expr(e.source, ctx)
+    et = _elem_type(ctx, src)
     out = src
     if e.where is not None:
-        out = F.filter(out, lambda x: compile_expr(e.where, ctx.with_lambda(e.var, x)))
+        out = F.filter(
+            out, lambda x: compile_expr(e.where, ctx.with_lambda(e.var, x, et))
+        )
     if e.projection is not None:
-        out = F.transform(out, lambda x: compile_expr(e.projection, ctx.with_lambda(e.var, x)))
+        out = F.transform(
+            out, lambda x: compile_expr(e.projection, ctx.with_lambda(e.var, x, et))
+        )
     return out
 
 
 def _quantified(e: A.Quantified, ctx: CompileCtx) -> Column:
     src = compile_expr(e.source, ctx)
+    et = _elem_type(ctx, src)
 
     def pred(x):
-        return compile_expr(e.where, ctx.with_lambda(e.var, x))
+        return compile_expr(e.where, ctx.with_lambda(e.var, x, et))
 
     if e.kind == "any":
         return F.exists(src, pred)
@@ -577,9 +638,15 @@ def _quantified(e: A.Quantified, ctx: CompileCtx) -> Column:
 def _reduce(e: A.Reduce, ctx: CompileCtx) -> Column:
     src = compile_expr(e.source, ctx)
     init = compile_expr(e.init, ctx)
+    # probe types OUTSIDE the lambda (the body can't) so the accumulator /
+    # element get static types and `+` resolves its string/list overloads
+    # (reduce(s = '', w IN [...] | s + w) must concat, not numeric-add)
+    init_t = _dtype(ctx, init) or _static_type(e.init, ctx)
+    src_t = _dtype(ctx, src)
+    elem_t = src_t.elementType if _is(src_t, T.ArrayType) else None
 
     def merge(acc, x):
-        c = ctx.with_lambda(e.acc, acc).with_lambda(e.var, x)
+        c = ctx.with_lambda(e.acc, acc, init_t).with_lambda(e.var, x, elem_t)
         return compile_expr(e.expr, c)
 
     return F.aggregate(src, init, merge)

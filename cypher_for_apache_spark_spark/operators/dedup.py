@@ -172,13 +172,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and equi-join on (band index, band hash) to get
     candidate pairs (a < b). The join key is a (int, long) pair — bounded
-    width regardless of document size."""
+    width regardless of document size.
+
+    ``num_hashes`` (or ``rows_per_band``) is REQUIRED: the signature width
+    is part of the caller's sketch model, and inferring it by peeking at a
+    row would be a hidden driver-side action on the hot path."""
     if rows_per_band is None:
         if num_hashes is None:
-            # fall back to peeking one row (costs an action — callers that
-            # know the signature width should pass num_hashes)
-            first = sig_df.select(F.col(id_col), F.col("signature")).first()
-            num_hashes = len(first["signature"]) if first else bands
+            raise ValueError(
+                "pass num_hashes (the signature width) or rows_per_band — "
+                "the band layout is model configuration, not data"
+            )
         rows_per_band = max(1, num_hashes // bands)
     r = rows_per_band
     banded = sig_df.select(

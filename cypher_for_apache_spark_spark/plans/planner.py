@@ -204,7 +204,9 @@ class Planner:
     # ---------------------------------------------------------------- finalize
     def finalize(self, rec: Record) -> DataFrame:
         """Select exactly the output columns, entity vars rendered as structs
-        (driver-side value reassembly — reference rowToCypherMap.scala)."""
+        (driver-side value reassembly — reference rowToCypherMap.scala).
+        An entity whose id is null (unmatched OPTIONAL MATCH) is the null
+        VALUE, not a struct of nulls — Cypher's `RETURN x` for unbound x."""
         rec = self._materialize(rec)
         cols = []
         for name, meta in rec.header.items():
@@ -216,7 +218,8 @@ class Planner:
                     F.col(meta.labels_col).alias("labels"),
                 ]
                 parts += [F.col(c).alias(k) for k, c in sorted(meta.prop_cols.items())]
-                cols.append(F.struct(*parts).alias(name))
+                entity = F.when(F.col(meta.id_col).isNotNull(), F.struct(*parts))
+                cols.append(entity.alias(name))
             else:  # rel
                 parts = [
                     F.col(meta.id_col).alias("id"),
@@ -225,7 +228,8 @@ class Planner:
                     F.col(meta.type_col).alias("type"),
                 ]
                 parts += [F.col(c).alias(k) for k, c in sorted(meta.prop_cols.items())]
-                cols.append(F.struct(*parts).alias(name))
+                entity = F.when(F.col(meta.id_col).isNotNull(), F.struct(*parts))
+                cols.append(entity.alias(name))
         return rec.df.select(*cols)
 
     # ------------------------------------------------------------------- MATCH
