@@ -1167,7 +1167,10 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    return knn_join_lsh_portable(emb, k=5, planes=6, bands=4)
+    # 8-plane bands: 256 buckets/band keeps the uncapped candidate set
+    # ~n*8*bands instead of ~n*30*bands (portable mode has no per-bucket
+    # cap); 6 bands buy the recall back
+    return knn_join_lsh_portable(emb, k=5, planes=8, bands=6)
 
 
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,6 +1282,42 @@ def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_portable(
         emb.where("vec_id <> 0"), q, cents, k=10, n_probes=4
     )
+
+
+# fixed BPE merge-rule list for the bpe_encode_docs entry: a STATIC model
+# (rule order = application order) so the DuckDB oracle can replay the
+# same greedy folds; training (bpe_merges) is exercised in pytest against
+# a pure-Python reference
+_BPE_RULES = [("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), ("a", "n"), ("e", "y")]
+
+
+def _bpe_fold_sql(list_expr: str, l: str, r: str) -> str:
+    """One greedy merge pass in DuckDB: list_reduce with a space-joined
+    string accumulator ('' sentinel as init); symbols never contain
+    spaces, so `acc LIKE '% l'` is an exact last-symbol test."""
+    return (
+        f"list_reduce(list_prepend('', {list_expr}), (acc, x) -> "
+        f"CASE WHEN x = '{r}' AND (acc = '{l}' OR acc LIKE '% {l}') "
+        f"THEN substring(acc, 1, length(acc) - {len(l)}) || '{l}{r}' "
+        f"WHEN acc = '' THEN x ELSE acc || ' ' || x END)"
+    )
+
+
+def _bpe_chain_sql(word_expr: str) -> str:
+    expr = f"string_split({word_expr}, '')"
+    for l, r in _BPE_RULES:
+        expr = f"string_split({_bpe_fold_sql(expr, l, r)}, ' ')"
+    return expr
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side BPE tokenization with the fixed rule list: vocab-level
+    merge folds + broadcast join back to the word sequence (the corpus
+    never runs the merge chain) — oracle replays the same greedy folds
+    per word in DuckDB."""
+    from cypher_for_apache_spark_spark.operators.text import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), _BPE_RULES)
 
 
 def _q_order_skip_param(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2583,7 +2622,7 @@ FROM summ""",
     "knn_lsh_embeddings": (
         _q_knn_lsh,
         "WITH "
-        + _PORTABLE_ANN_CTES.format(B=4, P=6)
+        + _PORTABLE_ANN_CTES.format(B=6, P=8)
         + """,
 cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
          FROM buck x JOIN buck y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<>y.vec_id),
@@ -2651,6 +2690,17 @@ scored AS (SELECT n.vec_id,
            CROSS JOIN qn
            WHERE n.vec_id <> 0 AND n.n2 > 0 AND qn.qn2 > 0)
 SELECT vec_id, sim_micro FROM scored ORDER BY sim_micro DESC, vec_id LIMIT 10""",
+    ),
+    "bpe_encode_docs": (
+        _q_bpe_encode,
+        f"""WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')) AS word,
+                     unnest(range(1, len(list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')) + 1)) AS pos
+              FROM documents),
+            t AS (SELECT doc_id, pos, {_bpe_chain_sql('word')} AS toks FROM w)
+            SELECT doc_id, flatten(list(toks ORDER BY pos)) AS tokens
+            FROM t GROUP BY doc_id""",
     ),
     "order_skip_param": (
         _q_order_skip_param,

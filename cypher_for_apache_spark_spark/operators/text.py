@@ -586,6 +586,77 @@ def lm_doc_logprob(
     )
 
 
+def bpe_apply(col: Column, merges: list) -> Column:
+    """Tokenize one word column with a trained merge-rule list
+    ``[(left, right), ...]`` (rule order = application order), returning
+    ``array<string>`` of BPE symbols.
+
+    Each rule is one greedy left-to-right pass — the same Catalyst
+    ``aggregate`` fold ``bpe_merges`` applies during training (a string
+    replace looks tempting but mis-merges runs of identical pairs: the
+    consumed delimiter breaks adjacency). N rules = N chained folds in a
+    single projection: no explode, no Python; verified against a
+    pure-Python greedy reference in tests, and a SQL engine with a list
+    fold reproduces it exactly (the registry oracle does)."""
+    syms = F.split(col, "")
+
+    def one_rule(arr: Column, l: str, r: str) -> Column:
+        def fold(acc, s):
+            tail = F.element_at(acc, -1)
+            hit = (F.size(acc) > 0) & (tail == F.lit(l)) & (s == F.lit(r))
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return F.aggregate(arr, F.array().cast("array<string>"), fold)
+
+    for l, r in merges:
+        syms = one_rule(syms, l, r)
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply-side BPE tokenization of a corpus: (id, tokens array<string>).
+
+    Scale shape mirrors ``bpe_merges``: rules apply to the DISTINCT word
+    table (vocabulary-sized — ~10^6 rows at any corpus size), which then
+    broadcast-joins back to the per-document word sequence; per-doc
+    reassembly is the order-preserving sort_array(collect_list) fold.
+    The corpus-sized stages never run the merge chain."""
+    from pyspark.sql.functions import broadcast
+
+    rules = [(m[1], m[2]) if len(m) >= 3 else (m[0], m[1]) for m in merges]
+    wlists = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+        ).alias("_words"),
+    )
+    vocab = (
+        wlists.select(F.explode("_words").alias("_w"))
+        .dropDuplicates()
+        .select(F.col("_w"), bpe_apply(F.col("_w"), rules).alias("_toks"))
+    )
+    exploded = wlists.select(
+        F.col(id_col), F.posexplode("_words").alias("_pos", "_w")
+    )
+    joined = exploded.join(broadcast(vocab), "_w")
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_toks"))),
+                lambda x: x["_toks"],
+            )
+        ).alias("tokens")
+    )
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str = "text",

@@ -608,3 +608,63 @@ def test_multimodal_codec_flag(spark):
     assert all(r["decoded_width"] == 1 and r["decoded_height"] == 2 for r in rows)
     # default (auto) equals explicit stub here
     assert multimodal.decode_media(media).collect() == stub.collect()
+
+
+def _bpe_apply_reference(word, rules):
+    syms = list(word)
+    for l, r in rules:
+        res = []
+        for s in syms:
+            if res and res[-1] == l and s == r:
+                res[-1] = l + r
+            else:
+                res.append(s)
+        syms = res
+    return syms
+
+
+def test_bpe_apply_matches_python_greedy(spark):
+    from cypher_for_apache_spark_spark.operators.text import bpe_apply
+
+    rules = [("l", "o"), ("lo", "w"), ("e", "r"), ("w", "i"), ("wi", "d")]
+    words = ["low", "lower", "lowest", "wide", "wider", "new", "aaaa", "a"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: list(r["toks"])
+        for r in df.select("w", bpe_apply(F.col("w"), rules).alias("toks")).collect()
+    }
+    for w in words:
+        assert got[w] == _bpe_apply_reference(w, rules), w
+
+
+def test_bpe_apply_repeated_pair_greedy(spark):
+    # 'aaaa' + rule (a,a): greedy left-to-right -> [aa, aa]; then (aa,aa)
+    # -> [aaaa]; 'aaa' -> [aa, a]
+    from cypher_for_apache_spark_spark.operators.text import bpe_apply
+
+    rules = [("a", "a"), ("aa", "aa")]
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("aaaaa",)], "w string")
+    got = {r["w"]: list(r["t"]) for r in df.select(
+        "w", bpe_apply(F.col("w"), rules).alias("t")).collect()}
+    assert got["aaaa"] == ["aaaa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaaa"] == ["aaaa", "a"]
+    for w, toks in got.items():
+        assert toks == _bpe_apply_reference(w, rules), w
+
+
+def test_bpe_encode_roundtrip_and_trained_rules(spark):
+    from cypher_for_apache_spark_spark.operators.text import bpe_encode, bpe_merges
+
+    corpus = [(1, "low lower lowest"), (2, "new newer wide"), (3, "low wide wider")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_merges(df, num_merges=5)  # (step, l, r, count) rows
+    out = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(df, merges).collect()}
+    rules = [(l, r) for _s, l, r, _c in merges]
+    for doc_id, text in corpus:
+        want = []
+        for w in text.split():
+            want.extend(_bpe_apply_reference(w, rules))
+        assert out[doc_id] == want, doc_id
+        # tokens reassemble to the original text
+        assert "".join(out[doc_id]) == text.replace(" ", "")
