@@ -389,3 +389,63 @@ def test_personalized_pagerank_dangling_returns_to_seeds(spark):
     assert r[3] == 0.0
     assert abs(sum(r.values()) - 1.0) < 1e-9
     assert r[1] > r[2] > 0
+
+
+def _tarjan_scc(n_nodes, edges):
+    """Iterative Tarjan over adjacency lists; returns {node: min-id of its
+    SCC} for nodes appearing in edges (matching the operator's contract)."""
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, []).append(d)
+            nodes.add(s); nodes.add(d)
+    index = {}; low = {}; on = set(); stack = []; out = {}; counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, ())))]
+        index[root] = low[root] = counter[0]; counter[0] += 1
+        stack.append(root); on.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]; counter[0] += 1
+                    stack.append(w); on.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop(); on.discard(w); comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+    return out
+
+
+def test_scc_random_graphs_match_tarjan(spark):
+    import random
+
+    for seed, n, m in [(1, 8, 10), (2, 12, 18), (3, 15, 30), (4, 20, 24),
+                       (5, 10, 40), (6, 18, 12)]:
+        rng = random.Random(seed)
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        got = {r["id"]: r["component"]
+               for r in alg.strongly_connected_components(df, max_rounds=30).collect()}
+        want = _tarjan_scc(n, edges)
+        assert got == want, f"seed {seed}: {got} != {want}"

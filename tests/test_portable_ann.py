@@ -115,3 +115,54 @@ def test_hll_portable_estimate_accuracy(spark):
     summ = sk.hll_portable_summary(sk.hll_portable_registers(df, "u"), p=8)
     est = sk.hll_portable_estimate(summ).first()["distinct_est"]
     assert abs(est - n) / n < 0.15  # ~1.04/sqrt(256) = 6.5% expected error
+
+
+def test_sim_micro_tracks_true_cosine(vecs):
+    # quantization at scale 1000 bounds |sim_micro/1e6 - cos| — verify on
+    # the exact pair set (portable sims must be accurate, not just exact)
+    from cypher_for_apache_spark_spark.operators.dedup import cosine_dup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in cosine_dup_pairs(vecs, threshold=-1.0).collect()
+    }
+    a, b = sim._quantized_sides(vecs, "embedding", "vec_id", 1000)
+    port = {
+        (r["_ida"], r["_idb"]): r["sm"]
+        for r in a.join(b, F.col("_ida") < F.col("_idb"))
+        .select(
+            "_ida", "_idb",
+            sim.sim_micro(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")).alias("sm"),
+        )
+        .filter(F.col("sm").isNotNull())
+        .collect()
+    }
+    assert set(port) == set(exact)
+    for k, sm in port.items():
+        assert abs(sm / 1e6 - exact[k]) < 5e-3, (k, sm, exact[k])
+
+
+def test_portable_plans_have_no_nested_loop(vecs, spark):
+    # every portable ANN path must candidate via equi-joins — a
+    # BroadcastNestedLoopJoin anywhere means the scale design broke
+    for df in [
+        sim.knn_join_lsh_portable(vecs, k=3, planes=6, bands=4),
+        sim.cosine_dup_pairs_lsh_portable(vecs, threshold_micro=900000),
+        sim.semantic_dedup_portable(vecs, n_centroids=4),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_plan_broadcasts_vocab(spark):
+    from cypher_for_apache_spark_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, "wide wider")], "doc_id long, text string"
+    )
+    out = bpe_encode(df, [("l", "o"), ("w", "i")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the merge-fold vocab joins back via broadcast: corpus side never
+    # shuffles on the word
+    assert "BroadcastHashJoin" in plan
