@@ -438,6 +438,15 @@ def _is_not_null(e: A.IsNotNull, ctx: CompileCtx) -> Column:
 
 def _string_pred(e: A.StringPred, ctx: CompileCtx) -> Column:
     l, r = compile_expr(e.lhs, ctx), compile_expr(e.rhs, ctx)
+    # non-string operands make the predicate NULL (openCypher
+    # StartsWithAcceptance — the reference blacklists these; Spark would
+    # otherwise cast and compare). Statically-known non-string types only:
+    # property/variable columns resolve here, lambda bodies keep the
+    # lenient behavior.
+    for side, col in ((e.lhs, l), (e.rhs, r)):
+        dt = _dtype(ctx, col) or _static_type(side, ctx)
+        if dt is not None and not isinstance(dt, (T.StringType, T.NullType)):
+            return F.lit(None).cast("boolean")
     if e.op == "startswith":
         return l.startswith(r)
     if e.op == "endswith":

@@ -59,7 +59,23 @@ class NodeTable:
     @staticmethod
     def create(labels: Iterable[str], df: DataFrame, id_col: str = ID) -> "NodeTable":
         if id_col != ID:
+            if ID in df.columns:
+                # a property literally named "id" cannot share the frame
+                # with the entity id column (flat table layout; the
+                # reference avoids this via RecordHeader name mangling) —
+                # fail clearly instead of a downstream AMBIGUOUS_REFERENCE
+                raise ValueError(
+                    f"node table for labels {sorted(set(labels))} has a "
+                    f"property column named {ID!r}, which collides with "
+                    f"the entity id column — rename the property"
+                )
             df = df.withColumnRenamed(id_col, ID)
+        if len([c for c in df.columns if c == ID]) > 1:
+            raise ValueError(
+                f"node table for labels {sorted(set(labels))} has duplicate "
+                f"{ID!r} columns (a property named {ID!r} collides with the "
+                "entity id) — rename the property"
+            )
         return NodeTable(frozenset(labels), _lift(df))
 
     @property

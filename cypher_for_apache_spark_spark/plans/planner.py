@@ -777,6 +777,19 @@ class Planner:
         rmeta = rec.header[rel.var]
         if rmeta.kind != "rel":
             raise CypherPlanningError(f"variable `{rel.var}` is not a relationship")
+        if rel.types:
+            # the reused variable must ALSO satisfy this pattern's type
+            # constraint (MATCH ()-[r:R]->() MATCH ()-[r:S]->() is empty) —
+            # statically when the type sets are disjoint, else a runtime
+            # filter on the type column
+            want = frozenset(rel.types)
+            if rmeta.types and not (rmeta.types & want):
+                rec = Record(rec.df.filter(F.lit(False)), rec.header)
+            elif rmeta.type_col is not None:
+                rec = Record(
+                    rec.df.filter(F.col(rmeta.type_col).isin(*sorted(want))),
+                    rec.header,
+                )
         src_meta = rec.header[src_var]
         tgt_var = tgt.var or self._anon()
 
@@ -1426,13 +1439,28 @@ class Planner:
         return df
 
     def _int_value(self, e: A.Expr) -> int:
+        """SKIP/LIMIT amount: any constant integer expression (literals,
+        parameters, arithmetic over them — 'an expression that does not
+        depend on variables', TCK SkipLimitAcceptance; the reference
+        blacklists these, we fold them at plan time)."""
         if isinstance(e, A.Lit) and isinstance(e.value, int):
             return e.value
         if isinstance(e, A.Param):
             return int(self.params[e.name])
         if isinstance(e, A.Neg):
             return -self._int_value(e.expr)
-        raise CypherPlanningError("SKIP/LIMIT must be an integer literal or parameter")
+        if isinstance(e, A.Bin) and e.op in ("+", "-", "*", "/", "%"):
+            l, r = self._int_value(e.lhs), self._int_value(e.rhs)
+            if e.op == "+":
+                return l + r
+            if e.op == "-":
+                return l - r
+            if e.op == "*":
+                return l * r
+            if e.op == "/":
+                return int(l / r)  # Cypher integer division truncates
+            return l - int(l / r) * r  # % keeps the dividend sign (Java)
+        raise CypherPlanningError("SKIP/LIMIT must be a constant integer expression")
 
     # ------------------------------------------------------------- aggregation
     def _plan_aggregation(self, rec: Record, clause: A.ProjectionClause, items) -> Record:

@@ -66,3 +66,20 @@ def test_supported_neighbors_still_pass(g):
         g.cypher("MATCH (a)-[:KNOWS]->(b) RETURN b.name AS n").df.collect()[0]["n"]
         == "Bo"
     )
+
+
+def test_property_named_id_is_a_clear_error(spark):
+    # flat element-table layout: a property literally named "id" collides
+    # with the entity id column (the reference mangles column names; we
+    # fail clearly instead of a downstream AMBIGUOUS_REFERENCE)
+    import pytest
+    from pyspark.sql import types as T
+
+    from cypher_for_apache_spark_spark.graph import NodeTable
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("id", T.LongType())]
+    )
+    df = spark.createDataFrame([(0, 42)], schema)
+    with pytest.raises(ValueError, match="collides with"):
+        NodeTable.create(["X"], df)
