@@ -1320,6 +1320,32 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(_docs(spark, sf_dir), _BPE_RULES)
 
 
+def _q_minhash_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-complete near-dup removal on the portable pipeline:
+    md5-exact pairs -> connected components -> min-id survivor per
+    cluster. The oracle closes the identical pair set with a recursive
+    CTE, so the SURVIVOR SET itself is cross-engine verified (not just
+    the pairs)."""
+    from cypher_for_apache_spark_spark.operators.dedup import minhash_dedup_cc
+
+    return minhash_dedup_cc(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5,
+        hash_mode="md5",
+    ).select("doc_id")
+
+
+def _q_exact_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the keep-best policy: per content key, survive the
+    LONGEST duplicate (n_chars), ties to the smaller id — the
+    quality-aware survivor selection corpus pipelines prefer over
+    keep-first."""
+    from cypher_for_apache_spark_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), quality_col="n_chars").select(
+        "doc_id"
+    )
+
+
 def _q_order_skip_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SKIP/LIMIT ($skip/$limit resolve at plan time —
     reference: Skip/Limit take Expr, RelationalPlanner.scala) under the
@@ -1528,6 +1554,57 @@ def _q_ddl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).df
 
 
+# portable-MinHash pair CTEs (md5 at every level — token hashes,
+# shingle hashes, seeded min-hashes, band buckets, overlap verify),
+# ending in `mh_pairs`; shared by the pair entry and the
+# cluster-complete dedup oracle
+_PORTABLE_MINHASH_CTES = f"""n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+            th AS (SELECT doc_id,
+                          list_transform(w,
+                            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+                   FROM toks WHERE len(w) >= 3),
+            sh AS (SELECT doc_id,
+                          [('0x' || substr(md5(array_to_string(
+                              list_transform(h[i:i+2], x -> CAST(x AS VARCHAR)),
+                              ',')), 1, 15))::BIGINT
+                           for i in generate_series(1, len(h) - 2)] AS s
+                   FROM th),
+            shx AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+            ab AS (SELECT doc_id,
+                          ('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15))::BIGINT AS a,
+                          ('0x' || substr(md5(CAST(g AS VARCHAR)), 16, 8))::BIGINT AS b
+                   FROM shx),
+            seeded AS (
+              SELECT doc_id, seed, min(a + seed * b) AS m
+              FROM ab, generate_series(0, 15) AS t(seed)
+              GROUP BY doc_id, seed),
+            sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig
+                    FROM seeded GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, band,
+                     ('0x' || substr(md5(array_to_string(
+                         list_transform(sig[band*4+1:band*4+4],
+                                        x -> CAST(x AS VARCHAR)),
+                         ',')), 1, 15))::BIGINT AS bucket
+              FROM sig, generate_series(0, 3) AS b(band)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                     sum(CASE WHEN sa.sig[t.i] = sb.sig[t.i]
+                              THEN 1 ELSE 0 END) / 16.0 AS je
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b
+              CROSS JOIN generate_series(1, 16) AS t(i)
+              GROUP BY c.id_a, c.id_b),
+            mh_pairs AS (SELECT id_a, id_b, round(je, 6) AS jaccard_est
+                         FROM v WHERE je >= 0.5)"""
+
 # Shared CTEs for the portable ANN oracles (see operators/similarity.py
 # "Portable modes": quantized integer vectors, md5-parity ±1 hyperplanes,
 # exact-integer projections/norms — every derived value cross-engine exact).
@@ -1692,52 +1769,37 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
     # the oracle reproduces the LSH banding itself, not just true Jaccard
     "dedup_minhash_portable": (
         _q_minhash_portable,
-        f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-            toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
-            th AS (SELECT doc_id,
-                          list_transform(w,
-                            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
-                   FROM toks WHERE len(w) >= 3),
-            sh AS (SELECT doc_id,
-                          [('0x' || substr(md5(array_to_string(
-                              list_transform(h[i:i+2], x -> CAST(x AS VARCHAR)),
-                              ',')), 1, 15))::BIGINT
-                           for i in generate_series(1, len(h) - 2)] AS s
-                   FROM th),
-            shx AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
-            ab AS (SELECT doc_id,
-                          ('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15))::BIGINT AS a,
-                          ('0x' || substr(md5(CAST(g AS VARCHAR)), 16, 8))::BIGINT AS b
-                   FROM shx),
-            seeded AS (
-              SELECT doc_id, seed, min(a + seed * b) AS m
-              FROM ab, generate_series(0, 15) AS t(seed)
-              GROUP BY doc_id, seed),
-            sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig
-                    FROM seeded GROUP BY doc_id),
-            banded AS (
-              SELECT doc_id, band,
-                     ('0x' || substr(md5(array_to_string(
-                         list_transform(sig[band*4+1:band*4+4],
-                                        x -> CAST(x AS VARCHAR)),
-                         ',')), 1, 15))::BIGINT AS bucket
-              FROM sig, generate_series(0, 3) AS b(band)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM banded a
-              JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-                            AND a.doc_id < b.doc_id),
-            v AS (
-              SELECT c.id_a, c.id_b,
-                     sum(CASE WHEN sa.sig[t.i] = sb.sig[t.i]
-                              THEN 1 ELSE 0 END) / 16.0 AS je
-              FROM cand c
-              JOIN sig sa ON sa.doc_id = c.id_a
-              JOIN sig sb ON sb.doc_id = c.id_b
-              CROSS JOIN generate_series(1, 16) AS t(i)
-              GROUP BY c.id_a, c.id_b)
-            SELECT id_a, id_b, round(je, 6) AS jaccard_est
-            FROM v WHERE je >= 0.5""",
+        "WITH " + _PORTABLE_MINHASH_CTES
+        + "\nSELECT id_a, id_b, jaccard_est FROM mh_pairs",
+    ),
+    "dedup_minhash_cc_portable": (
+        _q_minhash_cc_portable,
+        # cluster-complete survivors: the same portable pair set, closed
+        # into components by a recursive CTE (min-reachable-id = the
+        # cluster representative), everything else dropped
+        "WITH RECURSIVE " + _PORTABLE_MINHASH_CTES
+        + """,
+            edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+                      UNION ALL SELECT id_b, id_a FROM mh_pairs),
+            vnodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach AS (
+              SELECT id, id AS comp FROM vnodes
+              UNION
+              SELECT e.b AS id, r.comp AS comp
+              FROM reach r JOIN edges e ON e.a = r.id),
+            comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            losers AS (SELECT id FROM comps WHERE id <> comp)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)""",
+    ),
+    "dedup_exact_keep_best_docs": (
+        _q_exact_dedup_best,
+        f"""SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY md5({_NORM_SQL})
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn = 1""",
     ),
     "dedup_simhash_pairs": (_q_simhash_pairs, None),
     "dedup_simhash_portable": (

@@ -31,16 +31,28 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    quality_col: Optional[str] = None,
 ) -> DataFrame:
-    """Keep the minimum-id row per (normalized) text value.
+    """Keep one row per (normalized) text value: the minimum id by
+    default, or — with ``quality_col`` — the HIGHEST-quality duplicate
+    (ties to the smaller id), the keep-best policy corpus pipelines use
+    when duplicates differ in extraction quality.
 
-    Implementation: group by a 128-bit content key (md5), min(id), then a
-    semi-join back — at scale this groups on a fixed-width key instead of
-    shuffling full documents.
+    Implementation: group by a 128-bit content key (md5) with min / max_by
+    (both map-side combinable), then a semi-join back — at scale this
+    groups on a fixed-width key instead of shuffling full documents.
     """
     key = F.md5(normalize_text(F.col(text_col)) if normalize else F.col(text_col))
     keyed = df.withColumn("_dd_key", key)
-    winners = keyed.groupBy("_dd_key").agg(F.min(id_col).alias(id_col))
+    if quality_col is None:
+        agg = F.min(id_col).alias(id_col)
+    else:
+        # lexicographic (quality, -id) max == best quality, ties -> min id
+        agg = F.max_by(
+            F.col(id_col),
+            F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("ni")),
+        ).alias(id_col)
+    winners = keyed.groupBy("_dd_key").agg(agg)
     return (
         keyed.join(winners, [id_col, "_dd_key"], "left_semi").drop("_dd_key")
     )
@@ -285,6 +297,7 @@ def minhash_dedup_cc(
     mode: str = "word",
     bands: int = 8,
     threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Cluster-complete near-duplicate removal: duplicate pairs form an
     undirected similarity graph; connected components collapse transitive
@@ -295,13 +308,17 @@ def minhash_dedup_cc(
     this one cannot, which is the semantics most corpus-dedup pipelines
     (e.g. the C4/RefinedWeb family) actually want. Costs one
     edge-contraction CC over the PAIR list (tiny relative to the corpus;
-    work proportional to duplicate-pair count, not corpus size)."""
+    work proportional to duplicate-pair count, not corpus size).
+    ``hash_mode='md5'`` runs the portable pipeline end-to-end, making the
+    survivor set reproducible by a SQL engine (pairs + a recursive-CTE
+    connected components — the driver oracle does exactly that)."""
     from cypher_for_apache_spark_spark.operators.algorithms import (
         connected_components_edges,
     )
 
     verified = minhash_duplicate_pairs(
-        df, text_col, id_col, num_hashes, shingle_size, mode, bands, threshold
+        df, text_col, id_col, num_hashes, shingle_size, mode, bands, threshold,
+        hash_mode,
     )
     comps = connected_components_edges(
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -668,3 +668,39 @@ def test_bpe_encode_roundtrip_and_trained_rules(spark):
         assert out[doc_id] == want, doc_id
         # tokens reassemble to the original text
         assert "".join(out[doc_id]) == text.replace(" ", "")
+
+
+def test_exact_dedup_keep_best_quality(spark):
+    # same normalized content, different quality: keep-best survives the
+    # highest quality (ties -> smaller id), unlike the min-id default
+    df = spark.createDataFrame(
+        [
+            (1, "The  Quick brown fox", 5),
+            (2, "the quick BROWN fox", 9),   # best copy
+            (3, "the quick brown fox", 9),   # tie with 2 -> 2 wins
+            (4, "something else", 1),
+        ],
+        "doc_id long, text string, q long",
+    )
+    best = {r["doc_id"] for r in
+            dedup.exact_dedup(df, quality_col="q").collect()}
+    assert best == {2, 4}
+    first = {r["doc_id"] for r in dedup.exact_dedup(df).collect()}
+    assert first == {1, 4}
+
+
+def test_minhash_dedup_cc_portable_matches_fast_path(spark):
+    # the md5 portable pipeline must keep the same cluster semantics as
+    # the xxhash64 fast path on planted transitive chains
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"     # ~ a
+    c = "alpha beta gamma delta epsilon zeta kappa iota"   # ~ b, less ~ a
+    d = "completely different words entirely here now ok"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    for hm in ("xxhash64", "md5"):
+        kept = {r["doc_id"] for r in dedup.minhash_dedup_cc(
+            df, num_hashes=32, bands=16, threshold=0.5, hash_mode=hm).collect()}
+        assert 4 in kept and 1 in kept
+        assert kept.isdisjoint({2, 3}), (hm, kept)
