@@ -215,6 +215,19 @@ class PatternPredicate(Expr):
     negated: bool = False
 
 
+@dataclass
+class PatternComprehension(Expr):
+    """``[(a)-[:T]->(b) WHERE pred | projection]`` — a correlated pattern
+    subquery producing a list per row. The reference does NOT support
+    these (its TCK blacklist marks the whole PatternComprehension family
+    failing); here they lower to the same pattern-subquery machinery as
+    EXISTS, aggregated with collect_list instead of a marker."""
+
+    pattern: "PatternPart"
+    projection: Expr
+    where: Optional[Expr] = None
+
+
 # -- patterns ---------------------------------------------------------------
 
 

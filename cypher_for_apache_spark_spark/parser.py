@@ -832,6 +832,25 @@ class Parser:
         if self.at("]"):
             self.advance()
             return A.ListLit([])
+        # pattern comprehension: [ (a)-[:T]->(b) [WHERE pred] | proj ] —
+        # speculative (a parenthesized expression also starts with '(');
+        # a real pattern must have at least one relationship and be
+        # followed by WHERE or the mandatory '|'
+        if self.at("(") or self.at("<-"):
+            saved = self.i
+            try:
+                part = self.parse_pattern_part()
+                if part.rels and (self.at("|") or self.at_kw("where")):
+                    where = None
+                    if self.eat_kw("where"):
+                        where = self.parse_expr()
+                    self.expect("|")
+                    proj = self.parse_expr()
+                    self.expect("]")
+                    return A.PatternComprehension(part, proj, where)
+            except CypherSyntaxError:
+                pass
+            self.i = saved
         # lookahead: ident IN → comprehension
         if self.tok.kind == "ident" and self.peek().kind == "kw" and self.peek().value.lower() == "in":
             var = self.advance().value

@@ -1174,6 +1174,7 @@ class Planner:
             if isinstance(c, A.PatternPredicate):
                 rec = self._semi_join_predicate(rec, c)
             else:
+                rec, c = self._replace_pattern_comps(rec, c)
                 rec, c = self._replace_pattern_preds(rec, c)
                 remaining.append(c)
         if not remaining:
@@ -1188,16 +1189,26 @@ class Planner:
         row: element id for nodes/rels, the value column otherwise."""
         return meta.col if meta.kind == "value" else meta.id_col
 
-    def _rhs_for_pattern(self, rec: Record, pattern: A.PatternPart, where: Optional[A.Expr]):
+    def _rhs_for_pattern(
+        self,
+        rec: Record,
+        pattern: A.PatternPart,
+        where: Optional[A.Expr],
+        extra: Sequence[A.Expr] = (),
+    ):
         """Plan a pattern against the graph starting from the distinct
         projection of the lhs variables it references. Returns
-        (rhs_record, key_cols: identity columns shared with the lhs)."""
+        (rhs_record, key_cols: identity columns shared with the lhs).
+        ``extra``: additional expressions (e.g. a pattern comprehension's
+        projection) whose variable references must survive into the rhs."""
         pat_vars = {n.var for n in pattern.nodes if n.var} | {
             r.var for r in pattern.rels if r.var
         }
         used = set(pat_vars)
         if where is not None:
             used |= {v.name for v in where.walk() if isinstance(v, A.Var)}
+        for ex in extra:
+            used |= {v.name for v in ex.walk() if isinstance(v, A.Var)}
         common = sorted(v for v in used if v in rec.header)
         key_cols: List[str] = []
         if common and rec.df is not None:
@@ -1270,6 +1281,82 @@ class Planner:
             if p.negated:
                 repl = A.Not(repl)
             expr = A.substitute(expr, [(p, repl)])
+        return rec, expr
+
+    def _replace_pattern_comps(self, rec: Record, expr: A.Expr) -> Tuple[Record, A.Expr]:
+        """Lower each PatternComprehension ``[pat WHERE p | proj]`` to the
+        EXISTS machinery's list-producing cousin: plan the pattern from
+        the row's bindings, collect_list(proj) per identity key, left-join
+        back (no match -> EMPTY list, not null), substitute a variable.
+        The reference blacklists the whole official PatternComprehension
+        family as failing — this is a beyond-parity capability.
+
+        ``size((n)-[:T]->())`` — the legacy pattern-count form — rewrites
+        first to size of a ``| 1`` comprehension."""
+        sizes = [
+            n
+            for n in expr.walk()
+            if isinstance(n, A.FuncCall)
+            and n.name in ("size", "length")
+            and len(n.args) == 1
+            and isinstance(n.args[0], A.PatternPredicate)
+            and not n.args[0].negated
+        ]
+        if sizes:
+            expr = A.substitute(
+                expr,
+                [
+                    (
+                        n,
+                        A.FuncCall(
+                            n.name,
+                            [
+                                A.PatternComprehension(
+                                    n.args[0].pattern, A.Lit(1), n.args[0].where
+                                )
+                            ],
+                        ),
+                    )
+                    for n in sizes
+                ],
+            )
+        done: List[A.PatternComprehension] = []
+        for p in [n for n in expr.walk() if isinstance(n, A.PatternComprehension)]:
+            if any(p == d for d in done):
+                continue
+            done.append(p)
+            rec_m = self._materialize(rec)
+            rhs, key_cols = self._rhs_for_pattern(
+                rec_m, p.pattern, p.where, extra=(p.projection,)
+            )
+            proj_col = compile_expr(p.projection, self._ctx(rhs))
+            list_col = f"{self._u('patcomp')}#list"
+            if not key_cols:
+                gdf = rhs.df.agg(F.collect_list(proj_col).alias(list_col))
+                df = rec_m.df.join(gdf, F.lit(True), "left_outer")
+            else:
+                renames = {c: f"{c}#rhs{next(self._uid)}" for c in key_cols}
+                gdf = (
+                    rhs.df.groupBy(*key_cols)
+                    .agg(F.collect_list(proj_col).alias(list_col))
+                    .select(
+                        *[F.col(c).alias(renames[c]) for c in key_cols], list_col
+                    )
+                )
+                cond = None
+                for c in key_cols:
+                    e = F.col(c).eqNullSafe(F.col(renames[c]))
+                    cond = e if cond is None else cond & e
+                df = rec_m.df.join(gdf, cond, "left_outer").drop(*renames.values())
+            lt = next(f.dataType for f in df.schema.fields if f.name == list_col)
+            df = df.withColumn(
+                list_col, F.coalesce(F.col(list_col), F.array().cast(lt))
+            )
+            out_var = self._anon()
+            header = dict(rec.header)
+            header[out_var] = EntityMeta(kind="value", col=list_col)
+            rec = Record(df, header)
+            expr = A.substitute(expr, [(p, A.Var(out_var))])
         return rec, expr
 
     # --------------------------------------------------------------- OPTIONAL
@@ -1373,6 +1460,18 @@ class Planner:
     def plan_projection(self, rec: Record, clause: A.ProjectionClause) -> Record:
         rec = self._materialize(rec)
         items = self._resolve_items(rec, clause)
+        # pattern comprehensions in projection items lower to list columns
+        # before anything else looks at the expressions
+        if any(
+            isinstance(n, (A.PatternComprehension, A.PatternPredicate))
+            for e, _ in items
+            for n in e.walk()
+        ):
+            lowered = []
+            for e, alias in items:
+                rec, e = self._replace_pattern_comps(rec, e)
+                lowered.append((e, alias))
+            items = lowered
         if any(A.contains_aggregate(e) for e, _ in items):
             return self._plan_aggregation(rec, clause, items)
 

@@ -46,8 +46,6 @@ BLACKLISTED = [
     "MATCH (a) REMOVE a.name RETURN a",
     # CALL ... YIELD procedures
     "CALL db.labels() YIELD label RETURN label",
-    # pattern comprehensions
-    "MATCH (a) RETURN [(a)-->(b) | b.name] AS names",
 ]
 
 
