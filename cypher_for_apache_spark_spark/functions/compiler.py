@@ -661,6 +661,92 @@ def _reduce(e: A.Reduce, ctx: CompileCtx) -> Column:
     return F.aggregate(src, init, merge)
 
 
+# -- paths ------------------------------------------------------------------------
+
+
+def path_nodes_array(metas, ctx: CompileCtx) -> Column:
+    """array of node structs with a UNIFIED schema (id, labels, union of
+    the path's property keys, null-filled) — array elements must share one
+    struct type."""
+    keys = sorted({k for m in metas for k in m.prop_cols})
+
+    def typed_null(k: str) -> Column:
+        for m in metas:
+            if k in m.prop_cols:
+                dt = _dtype(ctx, F.col(m.prop_cols[k]))
+                if dt is not None:
+                    return F.lit(None).cast(dt)
+        return F.lit(None).cast("string")
+
+    return F.array(
+        *[
+            F.struct(
+                F.col(m.id_col).alias("id"),
+                F.col(m.labels_col).alias("labels"),
+                *[
+                    (
+                        F.col(m.prop_cols[k]) if k in m.prop_cols else typed_null(k)
+                    ).alias(k)
+                    for k in keys
+                ],
+            )
+            for m in metas
+        ]
+    )
+
+
+def path_rels_array(metas, ctx: CompileCtx) -> Column:
+    """array of relationship structs with a unified schema; empty paths
+    get a typed empty array."""
+    if not metas:
+        return F.array().cast(
+            "array<struct<id:bigint,src:bigint,dst:bigint,type:string>>"
+        )
+    keys = sorted({k for m in metas for k in m.prop_cols})
+
+    def typed_null(k: str) -> Column:
+        for m in metas:
+            if k in m.prop_cols:
+                dt = _dtype(ctx, F.col(m.prop_cols[k]))
+                if dt is not None:
+                    return F.lit(None).cast(dt)
+        return F.lit(None).cast("string")
+
+    return F.array(
+        *[
+            F.struct(
+                F.col(m.id_col).alias("id"),
+                F.col(m.src_col).alias("src"),
+                F.col(m.dst_col).alias("dst"),
+                F.col(m.type_col).alias("type"),
+                *[
+                    (
+                        F.col(m.prop_cols[k]) if k in m.prop_cols else typed_null(k)
+                    ).alias(k)
+                    for k in keys
+                ],
+            )
+            for m in metas
+        ]
+    )
+
+
+def _path_fn(e: A.FuncCall, meta: EntityMeta, ctx: CompileCtx) -> Column:
+    """Functions over a named-path variable: the element layout is static
+    plan-time metadata, so length() is a literal and nodes()/
+    relationships() assemble directly from the element columns (no
+    runtime path value exists until finalize renders one). An unmatched
+    OPTIONAL path (null dirs sentinel) yields null from every function."""
+    bound = F.col(meta.col).isNotNull()
+    if e.name in ("length", "size"):
+        return F.when(bound, F.lit(len(meta.path_rels)).cast("long"))
+    if e.name == "nodes":
+        return F.when(bound, path_nodes_array(meta.path_nodes, ctx))
+    if e.name == "relationships":
+        return F.when(bound, path_rels_array(meta.path_rels, ctx))
+    raise CypherCompileError(f"{e.name}() is not supported on paths")
+
+
 # -- function calls ---------------------------------------------------------------
 
 
@@ -668,6 +754,10 @@ def _func(e: A.FuncCall, ctx: CompileCtx) -> Column:
     name = e.name
     if name in AGGREGATES:
         return compile_aggregate(e, ctx)
+    if len(e.args) == 1 and isinstance(e.args[0], A.Var):
+        meta = ctx.scope.get(e.args[0].name)
+        if meta is not None and meta.kind == "path":
+            return _path_fn(e, meta, ctx)
     fn = _SCALAR_FNS.get(name)
     if fn is None:
         raise CypherCompileError(f"unknown function {name}()")

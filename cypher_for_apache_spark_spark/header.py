@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass, field, replace
-from typing import Dict, FrozenSet, List, Optional
+from typing import Dict, FrozenSet, List, Optional, Tuple
 
 _counter = itertools.count()
 
@@ -53,6 +53,12 @@ class EntityMeta:
     # rebind names (WITH r, b AS a must not silently read b for startNode(r))
     src_var_id_col: Optional[str] = None
     dst_var_id_col: Optional[str] = None
+    # named paths (kind='path'): the ordered element metas — the path OWNS
+    # copies of its elements' layouts, so it survives projections that
+    # drop or rebind the element variables; `col` holds the per-hop
+    # forward-direction array<boolean> column
+    path_nodes: Tuple["EntityMeta", ...] = ()
+    path_rels: Tuple["EntityMeta", ...] = ()
 
     def columns(self) -> List[str]:
         out = []
@@ -60,6 +66,8 @@ class EntityMeta:
             if c is not None:
                 out.append(c)
         out.extend(self.prop_cols.values())
+        for m in list(self.path_nodes) + list(self.path_rels):
+            out.extend(m.columns())
         return out
 
     def renamed(self, mapping: Dict[str, str]) -> "EntityMeta":
@@ -77,6 +85,8 @@ class EntityMeta:
             prop_cols={k: m(v) for k, v in self.prop_cols.items()},
             src_var_id_col=m(self.src_var_id_col),
             dst_var_id_col=m(self.dst_var_id_col),
+            path_nodes=tuple(x.renamed(mapping) for x in self.path_nodes),
+            path_rels=tuple(x.renamed(mapping) for x in self.path_rels),
         )
 
 

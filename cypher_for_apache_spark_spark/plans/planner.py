@@ -212,6 +212,23 @@ class Planner:
         for name, meta in rec.header.items():
             if meta.kind == "value":
                 cols.append(F.col(meta.col).alias(name))
+            elif meta.kind == "path":
+                from cypher_for_apache_spark_spark.functions.compiler import (
+                    path_nodes_array,
+                    path_rels_array,
+                )
+
+                ctx = CompileCtx(rec.df, rec.header, self.params)
+                pv = F.struct(
+                    path_nodes_array(meta.path_nodes, ctx).alias("nodes"),
+                    path_rels_array(meta.path_rels, ctx).alias("rels"),
+                    F.col(meta.col).alias("dirs"),
+                    F.lit(True).alias("__path"),
+                )
+                # null sentinel: the dirs column (built with the path's
+                # own pattern) — the first node may be a SHARED variable
+                # that is bound even when an OPTIONAL path isn't
+                cols.append(F.when(F.col(meta.col).isNotNull(), pv).alias(name))
             elif meta.kind == "node":
                 parts = [
                     F.col(meta.id_col).alias("id"),
@@ -272,7 +289,7 @@ class Planner:
 
     def plan_part(self, rec: Record, part: A.PatternPart, rel_ids) -> Record:
         if part.path_var is not None:
-            raise CypherPlanningError("path values (p = ...) are not supported")
+            return self._plan_named_path(rec, part, rel_ids)
         nodes = part.nodes
         rels = part.rels
         start = 0
@@ -287,6 +304,54 @@ class Planner:
         for i in range(start, len(rels)):
             rec, prev_var = self.expand(rec, prev_var, rels[i], nodes[i + 1], rel_ids)
         return rec
+
+    def _plan_named_path(self, rec: Record, part: A.PatternPart, rel_ids) -> Record:
+        """``p = (a)-[r]->(b)-...``: plan the pattern normally (anonymous
+        elements get generated variables so every element has a meta),
+        then bind ``p`` as a PATH meta owning COPIES of the element
+        layouts plus a per-hop forward-direction array — so the value
+        survives projections that drop the element variables. Beyond
+        parity: the reference supports no path values at all
+        (cypher-cypher9-features.adoc; its TCK blacklist fails every
+        named-path scenario). Fixed-length patterns only — a var-length
+        hop has no static element list."""
+        for r in part.rels:
+            if r.var_length is not None:
+                raise CypherPlanningError(
+                    "variable-length relationships in a named path are not "
+                    "supported"
+                )
+        node_vars = [n.var or self._anon() for n in part.nodes]
+        rel_vars = [r.var or self._anon() for r in part.rels]
+        elements = []
+        ni = ri = 0
+        for i, el in enumerate(part.elements):
+            if i % 2 == 0:
+                elements.append(dc_replace(el, var=node_vars[ni])); ni += 1
+            else:
+                elements.append(dc_replace(el, var=rel_vars[ri])); ri += 1
+        filled = A.PatternPart(elements, path_var=None)
+        rec = self.plan_part(rec, filled, rel_ids)
+        dirs_col = f"{self._u('path')}#dirs"
+        hop_dirs = [
+            # forward iff the stored edge's src is the hop's left node —
+            # covers out (always true), in (always false), and undirected
+            # (per-row orientation) uniformly
+            F.col(rec.header[rv].src_col) == F.col(rec.header[nv].id_col)
+            for rv, nv in zip(rel_vars, node_vars[:-1])
+        ]
+        df = rec.df.withColumn(
+            dirs_col,
+            F.array(*hop_dirs) if hop_dirs else F.array().cast("array<boolean>"),
+        )
+        header = dict(rec.header)
+        header[part.path_var] = EntityMeta(
+            kind="path",
+            col=dirs_col,
+            path_nodes=tuple(rec.header[v] for v in node_vars),
+            path_rels=tuple(rec.header[v] for v in rel_vars),
+        )
+        return Record(df, header)
 
     def try_triplet_scan(
         self, rec: Record, nodes, rels, rel_ids
@@ -1413,7 +1478,9 @@ class Planner:
             new_cols = []
             for m in new_vars.values():
                 new_cols.extend(m.columns())
-            seen2 = set()
+            seen2 = set(lhs.df.columns)  # never re-select lhs copies (a
+            # path meta owns copies of SHARED element columns — the lhs
+            # already carries them)
             new_cols = [c for c in new_cols if not (c in seen2 or seen2.add(c))]
             renames = {c: f"{c}#opt{next(self._uid)}" for c in key_cols}
             rdf = rhs.df.select(

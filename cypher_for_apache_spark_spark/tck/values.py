@@ -281,6 +281,17 @@ def canon_engine_value(v: Any, list_order_insensitive: bool = False) -> Any:
     shapes ``parse_value`` produces for TCK literals."""
     if isinstance(v, dict):
         keys = set(v)
+        if "__path" in keys:
+            # engine path struct {nodes, rels, dirs, __path} -> the TCK
+            # path form: nodes interleaved with rel / rel_rev elements
+            nodes = [canon_engine_value(n) for n in (v.get("nodes") or [])]
+            rels = [canon_engine_value(r) for r in (v.get("rels") or [])]
+            dirs = list(v.get("dirs") or [])
+            elems = [nodes[0]] if nodes else []
+            for i, r in enumerate(rels):
+                elems.append(r if dirs[i] else ("rel_rev",) + r[1:])
+                elems.append(nodes[i + 1])
+            return ("path", tuple(elems))
         if {"id", "labels"} <= keys:
             props = {
                 k: x for k, x in v.items() if k not in ("id", "labels") and x is not None

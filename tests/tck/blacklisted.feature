@@ -4,21 +4,6 @@ Feature: Blacklisted
   # Each name below must appear in BLACKLIST and must keep failing — if one
   # starts passing, the blacklist (and COVERAGE.md) must be updated.
 
-  Scenario: Return a whole path value
-    Given an empty graph
-    And having executed:
-      """
-      CREATE (:A)-[:R]->(:B)
-      """
-    When executing query:
-      """
-      MATCH p = (:A)-[:R]->(:B) RETURN p
-      """
-    Then the result should be, in any order:
-      | p |
-      | 0 |
-    And no side effects
-
   Scenario: shortestPath is unsupported
     Given an empty graph
     And having executed:
