@@ -975,12 +975,42 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "timestamp": lambda e, ctx: F.expr("unix_micros(current_timestamp()) div 1000"),
     "duration": lambda e, ctx: _fn_duration(e, ctx),
     "duration.between": lambda e, ctx: _fn_duration_between(e, ctx),
+    "date.truncate": lambda e, ctx: _fn_truncate(e, ctx, "date"),
+    "localdatetime.truncate": lambda e, ctx: _fn_truncate(e, ctx, "timestamp_ntz"),
     # CTBigDecimal (reference: BigDecimal expr, Expr.scala:802; MakeDecimal
     # SparkSQLExprMapper.scala:473): bigdecimal(expr, precision, scale)
     "bigdecimal": lambda e, ctx: compile_expr(e.args[0], ctx).cast(
         f"decimal({int(_sql_lit(e.args[1], ctx))},{int(_sql_lit(e.args[2], ctx))})"
     ),
 }
+
+
+def _fn_truncate(e: A.FuncCall, ctx: CompileCtx, out_type: str) -> Column:
+    """date.truncate / localdatetime.truncate (unit, temporal) — the
+    official TemporalTruncateAcceptance family, which the reference
+    blacklists entirely. Spark's date_trunc covers year..second; the
+    coarser-than-year units (decade/century/millennium) are year
+    arithmetic on make_date."""
+    if len(e.args) != 2:
+        raise CypherCompileError("truncate() expects (unit, temporal)")
+    unit = _sql_lit(e.args[0], ctx)
+    if not isinstance(unit, str):
+        raise CypherCompileError("truncate() unit must be a string literal")
+    unit = unit.lower()
+    v = compile_expr(e.args[1], ctx).cast("timestamp_ntz")
+    coarse = {"millennium": 1000, "century": 100, "decade": 10}
+    if unit in coarse:
+        n = coarse[unit]
+        y = (F.year(v) / n).cast("int") * F.lit(n)
+        out = F.make_date(y, F.lit(1), F.lit(1)).cast("timestamp_ntz")
+    elif unit in (
+        "year", "quarter", "month", "week", "day",
+        "hour", "minute", "second", "millisecond", "microsecond",
+    ):
+        out = F.date_trunc(unit, v).cast("timestamp_ntz")
+    else:
+        raise CypherCompileError(f"unknown truncation unit {unit!r}")
+    return out.cast(out_type)
 
 
 def _fn_right(e, ctx):
