@@ -357,3 +357,70 @@ def streaming_dedup_against_store(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()
+
+
+def hll_register_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    value_col: str,
+    group_cols,
+    p: int = 8,
+) -> None:
+    """One idempotent micro-batch of the streaming distinct-count rollup:
+    sketch the batch's portable-HLL registers (operators/sketches.py) and
+    write them into an OVERWRITTEN ``batch_id=<n>`` partition of the
+    register store. Registers merge by MAX, which is idempotent and
+    associative — duplicate register rows from at-least-once delivery are
+    absorbed by the read-time merge, and the store answers any
+    coarser-grain rollup without rescanning the stream."""
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        hll_portable_registers,
+    )
+
+    regs = hll_portable_registers(batch_df, value_col, group_cols, p=p)
+    regs.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+
+
+def streaming_hll_rollup(
+    stream: DataFrame,
+    store_path: str,
+    value_col: str = "user_id",
+    group_cols=("event_type",),
+    p: int = 8,
+    checkpoint: str = None,
+):
+    """Continuous approximate-distinct rollup: each micro-batch appends
+    its portable-HLL registers to a persistent store (one overwritten
+    batch_id partition per batch — same idempotent layout as the
+    streaming dedup store). ``read_hll_store`` merges the registers and
+    yields the exact-integer sketch state / estimates at ANY grain —
+    the streaming face of hll_portable_rollup: per-batch cost is
+    O(batch), the store is O(groups x 2^p) after compaction, and no
+    reprocessing ever touches historical events."""
+    gcols = list(group_cols)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hll_register_batch(batch_df, batch_id, store_path, value_col, gcols, p)
+
+    writer = stream.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
+
+
+def read_hll_store(
+    spark, store_path: str, group_cols=("event_type",), p: int = 8
+) -> DataFrame:
+    """Merged sketch state (group..., m, zeros, powersum) from a register
+    store written by ``streaming_hll_rollup`` — MAX-merge across batches,
+    then summarize; pass coarser ``group_cols`` for rolled-up grains."""
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        hll_portable_merge,
+        hll_portable_summary,
+    )
+
+    regs = spark.read.parquet(store_path).select(*group_cols, "bucket", "rho")
+    return hll_portable_summary(
+        hll_portable_merge(regs, list(group_cols)), list(group_cols), p=p
+    )

@@ -321,3 +321,72 @@ def test_dedup_batch_store_read_failure_propagates(spark, tmp_path):
     from pyspark.errors import AnalysisException
 
     assert not isinstance(ei.value, AnalysisException)
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
+    # two micro-batches of events; the merged register store must equal
+    # the batch-mode portable sketch over the full data, and re-running a
+    # batch (at-least-once retry) must not change the state (MAX-merge
+    # idempotence)
+    import shutil, glob as _g
+
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+        hll_portable_summary,
+    )
+
+    src = tmp_path / "in"; src.mkdir()
+    store = str(tmp_path / "hll_store")
+    ck = str(tmp_path / "ck")
+
+    rows1 = [(f"u{i % 40}", "view") for i in range(200)]
+    rows2 = [(f"u{i % 70}", "view") for i in range(200)] + [
+        (f"u{i}", "click") for i in range(25)
+    ]
+
+    def _drop(rows, name):
+        df = spark.createDataFrame(rows, "user_id string, event_type string")
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(stage))
+        part = _g.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / (name + ".parquet")))
+
+    _drop(rows1, "b1")
+    q = S.streaming_hll_rollup(
+        spark.readStream.schema("user_id string, event_type string").parquet(str(src)),
+        store, checkpoint=ck)
+    q.awaitTermination(120)
+    _drop(rows2, "b2")
+    q2 = S.streaming_hll_rollup(
+        spark.readStream.schema("user_id string, event_type string").parquet(str(src)),
+        store, checkpoint=ck)
+    q2.awaitTermination(120)
+
+    merged = {
+        r["event_type"]: (r["zeros"], r["powersum"])
+        for r in S.read_hll_store(spark, store).collect()
+    }
+    full = spark.createDataFrame(rows1 + rows2, "user_id string, event_type string")
+    direct = {
+        r["event_type"]: (r["zeros"], r["powersum"])
+        for r in hll_portable_summary(
+            hll_portable_registers(full, "user_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct  # stream-built state == batch-built state
+
+    # retry idempotence: re-write batch 1's registers over its partition
+    b1 = spark.createDataFrame(rows1, "user_id string, event_type string")
+    S.hll_register_batch(b1, 0, store, "user_id", ["event_type"])
+    again = {
+        r["event_type"]: (r["zeros"], r["powersum"])
+        for r in S.read_hll_store(spark, store).collect()
+    }
+    assert again == direct
+
+    # estimates land near truth
+    est = {r["event_type"]: r["distinct_est"]
+           for r in hll_portable_estimate(S.read_hll_store(spark, store)).collect()}
+    assert abs(est["view"] - 70) / 70 < 0.2
+    assert abs(est["click"] - 25) / 25 < 0.2
