@@ -1537,6 +1537,7 @@ class Planner:
             lowered = []
             for e, alias in items:
                 rec, e = self._replace_pattern_comps(rec, e)
+                rec, e = self._replace_pattern_preds(rec, e)
                 lowered.append((e, alias))
             items = lowered
         if any(A.contains_aggregate(e) for e, _ in items):
