@@ -173,10 +173,22 @@ def main() -> None:
         }
         total += best
 
-    # ONE JSON line, flushed immediately, with nothing after it on stdout:
-    # the driver's tail capture must always parse (round 3 lost 19 queries
-    # to post-JSON chatter + truncation)
-    line = json.dumps(
+    # ONE COMPACT JSON line, flushed immediately, with nothing after it on
+    # stdout: the driver's tail capture must always parse. The jvm telemetry
+    # stays OUT of this line — r4's jvm-annotated line overflowed the
+    # driver's tail window and BENCH_r04.json recorded "parsed": null; the
+    # full annotated record goes to BENCH_local_latest.json instead.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    full = json.dumps(
         {
             "metric": "headline_queries_total_wall",
             "value": round(total, 3),
@@ -186,9 +198,8 @@ def main() -> None:
             "jvm": jvm_stats,
         }
     )
-    print(line, flush=True)
-    # belt-and-braces: the full record also lands next to the repo so a
-    # truncated driver capture never loses per-query data again
+    # belt-and-braces: the full record lands next to the repo so a truncated
+    # driver capture never loses per-query data
     try:
         with open(
             os.path.join(
@@ -196,9 +207,10 @@ def main() -> None:
             ),
             "w",
         ) as f:
-            f.write(line + "\n")
+            f.write(full + "\n")
     except Exception:
         pass
+    print(compact, flush=True)
     try:
         spark.stop()
     except Exception:

@@ -1396,14 +1396,19 @@ class Planner:
             )
             proj_col = compile_expr(p.projection, self._ctx(rhs))
             list_col = f"{self._u('patcomp')}#list"
+            # collect_list drops nulls — openCypher keeps one list element
+            # per pattern match even when the projection is null, so wrap
+            # each value in a struct (never null itself), collect, and
+            # unwrap after the join
+            wrapped = F.collect_list(F.struct(proj_col.alias("v")))
             if not key_cols:
-                gdf = rhs.df.agg(F.collect_list(proj_col).alias(list_col))
+                gdf = rhs.df.agg(wrapped.alias(list_col))
                 df = rec_m.df.join(gdf, F.lit(True), "left_outer")
             else:
                 renames = {c: f"{c}#rhs{next(self._uid)}" for c in key_cols}
                 gdf = (
                     rhs.df.groupBy(*key_cols)
-                    .agg(F.collect_list(proj_col).alias(list_col))
+                    .agg(wrapped.alias(list_col))
                     .select(
                         *[F.col(c).alias(renames[c]) for c in key_cols], list_col
                     )
@@ -1415,7 +1420,11 @@ class Planner:
                 df = rec_m.df.join(gdf, cond, "left_outer").drop(*renames.values())
             lt = next(f.dataType for f in df.schema.fields if f.name == list_col)
             df = df.withColumn(
-                list_col, F.coalesce(F.col(list_col), F.array().cast(lt))
+                list_col,
+                F.transform(
+                    F.coalesce(F.col(list_col), F.array().cast(lt)),
+                    lambda s: s["v"],
+                ),
             )
             out_var = self._anon()
             header = dict(rec.header)
@@ -1624,9 +1633,17 @@ class Planner:
                 return l - r
             if e.op == "*":
                 return l * r
+            if r == 0 and e.op in ("/", "%"):
+                raise CypherPlanningError("SKIP/LIMIT division by zero")
             if e.op == "/":
-                return int(l / r)  # Cypher integer division truncates
-            return l - int(l / r) * r  # % keeps the dividend sign (Java)
+                # Cypher integer division truncates toward zero; exact
+                # integer arithmetic (int(l / r) via float loses precision
+                # beyond 2^53)
+                q = abs(l) // abs(r)
+                return q if (l >= 0) == (r >= 0) else -q
+            q = abs(l) // abs(r)
+            q = q if (l >= 0) == (r >= 0) else -q
+            return l - q * r  # % keeps the dividend sign (Java)
         raise CypherPlanningError("SKIP/LIMIT must be a constant integer expression")
 
     # ------------------------------------------------------------- aggregation

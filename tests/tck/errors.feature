@@ -30,3 +30,19 @@ Feature: Errors
       """
     Then a SyntaxError should be raised
     And no side effects
+
+  Scenario: SKIP with division by zero in constant expression
+    When executing query:
+      """
+      MATCH (n) RETURN n.name AS name SKIP 1 / 0
+      """
+    Then a SyntaxError should be raised
+    And no side effects
+
+  Scenario: LIMIT with modulo by zero in constant expression
+    When executing query:
+      """
+      MATCH (n) RETURN n.name AS name LIMIT 3 % 0
+      """
+    Then a SyntaxError should be raised
+    And no side effects

@@ -181,3 +181,25 @@ Feature: PatternComprehension
       | pairs |
       | 2     |
     And no side effects
+
+  Scenario: Null projection values survive in the comprehension list
+    When executing query:
+      """
+      MATCH (p:Person {name: 'Ann'})
+      RETURN [(p)-[:WROTE]->(q) | q.missing] AS vals
+      """
+    Then the result should be, in any order (ignoring element order for lists):
+      | vals         |
+      | [null, null] |
+    And no side effects
+
+  Scenario: Mixed null and non-null projection values keep list length
+    When executing query:
+      """
+      MATCH (p:Person {name: 'Ann'})
+      RETURN size([(p)-[w:WROTE]->(q) | CASE WHEN w.year > 2020 THEN q.title ELSE null END]) AS n
+      """
+    Then the result should be, in any order:
+      | n |
+      | 2 |
+    And no side effects
