@@ -1167,10 +1167,11 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    # 8-plane bands: 256 buckets/band keeps the uncapped candidate set
-    # ~n*8*bands instead of ~n*30*bands (portable mode has no per-bucket
-    # cap); 6 bands buy the recall back
-    return knn_join_lsh_portable(emb, k=5, planes=8, bands=6)
+    # 8-plane bands (256 buckets/band) + a deterministic per-bucket cap of
+    # 32 (row_number over md5(id) — reproduced bit-for-bit by the oracle's
+    # identical window) so one dense bucket can never degrade the candidate
+    # join toward O(c^2); 6 bands buy the recall back
+    return knn_join_lsh_portable(emb, k=5, planes=8, bands=6, bucket_cap=32)
 
 
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1203,7 +1204,7 @@ def _q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "vec_id"
     )
     return cosine_dup_pairs_lsh_portable(
-        emb, threshold_micro=400000, planes=6, bands=8
+        emb, threshold_micro=400000, planes=6, bands=8, bucket_cap=64
     )
 
 
@@ -1222,7 +1223,7 @@ def _q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "vec_id"
     )
     pairs = cosine_dup_pairs_lsh_portable(
-        emb, threshold_micro=400000, planes=6, bands=8
+        emb, threshold_micro=400000, planes=6, bands=8, bucket_cap=64
     ).withColumnRenamed("sim_micro", "sim")
     return cosine_dedup(emb, threshold=0.4, pairs=pairs).select("vec_id", "label")
 
@@ -1623,16 +1624,19 @@ signs AS (
 proj AS (SELECT e.vec_id, s.band, s.plane, SUM(s.s*e.qd) AS pr
          FROM ex e JOIN signs s USING(d) GROUP BY 1,2,3),
 buck AS (SELECT vec_id, band, CAST(SUM(CASE WHEN pr>=0 THEN 1<<plane ELSE 0 END) AS BIGINT) AS bucket
-         FROM proj GROUP BY 1,2)"""
+         FROM proj GROUP BY 1,2),
+capped AS (SELECT vec_id, band, bucket FROM buck
+           QUALIFY row_number() OVER (PARTITION BY band, bucket
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {CAP})"""
 
 # undirected portable-LSH near-dup pairs at sim_micro >= 400000 (6-plane
 # bands x 8) — shared by cosine_dup_pairs_lsh and cosine_dedup oracles
 _PORTABLE_LSH_PAIRS_SQL = (
     "WITH "
-    + _PORTABLE_ANN_CTES.format(B=8, P=6)
+    + _PORTABLE_ANN_CTES.format(B=8, P=6, CAP=64)
     + """,
 cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
-         FROM buck x JOIN buck y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<y.vec_id),
+         FROM capped x JOIN capped y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<y.vec_id),
 sims AS (SELECT c.ida AS id_a, c.idb AS id_b,
                 CAST(floor(1e6 * CAST(list_dot_product(a.v, b.v) AS DOUBLE)
                      / sqrt(CAST(a.n2*b.n2 AS DOUBLE))) AS BIGINT) AS sim_micro
@@ -2684,10 +2688,10 @@ FROM summ""",
     "knn_lsh_embeddings": (
         _q_knn_lsh,
         "WITH "
-        + _PORTABLE_ANN_CTES.format(B=6, P=8)
+        + _PORTABLE_ANN_CTES.format(B=6, P=8, CAP=32)
         + """,
 cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
-         FROM buck x JOIN buck y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<>y.vec_id),
+         FROM capped x JOIN capped y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<>y.vec_id),
 sims AS (SELECT c.ida AS vec_id, c.idb AS neighbor,
                 CAST(floor(1e6 * CAST(list_dot_product(a.v, b.v) AS DOUBLE)
                      / sqrt(CAST(a.n2*b.n2 AS DOUBLE))) AS BIGINT) AS sim_micro

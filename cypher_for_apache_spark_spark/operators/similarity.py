@@ -466,14 +466,23 @@ def lsh_candidates_portable(
     dim: int = 64,
     bands: int = 4,
     scale: int = 1000,
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """Directed candidate pairs ``(_ida, _idb)`` colliding in >= 1 portable
     LSH band. Same banded equi-join shape as ``lsh_candidates`` (bounded
     key width, never all-pairs); signatures are integer projections against
     the md5-derived ±1 planes, so every bucket id is cross-engine exact.
-    No per-bucket cap: the cap's xxhash64 ordering isn't portable, and the
-    oracle must see the identical candidate set — at scale use the capped
-    xxhash64 path."""
+
+    ``bucket_cap``: keep at most this many members per (band, bucket),
+    chosen by ``row_number() OVER (PARTITION BY band, bucket ORDER BY
+    md5(CAST(id AS STRING)), id)`` — md5 hex compares bytewise in every
+    engine, so the survivor set is bit-reproducible in the DuckDB oracle
+    with the identical window (unlike the fast path's xxhash64 ordering).
+    Without a cap one dense bucket (near-identical vectors — exactly what
+    dedup inputs look like) degrades the candidate join toward O(c^2);
+    with it, candidates per bucket are bounded by cap*(cap-1)."""
+    from pyspark.sql import Window as W
+
     all_planes = [
         [[float(s) for s in plane] for plane in band]
         for band in portable_signs(bands, planes, dim)
@@ -481,9 +490,19 @@ def lsh_candidates_portable(
     qv = quantize(F.col(vec_col), scale)
     sig = lsh_buckets_batch(all_planes)(qv)
     with_sigs = df.select(F.col(id_col).alias("_id"), sig.alias("_sigs"))
-    banded = materialize(
-        with_sigs.select("_id", F.posexplode("_sigs").alias("band", "bucket"))
+    banded = with_sigs.select(
+        "_id", F.posexplode("_sigs").alias("band", "bucket")
     )
+    if bucket_cap is not None:
+        w = W.partitionBy("band", "bucket").orderBy(
+            F.md5(F.col("_id").cast("string")), F.col("_id")
+        )
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    banded = materialize(banded)
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -524,6 +543,7 @@ def knn_join_lsh_portable(
     dim: int = 64,
     bands: int = 4,
     scale: int = 1000,
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """Portable-mode ``knn_join_lsh``: identical pipeline (banded candidates
     -> exact re-rank -> top-k per id), every step cross-engine exact.
@@ -531,7 +551,9 @@ def knn_join_lsh_portable(
     neighbor ASC) — fully integer, so the top-k frontier is deterministic."""
     from pyspark.sql import Window as W
 
-    cand = lsh_candidates_portable(df, vec_col, id_col, planes, dim, bands, scale)
+    cand = lsh_candidates_portable(
+        df, vec_col, id_col, planes, dim, bands, scale, bucket_cap
+    )
     a, b = _quantized_sides(df, vec_col, id_col, scale)
     pairs = (
         cand.join(a, "_ida")
@@ -562,12 +584,13 @@ def cosine_dup_pairs_lsh_portable(
     dim: int = 64,
     bands: int = 8,
     scale: int = 1000,
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """Portable-mode ``cosine_dup_pairs_lsh``: undirected near-dup pairs
     (id_a < id_b, sim_micro >= threshold_micro) from portable LSH
     candidates — the integer threshold compare makes the predicate exact."""
     cand = lsh_candidates_portable(
-        df, vec_col, id_col, planes, dim, bands, scale
+        df, vec_col, id_col, planes, dim, bands, scale, bucket_cap
     ).filter(F.col("_ida") < F.col("_idb"))
     a, b = _quantized_sides(df, vec_col, id_col, scale)
     return (

@@ -704,3 +704,60 @@ def test_minhash_dedup_cc_portable_matches_fast_path(spark):
             df, num_hashes=32, bands=16, threshold=0.5, hash_mode=hm).collect()}
         assert 4 in kept and 1 in kept
         assert kept.isdisjoint({2, 3}), (hm, kept)
+
+
+def test_portable_lsh_bucket_cap_matches_duckdb_when_binding(spark):
+    """The portable per-bucket cap's survivor set (row_number over
+    (md5(id), id) within band+bucket) must be bit-reproducible in DuckDB
+    even when the cap actually drops members — a crowd of identical
+    vectors forces every bucket over the cap."""
+    import duckdb
+
+    rows = [(i, [1.0, 0.5, -0.25, 1.5] * 4) for i in range(40)]
+    rows += [(100 + i, [(-1.0) ** i, 0.1 * i, 1.0, -0.5] * 4) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["_ida"], r["_idb"])
+        for r in similarity.lsh_candidates_portable(
+            df, planes=3, dim=16, bands=2, bucket_cap=5
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("embeddings_py", df.toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute("""
+WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000) AS BIGINT)) AS v
+           FROM embeddings_py),
+ex AS (SELECT vec_id, unnest(range(0,16)) AS d, unnest(v) AS qd FROM q),
+signs AS (SELECT band, plane, d,
+    CASE WHEN CAST('0x'||substr(md5(CAST(band AS VARCHAR)||':'||CAST(plane AS VARCHAR)||':'||CAST(d AS VARCHAR)),1,1) AS INT)%2=0
+         THEN 1 ELSE -1 END AS s
+  FROM range(0,2) t1(band), range(0,3) t2(plane), range(0,16) t3(d)),
+proj AS (SELECT e.vec_id, s.band, s.plane, SUM(s.s*e.qd) AS pr
+         FROM ex e JOIN signs s USING(d) GROUP BY 1,2,3),
+buck AS (SELECT vec_id, band, CAST(SUM(CASE WHEN pr>=0 THEN 1<<plane ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1,2),
+capped AS (SELECT vec_id, band, bucket FROM buck
+           QUALIFY row_number() OVER (PARTITION BY band, bucket
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 5)
+SELECT DISTINCT x.vec_id, y.vec_id FROM capped x
+JOIN capped y ON x.band=y.band AND x.bucket=y.bucket AND x.vec_id<>y.vec_id
+""").fetchall()
+    }
+    # the cap genuinely binds: 40 identical vectors share every bucket
+    assert len({a for a, _ in got} | {b for _, b in got}) < 50
+    assert got == want
+
+
+def test_portable_lsh_bucket_cap_bounds_candidates(spark):
+    """With a dense bucket of c identical vectors, uncapped candidates grow
+    as c*(c-1); the cap bounds them regardless of skew."""
+    rows = [(i, [1.0, 0.25, -0.5, 2.0] * 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = similarity.lsh_candidates_portable(df, planes=3, dim=16, bands=2).count()
+    capped = similarity.lsh_candidates_portable(
+        df, planes=3, dim=16, bands=2, bucket_cap=8
+    ).count()
+    assert uncapped == 200 * 199
+    assert capped <= 8 * 7
