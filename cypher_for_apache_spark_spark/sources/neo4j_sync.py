@@ -25,22 +25,29 @@ tests drive the full merge path through an in-memory fake that interprets
 exactly the Cypher this sink emits; the real driver's ``session.run``
 satisfies the contract directly.
 
-Scale design: rows stream to Bolt in ``UNWIND $batch`` chunks (the
-reference partitions the same way: one parameterized UNWIND per batch per
-Spark partition). The bottleneck is the Neo4j write path, not Spark —
-``df.toLocalIterator`` keeps driver memory at one partition while the
-batches flow; a 100 TB graph does not transit Bolt (use the bulk-CSV sink
-for initial loads — sources/neo4j_bulk.py); this sink exists for GB-range
-DELTAS against a live graph, same as the reference's.
+Scale design: rows stream to Bolt in ``UNWIND $batch`` chunks, and when a
+``runner_factory`` is supplied the batches are written EXECUTOR-SIDE via
+``df.foreachPartition`` with one partition-local session — the same shape
+as the reference (Neo4jGraphMerge.scala:190/:219 ``foreachPartitionAsync``
+with a session per partition), so the delta never serializes through the
+driver. Without a factory (e.g. an in-memory fake transport that cannot
+cross process boundaries) the sink falls back to a driver-side
+``toLocalIterator`` loop. Schema commands (index creation) and the final
+meta-property cleanup are single statements and always run driver-side
+over ``run``, also like the reference. A 100 TB graph does not transit
+Bolt (use the bulk-CSV sink for initial loads — sources/neo4j_bulk.py);
+this sink exists for GB-range DELTAS against a live graph.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Set
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Set
 
 from pyspark.sql import DataFrame
 
 from cypher_for_apache_spark_spark.sources.neo4j import Runner
+
+RunnerFactory = Callable[[], Runner]
 
 META_PREFIX = "___"
 # reference: Neo4jHelpers.Neo4jDefaults.metaPropertyKey (Neo4jHelpers.scala:61)
@@ -117,6 +124,76 @@ def _batched_rows(df: DataFrame, batch_size: int) -> Iterable[List[list]]:
         yield batch
 
 
+def _partition_writer(cypher: str, batch_size: int, factory: RunnerFactory):
+    """Per-partition write task (executor-side): build one runner for the
+    partition, play its rows in UNWIND batches, close the runner. Empty
+    partitions never open a connection. The returned closure captures only
+    (str, int, factory), so it pickles to executors as long as the factory
+    does — a real Bolt factory captures just uri/user/password strings
+    (``bolt_runner_factory``)."""
+
+    def write(rows: Iterable) -> None:
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        runner = factory()
+        try:
+            batch = [list(first)]
+            for row in it:
+                batch.append(list(row))
+                if len(batch) >= batch_size:
+                    list(runner(cypher, batch=batch))
+                    batch = []
+            if batch:
+                list(runner(cypher, batch=batch))
+        finally:
+            close = getattr(runner, "close", None)
+            if close is not None:
+                close()
+
+    return write
+
+
+def bolt_runner_factory(uri: str, user: str, password: str) -> RunnerFactory:
+    """Serializable factory for executor-side Bolt sessions: captures only
+    connection strings; the neo4j driver is imported inside the executor
+    task (reference: Neo4jGraphMerge.scala:190 builds the session inside
+    foreachPartitionAsync). The returned runner exposes ``close`` so
+    ``_partition_writer`` tears the driver down per partition."""
+
+    def factory() -> Runner:  # pragma: no cover - driver absent in env
+        import neo4j
+
+        driver = neo4j.GraphDatabase.driver(uri, auth=(user, password))
+
+        def run(cypher: str, **params) -> Iterable[dict]:
+            with driver.session() as session:
+                return [r.data() for r in session.run(cypher, params)]
+
+        run.close = driver.close
+        return run
+
+    return factory
+
+
+def _write_df(
+    df: DataFrame,
+    cypher: str,
+    run: Runner,
+    batch_size: int,
+    runner_factory: Optional[RunnerFactory],
+) -> None:
+    """Executor-side ``foreachPartition`` when a factory is available,
+    driver-side toLocalIterator loop otherwise."""
+    if runner_factory is not None:
+        df.foreachPartition(_partition_writer(cypher, batch_size, runner_factory))
+    else:
+        for batch in _batched_rows(df, batch_size):
+            list(run(cypher, batch=batch))
+
+
 def _merge_nodes_cypher(
     columns: Sequence[str], labels: Iterable[str], keys: Set[str]
 ) -> str:
@@ -187,13 +264,22 @@ def merge_graph(
     rel_keys: Optional[RelKeys] = None,
     graph_name: Optional[str] = None,
     batch_size: int = 1000,
+    runner_factory: Optional[RunnerFactory] = None,
 ) -> None:
     """Merge ``graph`` (a PropertyGraph delta) into a live Neo4j database
     (Neo4jGraphMerge.merge, Neo4jGraphMerge.scala:133-156): nodes first
     (stamped with the meta id), then relationships (endpoints by meta id),
     then the meta property is removed. ``node_keys`` maps label ->
     identifying property set; ``rel_keys`` optionally maps type -> key set
-    (unkeyed types merge at most one rel per endpoint pair)."""
+    (unkeyed types merge at most one rel per endpoint pair).
+
+    ``runner_factory`` distributes the UNWIND batch writes executor-side
+    (one transport per partition, reference: Neo4jGraphMerge.scala:190/:219)
+    — pass ``bolt_runner_factory(uri, user, password)`` for a real Neo4j.
+    Node tables complete (a blocking action per table) before any
+    relationship write starts, so endpoint meta-id lookups always see the
+    merged nodes. Without a factory, batches fall back to a driver-side
+    loop over ``run``."""
     rel_keys = rel_keys or {}
     meta = meta_label_for(graph_name)
 
@@ -202,8 +288,7 @@ def merge_graph(
         labels = set(combo) | ({meta} if meta else set())
         df = nt.df.select("id", *nt.property_columns)
         cypher = _merge_nodes_cypher(df.columns, labels, keys)
-        for batch in _batched_rows(df, batch_size):
-            list(run(cypher, batch=batch))
+        _write_df(df, cypher, run, batch_size, runner_factory)
 
     for rel_type, tables in sorted(graph.rel_tables.items()):
         for rt in tables:
@@ -212,8 +297,7 @@ def merge_graph(
             cypher = _merge_rels_cypher(
                 df.columns, rel_type, rel_keys.get(rel_type, set()), meta
             )
-            for batch in _batched_rows(df, batch_size):
-                list(run(cypher, batch=batch))
+            _write_df(df, cypher, run, batch_size, runner_factory)
 
     ml = _label_string([meta]) if meta else ""
     list(run(f"MATCH (n{ml}) REMOVE n.`{META_PROPERTY}`"))
