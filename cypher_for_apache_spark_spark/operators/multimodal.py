@@ -75,14 +75,29 @@ def _decode_bytes_pil(payload: bytes) -> dict:  # pragma: no cover - no PIL here
         return {"width": None, "height": None, "ok": False}
 
 
-_CODECS = {"stub": _decode_bytes_stub, "pil": _decode_bytes_pil}
+def _decode_bytes_auto(payload: bytes) -> dict:
+    """Executor-side codec probe: use PIL when the EXECUTOR can import it,
+    else the deterministic stub. Probing where the decode actually runs
+    (not on the driver) means a deploy with Pillow on the driver only
+    still decodes — via the stub — instead of failing at task runtime;
+    the import check is a cached-module lookup after the first payload."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return _decode_bytes_stub(payload)
+    return _decode_bytes_pil(payload)
+
+
+_CODECS = {"stub": _decode_bytes_stub, "pil": _decode_bytes_pil, "auto": _decode_bytes_auto}
 
 
 def default_codec() -> str:
-    """'pil' when PIL is importable, else 'stub' — auto-detected once at
-    call time so the component upgrades at deploy time (install pillow)
-    without code changes. The plan shape (mapInPandas, output schema) is
-    identical either way, which tests assert."""
+    """'pil' when PIL is importable ON THE DRIVER, else 'stub'. This is a
+    driver-side probe — informational / for explicit codec selection; the
+    decode default is the 'auto' codec, which probes inside the executor
+    with a per-task fallback to the stub (a cluster where only the driver
+    has Pillow would otherwise auto-select 'pil' and fail at task
+    runtime)."""
     try:
         import PIL  # noqa: F401
 
@@ -95,12 +110,12 @@ def decode_media(
     df: DataFrame, payload_col: str = "payload", codec=None
 ) -> DataFrame:
     """Adds decoded_width / decoded_height / decode_ok via Arrow-batched
-    mapInPandas. ``codec`` selects the per-payload decoder: None =
-    auto-detect (``default_codec``), 'stub' / 'pil' by name, or any
-    callable ``bytes -> {width, height, ok}`` (the swap point for
-    torchaudio/ffmpeg-style decoders)."""
+    mapInPandas. ``codec`` selects the per-payload decoder: None = 'auto'
+    (probe PIL inside the executor, stub fallback), 'stub' / 'pil' / 'auto'
+    by name, or any callable ``bytes -> {width, height, ok}`` (the swap
+    point for torchaudio/ffmpeg-style decoders)."""
     if codec is None:
-        codec = default_codec()
+        codec = "auto"
     decode = _CODECS[codec] if isinstance(codec, str) else codec
     out_schema = T.StructType(
         df.schema.fields

@@ -15,7 +15,7 @@ default; raise it for tighter error.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -233,27 +233,29 @@ def histogram_merge(
     sketches: DataFrame,
     group_cols: Sequence[str] = (),
     sketch_col: str = "hist",
+    bins: Optional[int] = None,
 ) -> DataFrame:
     """Element-wise-sum fine sketches up to ``group_cols``. The fold is a
     JVM HOF over the collected per-group array list; partial aggregation
-    keeps the shuffle narrow (arrays are bins*8 bytes)."""
-    merged = F.aggregate(
-        F.collect_list(F.col(sketch_col)),
-        F.array_repeat(F.lit(0).cast("long"), _first_len(sketches, sketch_col)),
-        lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
-    ).alias(sketch_col)
+    keeps the shuffle narrow (arrays are bins*8 bytes). ``bins`` pins the
+    accumulator width like ``histogram_quantile``'s parameter; when
+    omitted the group's first sketch seeds the fold — either way the merge
+    is a pure plan transformation with NO driver-side action."""
+    lst = F.collect_list(F.col(sketch_col))
+    summed = lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b)
+    if bins is not None:
+        merged = F.aggregate(
+            lst, F.array_repeat(F.lit(0).cast("long"), bins), summed
+        )
+    else:
+        rest = F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0)))
+        merged = F.aggregate(rest, F.element_at(lst, 1), summed)
+    merged = merged.alias(sketch_col)
     return (
         sketches.groupBy(*group_cols).agg(merged)
         if group_cols
         else sketches.agg(merged)
     )
-
-
-def _first_len(df: DataFrame, col: str) -> int:
-    """Static bin count from the schema contract (callers pass it through
-    ``histogram_quantile``'s ``bins``); sketches in one frame share it."""
-    row = df.select(F.size(F.col(col)).alias("n")).first()
-    return int(row["n"]) if row else 0
 
 
 def histogram_quantile(

@@ -761,3 +761,16 @@ def test_portable_lsh_bucket_cap_bounds_candidates(spark):
     ).count()
     assert uncapped == 200 * 199
     assert capped <= 8 * 7
+
+
+def test_multimodal_auto_codec_probes_in_executor(spark, monkeypatch):
+    """The 'auto' codec must not trust a driver-side PIL probe: even if the
+    driver could import PIL, each executor task probes for itself and falls
+    back to the stub where PIL is absent (this env) — same results as
+    explicit 'stub', no task-runtime failure."""
+    media = multimodal.synthetic_media(spark, n=4)
+    auto = multimodal.decode_media(media, codec="auto").collect()
+    stub = multimodal.decode_media(media, codec="stub").collect()
+    assert auto == stub
+    # the driver-side probe is informational only and stays consistent
+    assert multimodal.default_codec() in ("stub", "pil")
