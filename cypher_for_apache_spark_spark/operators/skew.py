@@ -69,3 +69,31 @@ def salted_join(
     ).withColumn(_SALT, F.col(_SALT).cast("int"))
     out = left.join(right, on + [_SALT], how)
     return out.drop(_SALT)
+
+
+def degree_skew_factor(
+    df: DataFrame,
+    key: str,
+    sample_rows: int = 100_000,
+    hot_share: float = 0.05,
+    min_hub: int = 64,
+    factor: int = 16,
+) -> int:
+    """Cheap supernode sniff for auto-salting an expand join: bound the
+    work to ``sample_rows`` rows of the key column, count per-key, and
+    return ``factor`` when one key holds ``hot_share`` of the sample AND
+    at least ``min_hub`` rows (tiny tables never trigger — salting them
+    is pointless), else 0. One narrow job over a limited scan regardless
+    of table size; callers memoize per (graph, rel types, direction)."""
+    agg = (
+        df.select(key)
+        .limit(sample_rows)
+        .groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("total"))
+        .first()
+    )
+    if agg is None or agg["total"] is None:
+        return 0
+    mx, total = int(agg["mx"]), int(agg["total"])
+    return factor if mx >= min_hub and mx >= hot_share * total else 0

@@ -63,6 +63,7 @@ class Planner:
         views: Optional[dict] = None,
         graph_params: Optional[dict] = None,
         expand_salt_factor: int = 0,
+        expand_salt_auto_min_bytes: int = 64 << 20,
     ):
         self.spark = spark
         self.graph = graph
@@ -73,11 +74,54 @@ class Planner:
         self.views = views if views is not None else {}
         self.graph_params = graph_params or {}
         self.expand_salt_factor = expand_salt_factor
+        self.expand_salt_auto_min_bytes = expand_salt_auto_min_bytes
         self._uid = itertools.count()
 
     # ------------------------------------------------------------------ utils
     def _u(self, var: str) -> str:
         return f"{var}@{next(self._uid)}"
+
+    def _auto_salt_factor(self, rdf, near_col: str, memo_key) -> int:
+        """Auto-trigger for supernode salting when ``expand_salt_factor``
+        is left at its 0 default: for rel frames whose Catalyst size
+        estimate exceeds ``expand_salt_auto_min_bytes`` (stats-only — no
+        job; small graphs like TCK fixtures never pay anything), run the
+        bounded degree-skew sniff (skew.degree_skew_factor: one narrow job
+        over a 100k-row sample) and salt when one endpoint id dominates.
+        The verdict is memoized on the graph per (rel types, direction),
+        so repeated queries over the same graph decide once."""
+        if self.graph is None:
+            return 0
+        memo = getattr(self.graph, "_expand_salt_memo", None)
+        if memo is None:
+            memo = {}
+            self.graph._expand_salt_memo = memo
+        if memo_key in memo:
+            return memo[memo_key]
+        factor = 0
+        try:
+            stats = rdf._jdf.queryExecution().optimizedPlan().stats()
+            size = int(str(stats.sizeInBytes()))
+        except Exception:
+            size = None
+        if self.expand_salt_auto_min_bytes <= 0:
+            big = True  # gate disabled: always sniff
+        elif size is None or size >= (1 << 62):
+            # stats unavailable or Catalyst's defaultSizeInBytes sentinel
+            # (in-memory frames report Long.MaxValue) — don't burn a sniff
+            # job on frames whose size we can't actually see; file-backed
+            # scans (the at-scale case) report real sizes
+            big = False
+        else:
+            big = size >= self.expand_salt_auto_min_bytes
+        if big:
+            from cypher_for_apache_spark_spark.operators.skew import (
+                degree_skew_factor,
+            )
+
+            factor = degree_skew_factor(rdf, near_col)
+        memo[memo_key] = factor
+        return factor
 
     def _anon(self) -> str:
         return f" _anon{next(self._uid)}"
@@ -766,15 +810,23 @@ class Planner:
             branch_rdf = rdf
             if dedup_self_loops:
                 branch_rdf = rdf.filter(F.col(rmeta.src_col) != F.col(rmeta.dst_col))
-            if self.expand_salt_factor > 1:
-                # supernode salting (opt-in; operators/skew.py rationale):
-                # a hub node's relationship rows all land on one reducer in
-                # the plain equi-join — salt the REL side by (near id, rel
-                # id) and replicate the record side over the salt range so
+            salt_factor = self.expand_salt_factor
+            if salt_factor == 0:
+                salt_factor = self._auto_salt_factor(
+                    branch_rdf, near, (frozenset(rel.types or ()), direction)
+                )
+            if salt_factor > 1:
+                # supernode salting (operators/skew.py rationale): a hub
+                # node's relationship rows all land on one reducer in the
+                # plain equi-join — salt the REL side by (near id, rel id)
+                # and replicate the record side over the salt range so
                 # each hot node spreads across `factor` reducers. AQE's
                 # skew split covers sort-merge spills, but not a broadcast
-                # or window downstream keyed on the same hub id.
-                factor = self.expand_salt_factor
+                # or window downstream keyed on the same hub id. Forced
+                # via expand_salt_factor > 1, or auto-triggered by the
+                # degree-skew sniff (_auto_salt_factor) when the factor is
+                # left at 0; expand_salt_factor=1 disables salting.
+                factor = salt_factor
                 sl, sr = fresh("salt"), fresh("salt")
                 salted = branch_rdf.withColumn(
                     sr,

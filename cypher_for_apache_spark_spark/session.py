@@ -73,18 +73,27 @@ def _spark_tuning(spark: SparkSession) -> None:
 
 
 class CypherSession:
-    def __init__(self, spark: SparkSession, expand_salt_factor: int = 0):
-        """``expand_salt_factor``: opt-in skew salting for pattern expands
-        on supernode-heavy graphs (hub nodes whose degree pins one
-        reducer). 0/1 = off (default — AQE's skew-join split covers
-        sort-merge skew); N>1 spreads each hot node's relationship rows
-        over N reducers (operators/skew.py rationale). The result is
-        plan-asserted equal to the unsalted expand in tests."""
+    def __init__(
+        self,
+        spark: SparkSession,
+        expand_salt_factor: int = 0,
+        expand_salt_auto_min_bytes: int = 64 << 20,
+    ):
+        """``expand_salt_factor``: skew salting for pattern expands on
+        supernode-heavy graphs (hub nodes whose degree pins one reducer).
+        0 (default) = AUTO — rel frames whose Catalyst size estimate
+        exceeds ``expand_salt_auto_min_bytes`` get a one-off bounded
+        degree-skew sniff (memoized per graph/type/direction), and expands
+        over a dominant hub are salted automatically; 1 = off; N>1 forces
+        spreading each hot node's relationship rows over N reducers
+        (operators/skew.py rationale). The salted result is plan-asserted
+        equal to the unsalted expand in tests."""
         self.spark = spark
         _spark_tuning(spark)
         self.catalog: Dict[str, PropertyGraph] = {}
         self.views: Dict[str, tuple] = {}  # name -> (params, query AST)
         self.expand_salt_factor = expand_salt_factor
+        self.expand_salt_auto_min_bytes = expand_salt_auto_min_bytes
 
     # -- graph ingestion ----------------------------------------------------
     def read_from(
@@ -182,6 +191,7 @@ class CypherSession:
             driving_table=driving_table,
             views=self.views,
             expand_salt_factor=self.expand_salt_factor,
+            expand_salt_auto_min_bytes=self.expand_salt_auto_min_bytes,
         )
         result = planner.plan(ast)
         if result.graph is not None:
