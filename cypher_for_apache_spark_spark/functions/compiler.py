@@ -578,6 +578,9 @@ def _index(e: A.Index, ctx: CompileCtx) -> Column:
     base = compile_expr(e.subject, ctx)
     dt = _dtype(ctx, base)
     idx = compile_expr(e.index, ctx)
+    if _is(dt, T.NullType):
+        # null[i] is null; the VOID-typed literal would type-error in get()
+        return F.lit(None)
     if _is(dt, T.MapType):
         return F.element_at(base, idx)
     if _is(dt, T.StructType):
@@ -595,6 +598,9 @@ def _index(e: A.Index, ctx: CompileCtx) -> Column:
 
 def _slice(e: A.Slice, ctx: CompileCtx) -> Column:
     base = compile_expr(e.subject, ctx)
+    if _is(_dtype(ctx, base), T.NullType):
+        # null[a..b] is null; F.size on a VOID literal would type-error
+        return F.lit(None)
     n = F.size(base)
 
     def norm(c: Column) -> Column:

@@ -1,0 +1,72 @@
+"""Emit SCALE.md: per-query wall-clock growth between two bench records.
+
+Usage: python tools/scale_report.py BENCH_A.json BENCH_B.json [out.md]
+
+A = smaller scale factor, B = larger. The data volume ratio comes from
+the records' "sf" fields; a query whose wall grew faster than the data
+(growth > sf ratio) is flagged super-linear — that list is the next
+optimization queue (VERDICT r4 task #4). Queries dominated by fixed
+overhead at small SF naturally show growth << ratio; those are fine.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    a_path, b_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALE.md"
+    a = json.load(open(a_path))
+    b = json.load(open(b_path))
+    ratio = b["sf"] / a["sf"]
+    qa, qb = a["queries"], b["queries"]
+    shared = sorted(set(qa) & set(qb))
+    rows = []
+    for q in shared:
+        growth = qb[q] / qa[q] if qa[q] > 0 else float("inf")
+        rows.append((q, qa[q], qb[q], growth))
+    rows.sort(key=lambda r: -r[3])
+    supra = [r for r in rows if r[3] > ratio]
+
+    lines = [
+        "# SCALE — wall-clock growth vs data growth",
+        "",
+        f"Benchmarks: sf{a['sf']:g} ({a['value']:.1f} s total, {len(qa)} queries)"
+        f" vs sf{b['sf']:g} ({b['value']:.1f} s total, {len(qb)} queries),"
+        f" data ratio {ratio:g}x, local[32], bench.py frozen methodology.",
+        "",
+        f"Total wall grew {b['value'] / a['value']:.2f}x for {ratio:g}x the data"
+        " (sub-linear overall: fixed per-query overhead — job launch, codegen,"
+        " Python round-trips — amortizes as partitions fill).",
+        "",
+        f"## Super-linear queries (growth > {ratio:g}x) — the optimization queue",
+        "",
+    ]
+    if supra:
+        lines += [
+            "| query | " f"sf{a['sf']:g} s | sf{b['sf']:g} s | growth |",
+            "|---|---|---|---|",
+        ]
+        lines += [
+            f"| {q} | {ta:.2f} | {tb:.2f} | {g:.1f}x |" for q, ta, tb, g in supra
+        ]
+    else:
+        lines.append("(none — every query grew slower than the data)")
+    lines += [
+        "",
+        "## All shared queries, fastest-growing first",
+        "",
+        "| query | " f"sf{a['sf']:g} s | sf{b['sf']:g} s | growth |",
+        "|---|---|---|---|",
+    ]
+    lines += [f"| {q} | {ta:.2f} | {tb:.2f} | {g:.1f}x |" for q, ta, tb, g in rows]
+    lines.append("")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_path}: {len(supra)} super-linear of {len(rows)} shared")
+
+
+if __name__ == "__main__":
+    main()
