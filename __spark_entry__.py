@@ -535,7 +535,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "vec_id"
     )
     return semantic_dedup_portable(
-        emb, n_centroids=8, threshold_micro=400000
+        emb, n_centroids="sqrt", threshold_micro=400000
     ).select("vec_id", "label")
 
 
@@ -1278,7 +1278,7 @@ def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
-    cents = portable_seed_centroids(emb, n_centroids=8)
+    cents = portable_seed_centroids(emb, n_centroids="sqrt")
     q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
     return ivf_search_portable(
         emb.where("vec_id <> 0"), q, cents, k=10, n_probes=4
@@ -1648,8 +1648,10 @@ SELECT id_a, id_b, sim_micro FROM sims WHERE sim_micro >= 400000"""
 # md5-seeded integer centroid model + exact integer argmin assignment
 # (shared by the semantic-dedup and IVF oracles)
 _PORTABLE_CENTROID_CTES = _PORTABLE_Q_CTES + """,
-seeds AS (SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
-          FROM q QUALIFY cidx < 8),
+kk AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings),
+seeds AS (SELECT v, cidx FROM (
+            SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+            FROM q), kk WHERE cidx < kk.k),
 exc AS (SELECT cidx, unnest(range(0,64)) AS d, unnest(v) AS cd FROM seeds),
 dists AS (SELECT e.vec_id, c.cidx, SUM((e.qd-c.cd)*(e.qd-c.cd)) AS dist
           FROM ex e JOIN exc c USING(d) GROUP BY 1,2),

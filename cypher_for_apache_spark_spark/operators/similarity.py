@@ -611,14 +611,25 @@ def portable_seed_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 8,
+    n_centroids=8,
     scale: int = 1000,
 ) -> List[List[int]]:
     """Deterministic integer centroid model: the quantized vectors of the
     ``n_centroids`` rows with the smallest md5(id) (tie-break id) — the
     same hash-order seeding ``ivf_train_centroids`` uses, minus the Lloyd
     refinement whose floating means no SQL oracle can reproduce. Centroid
-    index = position in that order."""
+    index = position in that order.
+
+    ``n_centroids="sqrt"`` scales the model with the corpus:
+    k = max(8, floor(sqrt(n))). Fixed k makes cluster size grow linearly
+    with n and every within-cluster pairing quadratic; k = sqrt(n) is the
+    balance point (assignment O(n*k) vs pairs O(n^2/k), both n^1.5).
+    floor(sqrt(n)) on an exactly-representable count is the same IEEE op
+    in Spark/Python/DuckDB, so the SQL oracles reproduce k bit-for-bit
+    (one count() action here — model fitting, same class as the k-row
+    collect below)."""
+    if n_centroids == "sqrt":
+        n_centroids = max(8, int(math.floor(math.sqrt(df.count()))))
     rows = (
         df.select(quantize(F.col(vec_col), scale).alias("_qv"), F.col(id_col))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -641,11 +652,16 @@ def assign_int(
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.int64)  # (k, dim)
+    c2 = (C * C).sum(axis=1)  # (k,)
 
     @pandas_udf("int")
     def _argmin(vecs: pd.Series) -> pd.Series:
+        # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c — matmul form stays exact in
+        # int64 (quantized coords bound every term far below 2^63) and
+        # avoids the (batch, k, dim) broadcast temp, which at k=sqrt(n)
+        # would dominate executor memory
         m = np.vstack(vecs.to_numpy()).astype(np.int64)  # (batch, dim)
-        d = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # exact int64
+        d = (m * m).sum(axis=1)[:, None] + c2[None, :] - 2 * (m @ C.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     return df.withColumn(out_col, _argmin(F.col(qvec_col)))
@@ -696,14 +712,17 @@ def semantic_dedup_portable(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 8,
+    n_centroids=8,
     threshold_micro: int = 400000,
     scale: int = 1000,
 ) -> DataFrame:
     """Portable-mode SemDeDup: md5-seeded integer centroids, exact integer
     cluster assignment, within-cluster pairs with sim_micro >=
     threshold_micro, greedy keep-smallest-id. Same cluster-bounded
-    quadratic shape as ``semantic_dedup`` (sum of c_i^2, never n^2)."""
+    quadratic shape as ``semantic_dedup`` (sum of c_i^2, never n^2).
+    Pass ``n_centroids="sqrt"`` for the scale path: k tracks sqrt(n), so
+    cluster sizes — and with them the pair count per cluster — stay flat
+    as the corpus grows (see portable_seed_centroids)."""
     cents = portable_seed_centroids(df, vec_col, id_col, n_centroids, scale)
     base = df.select(F.col(id_col), quantize(F.col(vec_col), scale).alias("_qv"))
     assigned = materialize(
