@@ -1122,6 +1122,60 @@ def _fn_duration_between(e, ctx):
 # -- aggregates -------------------------------------------------------------------
 
 
+class WeightedAggUnsupported(Exception):
+    """Raised when an aggregate cannot be computed over weighted (pre-
+    aggregated) rows — the eager-aggregation rewrite catches this and
+    falls back to planning the full join."""
+
+
+def compile_weighted_aggregate(e: A.Expr, ctx: CompileCtx, weight: Column) -> Column:
+    """Aggregate over pre-aggregated rows, where ``weight`` is the number
+    of original pattern matches each row stands for (eager aggregation /
+    Yannakakis-style counting: the planner multiplies per-branch match
+    counts instead of materializing the join).
+
+    Distinct aggregates and min/max are multiplicity-invariant; count and
+    sum scale linearly with the weight; avg becomes a weighted mean.
+    Everything else (collect lists, stdev, percentiles — where each
+    duplicate row matters individually) raises ``WeightedAggUnsupported``.
+    """
+    if isinstance(e, A.CountStar):
+        return F.coalesce(F.sum(weight), F.lit(0)).cast("long")
+    assert isinstance(e, A.FuncCall)
+    name = e.name
+    if e.distinct:
+        # one value per distinct argument — multiplicity cannot matter;
+        # collect(DISTINCT) et al. compile exactly as in the unweighted path
+        if name in ("count", "sum", "avg", "collect", "min", "max"):
+            return compile_aggregate(e, ctx)
+        raise WeightedAggUnsupported(name)
+    arg = compile_expr(e.args[0], ctx) if e.args else None
+    if name == "count":
+        return F.coalesce(
+            F.sum(F.when(arg.isNotNull(), weight).otherwise(F.lit(0))), F.lit(0)
+        ).cast("long")
+    if name in ("min", "max"):
+        return compile_aggregate(e, ctx)
+    if name == "sum":
+        dt = _dtype(ctx, arg)
+        if isinstance(dt, T.DayTimeIntervalType):
+            raise WeightedAggUnsupported("sum(duration)")
+        s = F.sum(arg * weight)
+        if isinstance(dt, T.NullType):
+            return F.coalesce(s.cast("long"), F.lit(0).cast("long"))
+        if dt is None:
+            return F.coalesce(s, F.lit(0))
+        return F.coalesce(s, F.lit(0).cast(dt))
+    if name == "avg":
+        dt = _dtype(ctx, arg)
+        if isinstance(dt, T.DayTimeIntervalType):
+            raise WeightedAggUnsupported("avg(duration)")
+        return F.sum(arg * weight) / F.sum(
+            F.when(arg.isNotNull(), weight).otherwise(F.lit(0))
+        )
+    raise WeightedAggUnsupported(name)
+
+
 def compile_aggregate(e: A.Expr, ctx: CompileCtx) -> Column:
     """Aggregator -> Spark aggregate column (reference map:
     SparkSQLExprMapper.scala:427-470, SURVEY.md §2.5)."""

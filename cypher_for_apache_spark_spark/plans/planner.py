@@ -28,8 +28,10 @@ from cypher_for_apache_spark_spark import ast as A
 from cypher_for_apache_spark_spark.functions.compiler import (
     CompileCtx,
     CypherCompileError,
+    WeightedAggUnsupported,
     compile_aggregate,
     compile_expr,
+    compile_weighted_aggregate,
     entity_column,
 )
 from cypher_for_apache_spark_spark.graph import PropertyGraph
@@ -179,6 +181,10 @@ class Planner:
         return self.plan_single(q)
 
     def plan_single(self, q: A.SingleQuery) -> PlanResult:
+        if self.driving_table is None:
+            fast = self._try_eager_agg(q)
+            if fast is not None:
+                return fast
         rec = Record(None, {})
         if self.driving_table is not None:
             # driving-table parameter (reference: cypher(..., drivingTable),
@@ -207,6 +213,183 @@ class Planner:
         if final is None:
             raise CypherPlanningError("query has no RETURN clause")
         return final
+
+    # ------------------------------------------------ eager aggregation rewrite
+    def _rel_candidate_tables(self, part: A.PatternPart, i: int) -> frozenset:
+        """The set of relationship element tables hop ``i`` of ``part`` can
+        scan — mirrors ``PropertyGraph.scan_rels`` pruning (type overlap +
+        endpoint-label hints; label hints only constrain a fixed
+        direction, like ``expand``)."""
+        rel = part.rels[i]
+        if rel.direction == "out":
+            s, d = part.nodes[i].labels, part.nodes[i + 1].labels
+        elif rel.direction == "in":
+            s, d = part.nodes[i + 1].labels, part.nodes[i].labels
+        else:
+            s, d = (), ()
+        want = set(rel.types)
+        return frozenset(
+            id(rt)
+            for t, rts in self.graph.rel_tables.items()
+            if not want or t in want
+            for rt in rts
+            if rt.compatible(s, d)
+        )
+
+    def _try_eager_agg(self, q: A.SingleQuery) -> Optional[PlanResult]:
+        """Eager aggregation (Yannakakis-style counting) for
+        ``MATCH <chain> RETURN <agg>``: when the RETURN references only an
+        interior segment of the chain, the dangling ends are planned
+        separately, pre-aggregated to per-attachment-node match counts, and
+        the final aggregate runs over the core rows weighted by the PRODUCT
+        of branch counts — the multiplicative join fan-out around the
+        shared node never materializes. On
+        ``(c)-[:IN_NATION]->(n)<-[:IN_NATION]-(s)`` the generic plan joins
+        |customers_per_nation| x |suppliers_per_nation| rows per nation
+        (quadratic in the skewed key's degree — 20+ s at sf1, unbounded at
+        100 TB); this plan shuffles one count row per node and is constant
+        in the fan-out. The reference has no such rewrite
+        (LogicalOptimizer.scala rewrites scans, not aggregates).
+
+        Soundness gates (any miss -> return None, generic plan): single
+        non-optional MATCH part; fixed-length chain; no repeated pattern
+        variables (cycles need the join); both chain ends prunable;
+        aggregates expressible over weighted rows (pre-checked, plus
+        ``WeightedAggUnsupported`` at compile time); and cross-segment
+        relationship-uniqueness predicates statically vacuous — every
+        cross-segment rel pair must draw from disjoint element-table sets
+        (sound under the engine's id contract: element ids are unique
+        across a graph's tables, the same assumption ``_rel_uniqueness``
+        already makes when skipping statically disjoint types)."""
+        if self.graph is None or len(q.clauses) != 2:
+            return None
+        m, ret = q.clauses
+        if not isinstance(m, A.MatchClause) or m.optional or len(m.parts) != 1:
+            return None
+        if not isinstance(ret, A.ProjectionClause) or not ret.is_return or ret.star:
+            return None
+        part0 = m.parts[0]
+        if part0.path_var is not None or len(part0.rels) < 2:
+            return None
+        if any(r.var_length is not None for r in part0.rels):
+            return None
+        if not any(A.contains_aggregate(e) for e, _ in ret.items):
+            return None
+        exprs = [e for e, _ in ret.items] + [oi.expr for oi in ret.order_by]
+        if ret.where is not None:
+            exprs.append(ret.where)
+        walked = [n for e in exprs for n in e.walk()]
+        if any(
+            isinstance(n, (A.PatternComprehension, A.PatternPredicate)) for n in walked
+        ):
+            return None
+        for e in exprs:
+            for a in A.aggregate_subtrees(e):
+                if isinstance(a, A.CountStar):
+                    continue
+                if a.distinct:
+                    if a.name not in ("count", "sum", "avg", "collect", "min", "max"):
+                        return None
+                elif a.name not in ("count", "sum", "avg", "min", "max"):
+                    return None
+        node_vars = [n.var or self._anon() for n in part0.nodes]
+        rel_vars = [r.var or self._anon() for r in part0.rels]
+        if len(set(node_vars) | set(rel_vars)) != len(node_vars) + len(rel_vars):
+            return None
+        elements = []
+        ni = ri = 0
+        for i, el in enumerate(part0.elements):
+            if i % 2 == 0:
+                elements.append(dc_replace(el, var=node_vars[ni])); ni += 1
+            else:
+                elements.append(dc_replace(el, var=rel_vars[ri])); ri += 1
+        part = A.PatternPart(elements)
+        pat_vars = set(node_vars) | set(rel_vars)
+        aliases = {alias for _, alias in ret.items}
+        refs = {
+            n.name for e, _ in ret.items for n in e.walk() if isinstance(n, A.Var)
+        }
+        # ORDER BY / trailing WHERE see both output aliases (resolved
+        # post-aggregation — no pattern dependency) and pattern variables;
+        # a name that is BOTH shadows ambiguously — punt to the generic path
+        for e in [oi.expr for oi in ret.order_by] + (
+            [ret.where] if ret.where is not None else []
+        ):
+            for n in e.walk():
+                if isinstance(n, A.Var):
+                    if n.name in aliases:
+                        if n.name in pat_vars:
+                            return None
+                    else:
+                        refs.add(n.name)
+        mrefs = (
+            {n.name for n in m.where.walk() if isinstance(n, A.Var)}
+            if m.where is not None
+            else set()
+        )
+        if not (refs | mrefs) <= pat_vars:
+            return None  # unbound name — let the generic path report it
+        positions = [
+            (i, i) for i, v in enumerate(node_vars) if v in refs or v in mrefs
+        ] + [
+            (i, i + 1) for i, v in enumerate(rel_vars) if v in refs or v in mrefs
+        ]
+        if not positions:
+            return None
+        lo = min(p for p, _ in positions)
+        hi = max(p for _, p in positions)
+        if lo == 0 or hi == len(node_vars) - 1:
+            return None  # a single dangling end has no multiplicative blow-up
+        # hop i spans nodes (i, i+1): prefix hops < lo, core lo..hi-1, rest suffix
+        cand = [self._rel_candidate_tables(part, i) for i in range(len(part.rels))]
+
+        def seg(i: int) -> int:
+            return 0 if i < lo else (1 if i < hi else 2)
+
+        for i in range(len(cand)):
+            for j in range(i + 1, len(cand)):
+                if seg(i) != seg(j) and (cand[i] & cand[j]):
+                    return None
+        try:
+            core_ids: List[Tuple[str, frozenset, bool]] = []
+            core = self.plan_part(
+                Record(None, {}),
+                A.PatternPart(elements[2 * lo : 2 * hi + 1]),
+                core_ids,
+            )
+            core = self._rel_uniqueness(core, core_ids)
+            if m.where is not None:
+                core = self.plan_where(core, m.where)
+            df = core.df
+            mult = F.lit(1).cast("long")
+            cnt_cols = []
+            for bslice, attach in (
+                (elements[: 2 * lo + 1], lo),
+                (elements[2 * hi :], hi),
+            ):
+                b_ids: List[Tuple[str, frozenset, bool]] = []
+                brec = self.plan_part(Record(None, {}), A.PatternPart(bslice), b_ids)
+                brec = self._rel_uniqueness(brec, b_ids)
+                key = f"eag{next(self._uid)}#key"
+                cnt = f"eag{next(self._uid)}#cnt"
+                cdf = brec.df.groupBy(
+                    F.col(brec.header[node_vars[attach]].id_col).alias(key)
+                ).agg(F.count(F.lit(1)).alias(cnt))
+                df = df.join(
+                    cdf,
+                    F.col(core.header[node_vars[attach]].id_col) == F.col(key),
+                    "inner",
+                ).drop(key)
+                cnt_cols.append(cnt)
+                mult = mult * F.col(cnt)
+            wcol = f"eag{next(self._uid)}#mult"
+            df = df.withColumn(wcol, mult).drop(*cnt_cols)
+            out = self._plan_aggregation(
+                Record(df, core.header), ret, list(ret.items), weight_col=wcol
+            )
+        except WeightedAggUnsupported:
+            return None
+        return PlanResult(df=self.finalize(out))
 
     def _resolve_graph_ref(self, clause: A.FromGraphClause) -> PropertyGraph:
         """Resolve FROM GRAPH <ref>: a $parameter (inside a view body), a
@@ -1699,10 +1882,20 @@ class Planner:
         raise CypherPlanningError("SKIP/LIMIT must be a constant integer expression")
 
     # ------------------------------------------------------------- aggregation
-    def _plan_aggregation(self, rec: Record, clause: A.ProjectionClause, items) -> Record:
+    def _plan_aggregation(
+        self,
+        rec: Record,
+        clause: A.ProjectionClause,
+        items,
+        weight_col: Optional[str] = None,
+    ) -> Record:
         """Cypher implicit grouping: non-aggregate return items are the keys
         (reference: AggregationBlock, IRBuilder.scala; entity keys group by
-        all owned columns, SparkTable.scala:140-149)."""
+        all owned columns, SparkTable.scala:140-149).
+
+        ``weight_col`` (eager-aggregation rewrite): each input row stands
+        for that many pattern matches — aggregates compile through
+        ``compile_weighted_aggregate`` instead of materializing the rows."""
         ctx = self._ctx(rec)
 
         # collect aggregate subtrees from items and ORDER BY
@@ -1743,7 +1936,11 @@ class Planner:
         actx = CompileCtx(df, rec.header, self.params)
         for i, a in enumerate(agg_nodes):
             phys = f"agg{next(self._uid)}#val"
-            agg_cols.append(compile_aggregate(a, actx).alias(phys))
+            if weight_col is not None:
+                c = compile_weighted_aggregate(a, actx, F.col(weight_col))
+            else:
+                c = compile_aggregate(a, actx)
+            agg_cols.append(c.alias(phys))
             v = f" agg{i}"
             agg_var_meta[v] = EntityMeta(kind="value", col=phys)
             subst.append((a, A.Var(v)))

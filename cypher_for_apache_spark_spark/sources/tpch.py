@@ -21,6 +21,7 @@ Graph shape over the driver's tables (TESTDATA.md):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+from pyspark.storagelevel import StorageLevel
 
 from cypher_for_apache_spark_spark.graph import (
     NodeTable,
@@ -131,9 +132,8 @@ def load_tpch_graph(
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     # lead() avoids the self-join; one window shuffle total. NEXT and
     # SUPPLIES are *derived* tables every later query would otherwise
-    # recompute, so they are materialized once at load via localCheckpoint
-    # (unlike persist(), a cache-registry clear can't silently drop them
-    # mid-session; at 100 TB this is a one-off write back to parquet — see
+    # recompute, so they are cached once at load (columnar InMemoryTableScan
+    # keeps pruning; at 100 TB this is a one-off write back to parquet — see
     # reference caching guidance,
     # documentation/asciidoc/caching-and-performance.adoc).
     nxt = (
@@ -147,7 +147,7 @@ def load_tpch_graph(
             (F.col("o_orderkey") + F.lit(ORDER)).alias("src"),
             (F.col("next_orderkey") + F.lit(ORDER)).alias("dst"),
         )
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     supplies = (
@@ -158,7 +158,7 @@ def load_tpch_graph(
             (F.col("l_suppkey") + F.lit(SUPPLIER)).alias("src"),
             (F.col("l_partkey") + F.lit(PART)).alias("dst"),
         )
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     rels = [
@@ -219,10 +219,17 @@ def load_tpch_graph(
         if rt.rel_type in want:
             frame = build_triplet_frame(g, rt)
             if frame is not None:
+                # columnar cache, NOT localCheckpoint: an ExistingRDD scan
+                # reads every column as JVM row objects, destroying column
+                # pruning + whole-stage codegen for every query over the
+                # triplet (measured 5x on the sf1 IN_NATION joins);
+                # InMemoryTableScan prunes columns and skips batches by
+                # min/max stats. At 100 TB the triplet is written back to
+                # parquet instead — same amortization, durable.
                 g.add_triplet_table(
                     TripletTable.create(
                         rt.rel_type,
-                        frame.localCheckpoint(),
+                        frame.persist(StorageLevel.MEMORY_AND_DISK),
                         rt.src_labels,
                         rt.dst_labels,
                     )
