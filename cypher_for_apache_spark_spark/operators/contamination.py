@@ -6,7 +6,7 @@ fraction of its n-grams also occurs anywhere in the *training* corpus?
 training near-matches — must be dropped before eval numbers mean anything.)
 
 Scale design: grams travel as 8-byte xxhash64 values (see
-``dedup.shingle_hashes``), never as strings, so the big join is an
+``dedup.shingle_hash_rows``), never as strings, so the big join is an
 equi-join of longs against a distinct-hash set that is tiny relative to
 the corpus (distinct n-grams of the *benchmark*, not the corpus, drive the
 output). The training side is one distinct-aggregate over gram hashes —
@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from cypher_for_apache_spark_spark.operators.dedup import shingle_hashes
+from cypher_for_apache_spark_spark.operators.dedup import shingle_hash_rows
 
 
 def ngram_contamination(
@@ -37,17 +37,13 @@ def ngram_contamination(
     exploded benchmark grams the small side — Catalyst/AQE broadcast the
     benchmark side; output is one row per benchmark doc.
     """
-    bench_grams = bench_df.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(shingle_hashes(F.col(text_col), n, mode))
-        ).alias("_g"),
+    bench_grams = shingle_hash_rows(
+        bench_df, text_col, keep=(id_col,), n=n, mode=mode, distinct=True,
+        outer=True, out="_g",
     )
     train_grams = (
-        train_df.select(
-            F.explode(
-                F.array_distinct(shingle_hashes(F.col(text_col), n, mode))
-            ).alias("_g")
+        shingle_hash_rows(
+            train_df, text_col, n=n, mode=mode, distinct=True, out="_g"
         )
         .dropDuplicates()
         .withColumn("_hit", F.lit(1))
@@ -90,17 +86,13 @@ def decontaminate(
     benchmark gram set is the broadcast side, and the per-train-doc
     overlap is one map-side-combinable aggregation. ``max_overlap=0.0``
     drops a doc on ANY shared n-gram."""
-    train_grams = train_df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingle_hashes(F.col(text_col), n, mode))
-        ).alias("_g"),
+    train_grams = shingle_hash_rows(
+        train_df, text_col, keep=(id_col,), n=n, mode=mode, distinct=True,
+        out="_g",
     )
     bench_grams = (
-        bench_df.select(
-            F.explode(
-                F.array_distinct(shingle_hashes(F.col(text_col), n, mode))
-            ).alias("_g")
+        shingle_hash_rows(
+            bench_df, text_col, n=n, mode=mode, distinct=True, out="_g"
         )
         .dropDuplicates()
         .withColumn("_hit", F.lit(1))

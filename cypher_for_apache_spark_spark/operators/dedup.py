@@ -10,7 +10,7 @@ banding and verification are all built-in JVM expressions.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -122,6 +122,56 @@ def shingle_hashes(
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    keep: Sequence[str] = (),
+    n: int = 3,
+    mode: str = "word",
+    hash_mode: str = "xxhash64",
+    distinct: bool = False,
+    outer: bool = False,
+    out: str = "_sh",
+) -> DataFrame:
+    """Exploded ``(keep..., out)`` shingle-hash rows, with the token-hash
+    array HOISTED into its own projection before the shingle lambda
+    references it.
+
+    The single-expression form (``explode(shingle_hashes(text))``) is an
+    interpreted-eval trap: lambda HOFs are CodegenFallback, and interpreted
+    evaluation has no common-subexpression reuse, so the nested token-hash
+    ``transform`` is re-evaluated once per shingle position — O(tokens^2)
+    string hashing per document (measured 51.7 s for sf1 MinHash
+    signatures; 3.0 s hoisted). Binding the token hashes to a real column
+    makes each ``slice()`` an O(n) read of the row. Catalyst keeps the
+    projection boundary because the bound array is non-cheap and
+    referenced more than once (CollapseProject's cost gate).
+
+    Values are bit-identical to ``shingle_hashes`` in both hash modes, so
+    the portable DuckDB oracles are unaffected."""
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    norm = normalize_text(F.col(text_col))
+    units = F.split(norm, WHITESPACE if mode == "word" else "")
+    if hash_mode == "md5":
+        th = F.transform(units, portable_hash60)
+    else:
+        th = F.transform(units, lambda t: F.xxhash64(t))
+    toks = df.select(*[F.col(c) for c in keep], th.alias("_th"))
+    tcol = F.col("_th")
+    count = F.size(tcol) - F.lit(n - 1)
+    arr = F.when(count < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: _hash_long_seq(F.slice(tcol, i, n), hash_mode),
+        )
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    ex = F.explode_outer(arr) if outer else F.explode(arr)
+    return toks.select(*[F.col(c) for c in keep], ex.alias(out))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -146,11 +196,8 @@ def minhash_signatures(
     was the dominant cost of the portable path (measured 9.1 s -> with
     this scheme ~one md5 like the fast path) and the formula is plain
     arithmetic for the SQL oracle."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            shingle_hashes(F.col(text_col), shingle_size, mode, hash_mode)
-        ).alias("_sh"),
+    sh = shingle_hash_rows(
+        df, text_col, keep=(id_col,), n=shingle_size, mode=mode, hash_mode=hash_mode
     )
     if hash_mode == "md5":
         hx = F.md5(F.col("_sh").cast("string"))
@@ -353,9 +400,13 @@ def ngram_jaccard_pairs(
     truly-colliding prefixes. A size-ratio filter (|A| >= t*|B|) prunes
     further; exact intersection counting runs only on surviving pairs.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingle_hashes(F.col(text_col), n, mode))).alias("_sh"),
+    sh = shingle_hash_rows(
+        df.select(F.col(id_col).alias("_id"), text_col),
+        text_col,
+        keep=("_id",),
+        n=n,
+        mode=mode,
+        distinct=True,
     )
     # the shingle frame feeds four plan branches (frequency, ranking, and
     # both sides of the verification join) — materialize it or Spark re-runs
