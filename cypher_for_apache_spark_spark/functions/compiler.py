@@ -383,6 +383,16 @@ def _cmp(e: A.Cmp, ctx: CompileCtx) -> Column:
             neq = F.lit(e.op == "<>")
             return F.when(l.isNull() | r.isNull(), F.lit(None).cast("boolean")).otherwise(neq)
         return F.lit(None).cast("boolean")
+    if e.op in ("=", "<>"):
+        lt, rt = _dtype(ctx, l), _dtype(ctx, r)
+        if _is(lt, T.ArrayType, T.StructType) and _is(rt, T.ArrayType, T.StructType):
+            # container equality is ternary per element (openCypher
+            # Equality: a definite mismatch is false, any null-valued
+            # element comparison poisons the result to null) — Spark's
+            # EqualTo on arrays/structs instead treats null elements as
+            # equal, so [1, null] = [1, null] would come back true
+            eq = _ternary_container_eq(l, r, lt, rt)
+            return eq if e.op == "=" else ~eq
     if e.op == "=":
         return l == r
     if e.op == "<>":
@@ -426,6 +436,65 @@ def _statically_comparable_types(lt: T.DataType, rt: T.DataType) -> bool:
     if _is(lt, *_TEMPORAL_T) and _is(rt, *_TEMPORAL_T):
         return True
     return type(lt) is type(rt)
+
+
+_NULL_BOOL = lambda: F.lit(None).cast("boolean")  # noqa: E731
+
+
+def _ternary_elem_eq(x: Column, y: Column, xt: T.DataType, yt: T.DataType) -> Column:
+    """Three-valued equality of two values of statically-known type —
+    the recursive core of openCypher container Equality. Scalars defer to
+    Spark `==` (already ternary for scalar types); containers recurse;
+    statically incomparable kinds are definitely false unless an operand
+    is null."""
+    if _is(xt, T.NullType) or _is(yt, T.NullType):
+        return _NULL_BOOL()
+    if _is(xt, T.ArrayType, T.StructType) and _is(yt, T.ArrayType, T.StructType):
+        return _ternary_container_eq(x, y, xt, yt)
+    if not _statically_comparable_types(xt, yt):
+        return F.when(x.isNull() | y.isNull(), _NULL_BOOL()).otherwise(F.lit(False))
+    return x == y
+
+
+def _ternary_fold_eqs(eqs: Column) -> Column:
+    """Fold an array<boolean> of element equalities ternarily: any
+    definite false -> false, else any null -> null, else true."""
+    return (
+        F.when(F.exists(eqs, lambda b: ~F.coalesce(b, F.lit(True))), F.lit(False))
+        .when(F.exists(eqs, lambda b: b.isNull()), _NULL_BOOL())
+        .otherwise(F.lit(True))
+    )
+
+
+def _ternary_container_eq(
+    l: Column, r: Column, lt: T.DataType, rt: T.DataType
+) -> Column:
+    """openCypher list/map equality (maps are structs in this engine):
+    null operand -> null; length / key-set mismatch -> definitely false;
+    otherwise the ternary fold of per-element equalities. Pure Catalyst
+    HOFs (zip_with/exists) — JVM-side, no UDF."""
+    if _is(lt, T.ArrayType) != _is(rt, T.ArrayType):
+        # list vs map: never equal, but null operands stay null
+        return F.when(l.isNull() | r.isNull(), _NULL_BOOL()).otherwise(F.lit(False))
+    if _is(lt, T.ArrayType):
+        eqs = F.zip_with(
+            l, r, lambda x, y: _ternary_elem_eq(x, y, lt.elementType, rt.elementType)
+        )
+        return (
+            F.when(l.isNull() | r.isNull(), _NULL_BOOL())
+            .when(F.size(l) != F.size(r), F.lit(False))
+            .otherwise(_ternary_fold_eqs(eqs))
+        )
+    lf = {f.name: f.dataType for f in lt.fields}
+    rf = {f.name: f.dataType for f in rt.fields}
+    if set(lf) != set(rf):
+        return F.when(l.isNull() | r.isNull(), _NULL_BOOL()).otherwise(F.lit(False))
+    eqs = F.array(
+        *[_ternary_elem_eq(l[k], r[k], lf[k], rf[k]) for k in sorted(lf)]
+    )
+    return F.when(l.isNull() | r.isNull(), _NULL_BOOL()).otherwise(
+        _ternary_fold_eqs(eqs)
+    )
 
 
 def _is_null(e: A.IsNull, ctx: CompileCtx) -> Column:
@@ -496,6 +565,20 @@ def _in(e: A.In, ctx: CompileCtx) -> Column:
         return (
             F.when(l.isNull() | r.isNull(), F.lit(None).cast("boolean"))
             .when(F.exists(r, lambda x: x.isNull()), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False))
+        )
+    if _is(rt, T.ArrayType) and _is(rt.elementType, T.ArrayType, T.StructType):
+        # container elements: membership is the ternary disjunction of
+        # per-element ternary equalities (true beats null beats false) —
+        # array_contains would treat null-poisoned candidates as definite
+        # non-matches ([1, 3] IN [[1, null]] must be null, not false)
+        et = lt if lt is not None else rt.elementType
+        eqs = F.transform(r, lambda x: _ternary_elem_eq(l, x, et, rt.elementType))
+        return (
+            F.when(r.isNull(), _NULL_BOOL())
+            .when(F.size(r) == F.lit(0), F.lit(False))
+            .when(F.exists(eqs, lambda b: F.coalesce(b, F.lit(False))), F.lit(True))
+            .when(F.exists(eqs, lambda b: b.isNull()), _NULL_BOOL())
             .otherwise(F.lit(False))
         )
     # array_contains already implements SQL's three-valued IN (true if

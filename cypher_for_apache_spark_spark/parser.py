@@ -610,10 +610,13 @@ class Parser:
         return e
 
     def parse_power(self) -> A.Expr:
+        # left-assoc per the openCypher grammar (PowerOfExpression folds
+        # its repetition left, like the Neo4j front-end the reference
+        # embeds): 2^3^2 = (2^3)^2 = 64, not 2^(3^2)
         e = self.parse_unary()
-        if self.at("^"):
+        while self.at("^"):
             self.advance()
-            return A.Bin("^", e, self.parse_power())  # right-assoc
+            e = A.Bin("^", e, self.parse_unary())
         return e
 
     def parse_unary(self) -> A.Expr:

@@ -181,11 +181,17 @@ class Planner:
         return self.plan_single(q)
 
     def plan_single(self, q: A.SingleQuery) -> PlanResult:
-        if self.driving_table is None:
-            fast = self._try_eager_agg(q)
-            if fast is not None:
-                return fast
         rec = Record(None, {})
+        constructed: Optional[PropertyGraph] = None
+        final: Optional[PlanResult] = None
+        start = 0
+        if self.driving_table is None and len(q.clauses) >= 2:
+            pre = self._try_eager_agg(q.clauses[0], q.clauses[1])
+            if pre is not None:
+                rec = pre
+                start = 2
+                if q.clauses[1].is_return:
+                    final = PlanResult(df=self.finalize(rec))
         if self.driving_table is not None:
             # driving-table parameter (reference: cypher(..., drivingTable),
             # PropertyGraph.scala:99): each column binds a value variable
@@ -193,9 +199,7 @@ class Planner:
                 c: EntityMeta(kind="value", col=c) for c in self.driving_table.columns
             }
             rec = Record(self.driving_table, header)
-        constructed: Optional[PropertyGraph] = None
-        final: Optional[PlanResult] = None
-        for clause in q.clauses:
+        for clause in q.clauses[start:]:
             if isinstance(clause, A.MatchClause):
                 rec = self.plan_match(rec, clause)
             elif isinstance(clause, A.UnwindClause):
@@ -236,19 +240,21 @@ class Planner:
             if rt.compatible(s, d)
         )
 
-    def _try_eager_agg(self, q: A.SingleQuery) -> Optional[PlanResult]:
+    def _try_eager_agg(self, m, ret) -> Optional[Record]:
         """Eager aggregation (Yannakakis-style counting) for
-        ``MATCH <chain> RETURN <agg>``: when the RETURN references only an
-        interior segment of the chain, the dangling ends are planned
-        separately, pre-aggregated to per-attachment-node match counts, and
-        the final aggregate runs over the core rows weighted by the PRODUCT
-        of branch counts — the multiplicative join fan-out around the
-        shared node never materializes. On
+        ``MATCH <chain> RETURN/WITH <agg>`` (and ``DISTINCT``-only
+        projections): when the projection references only an interior
+        segment of the chain, the dangling ends are planned separately,
+        pre-aggregated to per-attachment-node match counts, and the final
+        aggregate runs over the core rows weighted by the PRODUCT of
+        branch counts — the multiplicative join fan-out around the shared
+        node never materializes. On
         ``(c)-[:IN_NATION]->(n)<-[:IN_NATION]-(s)`` the generic plan joins
         |customers_per_nation| x |suppliers_per_nation| rows per nation
         (quadratic in the skewed key's degree — 20+ s at sf1, unbounded at
         100 TB); this plan shuffles one count row per node and is constant
-        in the fan-out. The reference has no such rewrite
+        in the fan-out. A DISTINCT projection needs only branch EXISTENCE,
+        so the ends become semi-joins. The reference has no such rewrite
         (LogicalOptimizer.scala rewrites scans, not aggregates).
 
         Soundness gates (any miss -> return None, generic plan): single
@@ -261,20 +267,20 @@ class Planner:
         (sound under the engine's id contract: element ids are unique
         across a graph's tables, the same assumption ``_rel_uniqueness``
         already makes when skipping statically disjoint types)."""
-        if self.graph is None or len(q.clauses) != 2:
+        if self.graph is None:
             return None
-        m, ret = q.clauses
         if not isinstance(m, A.MatchClause) or m.optional or len(m.parts) != 1:
             return None
-        if not isinstance(ret, A.ProjectionClause) or not ret.is_return or ret.star:
+        if not isinstance(ret, A.ProjectionClause) or ret.star:
             return None
         part0 = m.parts[0]
         if part0.path_var is not None or len(part0.rels) < 2:
             return None
         if any(r.var_length is not None for r in part0.rels):
             return None
-        if not any(A.contains_aggregate(e) for e, _ in ret.items):
-            return None
+        has_agg = any(A.contains_aggregate(e) for e, _ in ret.items)
+        if not has_agg and not ret.distinct:
+            return None  # plain projection: row multiplicity is the result
         exprs = [e for e, _ in ret.items] + [oi.expr for oi in ret.order_by]
         if ret.where is not None:
             exprs.append(ret.where)
@@ -371,25 +377,31 @@ class Planner:
                 brec = self.plan_part(Record(None, {}), A.PatternPart(bslice), b_ids)
                 brec = self._rel_uniqueness(brec, b_ids)
                 key = f"eag{next(self._uid)}#key"
-                cnt = f"eag{next(self._uid)}#cnt"
-                cdf = brec.df.groupBy(
-                    F.col(brec.header[node_vars[attach]].id_col).alias(key)
-                ).agg(F.count(F.lit(1)).alias(cnt))
+                bid = F.col(brec.header[node_vars[attach]].id_col)
+                if has_agg:
+                    cnt = f"eag{next(self._uid)}#cnt"
+                    cdf = brec.df.groupBy(bid.alias(key)).agg(
+                        F.count(F.lit(1)).alias(cnt)
+                    )
+                    cnt_cols.append(cnt)
+                    mult = mult * F.col(cnt)
+                else:
+                    # DISTINCT projection: only branch existence matters
+                    cdf = brec.df.select(bid.alias(key)).distinct()
                 df = df.join(
                     cdf,
                     F.col(core.header[node_vars[attach]].id_col) == F.col(key),
                     "inner",
                 ).drop(key)
-                cnt_cols.append(cnt)
-                mult = mult * F.col(cnt)
-            wcol = f"eag{next(self._uid)}#mult"
-            df = df.withColumn(wcol, mult).drop(*cnt_cols)
-            out = self._plan_aggregation(
-                Record(df, core.header), ret, list(ret.items), weight_col=wcol
-            )
+            if has_agg:
+                wcol = f"eag{next(self._uid)}#mult"
+                df = df.withColumn(wcol, mult).drop(*cnt_cols)
+                return self._plan_aggregation(
+                    Record(df, core.header), ret, list(ret.items), weight_col=wcol
+                )
+            return self.plan_projection(Record(df, core.header), ret)
         except WeightedAggUnsupported:
             return None
-        return PlanResult(df=self.finalize(out))
 
     def _resolve_graph_ref(self, clause: A.FromGraphClause) -> PropertyGraph:
         """Resolve FROM GRAPH <ref>: a $parameter (inside a view body), a

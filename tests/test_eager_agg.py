@@ -88,7 +88,7 @@ def _both_ways(monkeypatch, graph, query):
     """(rewritten result, generic result) for the same query."""
     fast = graph.cypher(query)
     with monkeypatch.context() as m:
-        m.setattr(Planner, "_try_eager_agg", lambda self, q: None)
+        m.setattr(Planner, "_try_eager_agg", lambda self, m_, ret: None)
         slow = graph.cypher(query)
     assert not _fired(slow)
     return fast, slow
@@ -202,6 +202,40 @@ def test_collect_bails(shop_graph, monkeypatch):
         r["product"]: sorted(r["cats"]) for r in res.to_maps()
     }
     assert norm(fast) == norm(slow)
+
+
+def test_with_aggregation_then_filter(shop_graph, monkeypatch):
+    # the rewrite fires on WITH-aggregations too; downstream clauses plan
+    # generically over the aggregated record
+    q = """MATCH (u:User)-[:BOUGHT]->(p:Product)<-[:SOLD]-(s:Shop)
+           WITH p.name AS product, count(*) AS pairs
+           WHERE pairs > 1
+           RETURN product, pairs"""
+    fast, slow = _both_ways(monkeypatch, shop_graph, q)
+    assert _fired(fast)
+    assert bag(fast) == bag(slow)
+    got = {r["product"]: r["pairs"] for r in fast.to_maps()}
+    assert got == {"P1": 6, "Twin": 4}
+
+
+def test_distinct_projection_semi_joins(shop_graph, monkeypatch):
+    # DISTINCT-only projection: branch existence is all that matters, the
+    # ends become semi-joins instead of count frames
+    q = """MATCH (u:User)-[:BOUGHT]->(p:Product)<-[:SOLD]-(s:Shop)
+           RETURN DISTINCT p.name AS product"""
+    fast, slow = _both_ways(monkeypatch, shop_graph, q)
+    assert _fired(fast)
+    assert bag(fast) == bag(slow)
+    assert sorted(r["product"] for r in fast.to_maps()) == ["P1", "P2", "Twin"]
+
+
+def test_plain_projection_never_rewrites(shop_graph):
+    # non-distinct, non-aggregate: row multiplicity IS the result
+    q = """MATCH (u:User)-[:BOUGHT]->(p:Product)<-[:SOLD]-(s:Shop)
+           RETURN p.name AS product"""
+    res = shop_graph.cypher(q)
+    assert not _fired(res)
+    assert sorted(r["product"] for r in res.to_maps()).count("P1") == 6
 
 
 def test_end_var_referenced_bails(shop_graph):
