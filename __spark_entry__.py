@@ -332,6 +332,44 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
 
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+# DSIR hashed-ngram model (operators/selection.py): unigram+bigram grams,
+# md5-bucketed into 4096 buckets, add-one-smoothed target/raw bag-of-bucket
+# models, per-bucket log-ratios quantized to integer micro-units, per-doc
+# weight = exact integer dot product (summation-order-free, so the hash
+# compare is bit-exact cross-engine).
+_DSIR_MODEL_SQL = f"""WITH n AS (
+              SELECT doc_id, source,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> x <> '') AS w
+              FROM documents),
+            g1 AS (SELECT doc_id, source, unnest(w) AS gram FROM n),
+            g2 AS (SELECT doc_id, source, w[t.i] || ' ' || w[t.i + 1] AS gram
+                   FROM n, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                                    AS i) t
+                   WHERE len(w) >= 2),
+            g AS (SELECT doc_id, source,
+                         (('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096) AS b
+                  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+            tcnt AS (SELECT b, count(*) AS tc FROM g
+                     WHERE source = 'src0' GROUP BY b),
+            rcnt AS (SELECT b, count(*) AS rc FROM g
+                     WHERE source <> 'src0' GROUP BY b),
+            tt AS (SELECT coalesce(sum(tc), 0) AS T FROM tcnt),
+            rt AS (SELECT coalesce(sum(rc), 0) AS R FROM rcnt),
+            lr AS (SELECT gs.b,
+                          CAST(round((ln(coalesce(tc, 0) + 1.0)
+                                      - ln(T + 4096.0)
+                                      - ln(coalesce(rc, 0) + 1.0)
+                                      + ln(R + 4096.0)) * 1000000)
+                               AS BIGINT) AS lr_micro
+                   FROM (SELECT unnest(generate_series(0, 4095)) AS b) gs
+                   LEFT JOIN tcnt ON gs.b = tcnt.b
+                   LEFT JOIN rcnt ON gs.b = rcnt.b, tt, rt),
+            db AS (SELECT doc_id, b, count(*) AS c FROM g
+                   WHERE source <> 'src0' GROUP BY 1, 2),
+            wts AS (SELECT db.doc_id, sum(c * lr_micro) AS weight_micro
+                    FROM db JOIN lr ON db.b = lr.b GROUP BY 1)"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table, spread across the session's full parallelism.
@@ -473,6 +511,26 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where("source = 'src0'")
     train = docs.where("source <> 'src0'")
     return ngram_contamination(train, bench, n=8)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.selection import (
+        dsir_importance_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where("source = 'src0'")
+    raw = docs.where("source <> 'src0'")
+    return dsir_importance_weights(raw, target, buckets=4096)
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.selection import dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where("source = 'src0'")
+    raw = docs.where("source <> 'src0'")
+    return dsir_resample(raw, target, k=100, buckets=4096)
 
 
 def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,6 +2050,30 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
                          ELSE 0.0 END, 6) AS contamination
             FROM (SELECT doc_id FROM documents WHERE source = 'src0') d
             LEFT JOIN agg a USING (doc_id)""",
+    ),
+    "dsir_weights_docs": (
+        _q_dsir_weights,
+        f"""{_DSIR_MODEL_SQL}
+            SELECT d.doc_id,
+                   CAST(coalesce(w.weight_micro, 0) AS BIGINT) AS weight_micro
+            FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+            LEFT JOIN wts w USING (doc_id)""",
+    ),
+    "dsir_select_docs": (
+        _q_dsir_select,
+        f"""{_DSIR_MODEL_SQL},
+            keys AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(w.weight_micro, 0) AS BIGINT) AS weight_micro,
+                     CAST(round(coalesce(w.weight_micro, 0) / 1.0) AS BIGINT)
+                     + CAST(round(-ln(-ln(
+                         (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT + 0.5) / 4294967296.0)) * 1000000)
+                         AS BIGINT) AS key_micro
+              FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+              LEFT JOIN wts w USING (doc_id))
+            SELECT doc_id, weight_micro, key_micro
+            FROM keys ORDER BY key_micro DESC, doc_id LIMIT 100""",
     ),
     "gopher_filter_docs": (
         _q_gopher_filter,
