@@ -322,37 +322,65 @@ def k_core(
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
     )
-    _cnt = cur_e.count()
-    for _ in range(max_iterations):
-        deg = (
-            cur_e.select(F.col("src").alias("id"))
-            .unionByName(cur_e.select(F.col("dst").alias("id")))
-            .groupBy("id")
-            .agg(F.count("*").alias("degree"))
-        )
-        survivors = deg.filter(F.col("degree") >= k).select("id")
-        nxt = _checkpoint(
-            cur_e.join(
-                survivors.select(F.col("id").alias("src")), "src", "left_semi"
-            ).join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
-        )
-        # carry the edge count across rounds: one count job per round,
-        # not two (cur_e's count is last round's nxt count)
-        nc = nxt.count()
-        if nc == _cnt:  # fixed point: nothing peeled
-            cur_e = nxt
-            break
-        cur_e, _cnt = nxt, nc
-        if nc == 0:
-            break
-    final_deg = (
+    # degrees are computed with ONE full shuffle up front, then maintained
+    # incrementally: each round deletes the below-k vertices and *decrements*
+    # the degrees of their surviving neighbours instead of re-aggregating
+    # the whole edge set. The deleted frame is typically tiny after the
+    # first round (real graphs peel a long sparse tail), so every per-round
+    # join is a broadcast against it and the edge/degree rewrites are
+    # map-only stages — AQE falls back to shuffle joins on the rounds where
+    # a deletion wave is genuinely large, so the worst case matches the
+    # old recompute-everything plan instead of degrading past it.
+    deg = _checkpoint(
         cur_e.select(F.col("src").alias("id"))
         .unionByName(cur_e.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("degree"))
-        .filter(F.col("degree") >= k)
     )
-    return final_deg
+    for _ in range(max_iterations):
+        deleted = _checkpoint(deg.filter(F.col("degree") < k).select("id"))
+        if deleted.count() == 0:
+            break
+        flagged = (
+            cur_e.join(
+                deleted.select(F.col("id").alias("src"), F.lit(1).alias("_sdel")),
+                "src",
+                "left",
+            ).join(
+                deleted.select(F.col("id").alias("dst"), F.lit(1).alias("_ddel")),
+                "dst",
+                "left",
+            )
+        )
+        # an edge losing exactly one endpoint decrements the survivor; an
+        # edge losing both affects no remaining degree
+        dec = (
+            flagged.filter(F.col("_sdel").isNotNull() & F.col("_ddel").isNull())
+            .select(F.col("dst").alias("id"))
+            .unionByName(
+                flagged.filter(
+                    F.col("_ddel").isNotNull() & F.col("_sdel").isNull()
+                ).select(F.col("src").alias("id"))
+            )
+            .groupBy("id")
+            .agg(F.count("*").alias("_dec"))
+        )
+        cur_e = _checkpoint(
+            flagged.filter(F.col("_sdel").isNull() & F.col("_ddel").isNull()).select(
+                "src", "dst"
+            )
+        )
+        deg = _checkpoint(
+            deg.join(deleted, "id", "left_anti")
+            .join(dec, "id", "left")
+            .select(
+                "id",
+                (F.col("degree") - F.coalesce(F.col("_dec"), F.lit(0))).alias(
+                    "degree"
+                ),
+            )
+        )
+    return deg.filter(F.col("degree") >= k)
 
 
 def sssp(
