@@ -762,6 +762,12 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_doc_logprob(_docs(spark, sf_dir))
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
 def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import skipgram_pairs
 
@@ -2247,6 +2253,50 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
             JOIN pc ON pc.w1 = bg.w1 AND pc.w2 = bg.w2
             JOIN uc ON uc.u = bg.w1, v
             GROUP BY bg.doc_id""",
+    ),
+    "perplexity_buckets_docs": (
+        _q_perplexity_buckets,
+        f"""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> x <> '') AS w
+              FROM documents),
+            bg AS (SELECT doc_id, w[t.i] AS w1, w[t.i + 1] AS w2
+                   FROM toks,
+                        LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                                 AS i) t
+                   WHERE len(w) >= 2),
+            uni AS (SELECT unnest(w) AS u FROM toks),
+            uc AS (SELECT u, count(*) AS c1 FROM uni GROUP BY u),
+            v AS (SELECT count(DISTINCT u) AS vv FROM uni),
+            pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            sc AS (
+              SELECT bg.doc_id, count(*) AS n_bigrams,
+                     round(avg(ln((pc.c12 + 1)
+                                  / CAST(uc.c1 + v.vv AS DOUBLE))), 6)
+                       AS avg_logprob
+              FROM bg
+              JOIN pc ON pc.w1 = bg.w1 AND pc.w2 = bg.w2
+              JOIN uc ON uc.u = bg.w1, v
+              GROUP BY bg.doc_id),
+            m AS (SELECT doc_id, n_bigrams, avg_logprob,
+                         CAST(round(avg_logprob * 1000000) AS BIGINT) AS mm
+                  FROM sc),
+            h AS (SELECT mm, count(*) AS c FROM m GROUP BY mm),
+            cdf AS (SELECT mm, sum(c) OVER (ORDER BY mm) AS cum FROM h),
+            tot AS (SELECT count(*) AS N FROM m),
+            b AS (SELECT
+                    min(CASE WHEN cum >= floor((1 * N + 2) / 3.0)
+                        THEN mm END) AS b1,
+                    min(CASE WHEN cum >= floor((2 * N + 2) / 3.0)
+                        THEN mm END) AS b2
+                  FROM cdf, tot)
+            SELECT m.doc_id, CAST(m.n_bigrams AS BIGINT) AS n_bigrams,
+                   m.avg_logprob,
+                   CAST((CASE WHEN mm > b1 THEN 1 ELSE 0 END)
+                        + (CASE WHEN mm > b2 THEN 1 ELSE 0 END) AS INT)
+                     AS bucket
+            FROM m, b""",
     ),
     "skipgram_pairs_docs": (
         _q_skipgram_pairs,

@@ -154,6 +154,10 @@ def _list_lit(e: A.ListLit, ctx: CompileCtx) -> Column:
 
 
 def _map_lit(e: A.MapLit, ctx: CompileCtx) -> Column:
+    if not e.items:
+        # `{}`: Spark structs need >= 1 field — use the same null marker
+        # field the empty properties() map uses (ternary equality strips it)
+        return F.struct(F.lit(None).alias("_empty"))
     return F.struct(*[compile_expr(v, ctx).alias(k) for k, v in e.items])
 
 
@@ -485,8 +489,17 @@ def _ternary_container_eq(
             .when(F.size(l) != F.size(r), F.lit(False))
             .otherwise(_ternary_fold_eqs(eqs))
         )
-    lf = {f.name: f.dataType for f in lt.fields}
-    rf = {f.name: f.dataType for f in rt.fields}
+    def _fields(t: T.StructType) -> dict:
+        # the `_empty` null marker represents a zero-key map (empty map
+        # literal / empty properties()) — not a real key
+        return {
+            f.name: f.dataType
+            for f in t.fields
+            if not (f.name == "_empty" and _is(f.dataType, T.NullType))
+        }
+
+    lf = _fields(lt)
+    rf = _fields(rt)
     if set(lf) != set(rf):
         return F.when(l.isNull() | r.isNull(), _NULL_BOOL()).otherwise(F.lit(False))
     eqs = F.array(

@@ -70,15 +70,24 @@ def dsir_log_ratio_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
+    raw_bucket_counts: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-bucket integer micro log-likelihood ratio table
     (_b, lr_micro): round(1e6 * [ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B))]).
 
     The table has at most ``buckets`` rows — broadcast-sized regardless of
     corpus size. Buckets unseen in either model still carry the smoothed
-    ratio, so the frame enumerates all ``buckets`` ids via ``sequence``."""
+    ratio, so the frame enumerates all ``buckets`` ids via ``sequence``.
+    ``raw_bucket_counts`` ((_b, _c) occurrence totals) lets
+    ``dsir_importance_weights`` share one featurization of the raw corpus
+    between model fit and document scoring (hashing the grams is the
+    dominant cost)."""
     t_counts = _bucket_totals(_gram_buckets(target_df, text_col, id_col, buckets))
-    r_counts = _bucket_totals(_gram_buckets(raw_df, text_col, id_col, buckets))
+    if raw_bucket_counts is None:
+        raw_bucket_counts = _bucket_totals(
+            _gram_buckets(raw_df, text_col, id_col, buckets)
+        )
+    r_counts = raw_bucket_counts
     spark = raw_df.sparkSession
     all_b = spark.range(1).select(
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("_b")
@@ -121,14 +130,32 @@ def dsir_importance_weights(
     ``ratio_table`` lets callers reuse a precomputed/persisted model (the
     normal production shape: fit once, score many shards)."""
     if ratio_table is None:
-        ratio_table = dsir_log_ratio_table(
-            raw_df, target_df, text_col, id_col, buckets
+        # featurize the raw corpus ONCE: the per-(doc,bucket) counts feed
+        # both the raw model's bucket totals (a second-level aggregation)
+        # and the per-document scoring join
+        from cypher_for_apache_spark_spark.materialize import materialize
+
+        doc_buckets = materialize(
+            _gram_buckets(raw_df, text_col, id_col, buckets)
+            .groupBy("_id", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
-    doc_buckets = (
-        _gram_buckets(raw_df, text_col, id_col, buckets)
-        .groupBy("_id", "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+        ratio_table = dsir_log_ratio_table(
+            raw_df,
+            target_df,
+            text_col,
+            id_col,
+            buckets,
+            raw_bucket_counts=doc_buckets.groupBy("_b").agg(
+                F.sum("_c").alias("_c")
+            ),
+        )
+    else:
+        doc_buckets = (
+            _gram_buckets(raw_df, text_col, id_col, buckets)
+            .groupBy("_id", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
     scored = (
         doc_buckets.join(F.broadcast(ratio_table), "_b")
         .groupBy("_id")

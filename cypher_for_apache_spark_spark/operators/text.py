@@ -586,6 +586,76 @@ def lm_doc_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Curriculum / quality binning: assign each document an LM-score
+    bucket 0..n_buckets-1 (0 = lowest avg bigram log-probability = most
+    surprising text) with exact discrete-quantile boundaries.
+
+    The classic use: train on high-quality buckets first (curriculum), or
+    mix buckets with explicit weights. Boundaries are computed WITHOUT a
+    global sort or collect: scores quantize to integer micro-units, a
+    map-side-combinable histogram aggregates per distinct score, and one
+    window pass over the (distinct-score-sized, not corpus-sized) CDF
+    yields the smallest score whose cumulative count reaches
+    ceil(i*N/n_buckets) — the discrete quantile. Every decisive quantity
+    is an exact integer, so a DuckDB oracle reproduces bucket assignment
+    bit-for-bit. Docs without bigrams are absent (same contract as
+    ``lm_doc_logprob``)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = lm_doc_logprob(df, text_col, id_col)
+    s = scored.withColumn(
+        "_m", F.round(F.col("avg_logprob") * 1_000_000).cast("long")
+    )
+    hist = s.groupBy("_m").agg(F.count(F.lit(1)).alias("_c"))
+    cdf = hist.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            Window.orderBy("_m").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).crossJoin(F.broadcast(s.agg(F.count(F.lit(1)).alias("_n"))))
+    # threshold_i = smallest micro-score with cum >= ceil(i*N/n_buckets);
+    # exact integer arithmetic (i*N + nb - 1 stays far below 2^52)
+    bounds = cdf.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.floor(
+                        (F.lit(i) * F.col("_n") + F.lit(n_buckets - 1))
+                        / F.lit(n_buckets)
+                    ),
+                    F.col("_m"),
+                )
+            ).alias(f"_b{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    bucket = sum(
+        (
+            F.when(F.col("_m") > F.col(f"_b{i}"), 1).otherwise(0)
+            for i in range(1, n_buckets)
+        ),
+        F.lit(0),
+    )
+    return (
+        s.crossJoin(F.broadcast(bounds))
+        .select(
+            id_col,
+            "n_bigrams",
+            "avg_logprob",
+            bucket.cast("int").alias("bucket"),
+        )
+    )
+
+
 def bpe_apply(col: Column, merges: list) -> Column:
     """Tokenize one word column with a trained merge-rule list
     ``[(left, right), ...]`` (rule order = application order), returning

@@ -200,3 +200,28 @@ Feature: EagerAggCounting
       | 'u2'  | 2 |
       | 'u3'  | 2 |
     And no side effects
+
+  Scenario: WITH-aggregation over the shared node feeds a later WHERE
+    When executing query:
+      """
+      MATCH (u:User)-[:BOUGHT]->(p:Prod)<-[:SOLD]-(s:Shop)
+      WITH p.name AS name, count(*) AS pairs
+      WHERE pairs > 2
+      RETURN name, pairs
+      """
+    Then the result should be, in any order:
+      | name | pairs |
+      | 'P1' | 6     |
+    And no side effects
+
+  Scenario: DISTINCT projection over the interior node needs only branch existence
+    When executing query:
+      """
+      MATCH (u:User)-[:BOUGHT]->(p:Prod)<-[:SOLD]-(s:Shop)
+      RETURN DISTINCT p.name AS name
+      """
+    Then the result should be, in any order:
+      | name |
+      | 'P1' |
+      | 'P2' |
+    And no side effects
