@@ -450,6 +450,102 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=5, threshold=0.8)
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup report (Lee et al. 2022): maximal token
+    spans covered by 10-token windows that occur 2+ times corpus-wide.
+    Portable md5 window hashes -> the DuckDB oracle reproduces the whole
+    pipeline (window hashing, global counts, gaps-and-islands merge)."""
+    from cypher_for_apache_spark_spark.operators.dedup import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_spans(docs, window=10, hash_mode="md5", min_count=2)
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe: build portable Bloom registers
+    over the benchmark (src0) 8-gram hashes, probe every training doc's
+    grams against them. Deterministic md5 double-hashing means the oracle
+    reproduces membership answers bit-for-bit, false positives included —
+    and the register table (<= m_words rows) is broadcast-size no matter
+    how big the benchmark side grows."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.dedup import shingle_hash_rows
+    from cypher_for_apache_spark_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("source = 'src0'")
+    train = docs.where("source <> 'src0'")
+    bgrams = shingle_hash_rows(
+        bench, "text", n=8, hash_mode="md5", distinct=True, out="_g"
+    ).dropDuplicates()
+    reg = bloom_build(bgrams, "_g", m_words=2048, k=4)
+    tgrams = shingle_hash_rows(
+        train, "text", keep=("doc_id",), n=8, hash_mode="md5", distinct=True,
+        out="_g",
+    )
+    hits = bloom_contains(
+        reg, tgrams, "_g", id_cols=("doc_id", "_g"), m_words=2048, k=4
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+    )
+
+
+def _pii_injected_text() -> "F.Column":
+    """Deterministic PII injection keyed on doc_id — the synthetic corpus
+    contains no identifiers, so the scan entry appends one typed
+    identifier per doc (email / ipv4 / ssn / url by doc_id % 4) to
+    exercise every regex family cross-engine."""
+    from pyspark.sql import functions as F
+
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    case = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact user"), s(did), F.lit("@mail"), s(did % 7),
+                F.lit(".com now"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" host 10."), s(did % 200), F.lit(".0."), s(did % 250),
+                F.lit(" up"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" ssn "), s(did % 900 + 100), F.lit("-"),
+                s(did % 90 + 10), F.lit("-"), s(did % 9000 + 1000),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" see https://ex"), s(did % 5), F.lit(".org/p?q="), s(did)
+            )
+        )
+    )
+    return F.concat(F.coalesce(F.col("text"), F.lit("")), case)
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cypher_for_apache_spark_spark.operators.pii import PII_PATTERNS, scan_pii
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = scan_pii(docs.withColumn("text", _pii_injected_text()))
+    return out.select(
+        "doc_id", *[f"pii_{name}" for name, _ in PII_PATTERNS], "pii_total"
+    )
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -1835,6 +1931,135 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
             GROUP BY md5({_NORM_SQL})""",
     ),
     "dedup_minhash_docs": (_q_dedup_minhash, None),
+    # exact substring-span dedup: portable window hashes -> global counts
+    # -> gaps-and-islands span merge, all replayed in SQL
+    "dup_spans_docs": (
+        _q_dup_spans,
+        f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+            th AS (SELECT doc_id,
+                          list_transform(w,
+                            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+                   FROM toks WHERE len(w) >= 10),
+            wins AS (SELECT doc_id,
+                            [('0x' || substr(md5(array_to_string(
+                                list_transform(h[i:i+9],
+                                               x -> CAST(x AS VARCHAR)),
+                                ',')), 1, 15))::BIGINT
+                             for i in generate_series(1, len(h) - 9)] AS s
+                     FROM th),
+            wpos AS (SELECT doc_id, unnest(s) AS g,
+                            unnest(range(1, len(s) + 1)) AS pos
+                     FROM wins),
+            dupg AS (SELECT g FROM wpos GROUP BY g HAVING count(*) >= 2),
+            d AS (SELECT w.doc_id, w.pos FROM wpos w JOIN dupg USING (g)),
+            pr AS (SELECT doc_id, pos,
+                          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS prev
+                   FROM d),
+            isl AS (SELECT doc_id, pos,
+                           sum(CASE WHEN pos > prev + 10 THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM pr)
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+                   max(pos) + 9 - min(pos) + 1 AS span_len
+            FROM isl GROUP BY doc_id, grp""",
+    ),
+    # Bloom-filter decontamination: md5 double-hashed registers, exact
+    # membership replay (false positives and all)
+    "bloom_decontaminate_docs": (
+        _q_bloom_decontaminate,
+        f"""WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM n),
+            th AS (SELECT doc_id, source,
+                          list_transform(w,
+                            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+                   FROM toks WHERE len(w) >= 8),
+            grams AS (SELECT doc_id, source,
+                             list_distinct(
+                               [('0x' || substr(md5(array_to_string(
+                                   list_transform(h[i:i+7],
+                                                  x -> CAST(x AS VARCHAR)),
+                                   ',')), 1, 15))::BIGINT
+                                for i in generate_series(1, len(h) - 7)]) AS g
+                      FROM th),
+            bg AS (SELECT DISTINCT unnest(g) AS gm FROM grams
+                   WHERE source = 'src0'),
+            bab AS (SELECT ('0x' || substr(md5(CAST(gm AS VARCHAR)), 1, 15))::BIGINT AS a,
+                           ('0x' || substr(md5(CAST(gm AS VARCHAR)), 16, 8))::BIGINT AS b
+                    FROM bg),
+            bpos AS (SELECT ((a + i * b) % 65536) // 32 AS word,
+                            (a + i * b) % 32 AS bit
+                     FROM bab, generate_series(0, 3) AS t(i)),
+            reg AS (SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS bits
+                    FROM bpos GROUP BY word),
+            tg AS (SELECT doc_id, unnest(g) AS gm FROM grams
+                   WHERE source <> 'src0'),
+            tab AS (SELECT doc_id, gm,
+                           ('0x' || substr(md5(CAST(gm AS VARCHAR)), 1, 15))::BIGINT AS a,
+                           ('0x' || substr(md5(CAST(gm AS VARCHAR)), 16, 8))::BIGINT AS b
+                    FROM tg),
+            tpos AS (SELECT doc_id, gm,
+                            ((a + i * b) % 65536) // 32 AS word,
+                            (a + i * b) % 32 AS bit
+                     FROM tab, generate_series(0, 3) AS t(i)),
+            probe AS (SELECT p.doc_id, p.gm,
+                             CASE WHEN r.bits IS NOT NULL
+                                   AND (r.bits & (CAST(1 AS BIGINT) << p.bit)) <> 0
+                                  THEN 1 ELSE 0 END AS ok
+                      FROM tpos p LEFT JOIN reg r USING (word)),
+            hit AS (SELECT doc_id, gm,
+                           CASE WHEN sum(ok) = 4 THEN 1 ELSE 0 END AS h
+                    FROM probe GROUP BY doc_id, gm)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(h) AS BIGINT) AS n_bloom_hits
+            FROM hit GROUP BY doc_id""",
+    ),
+    # PII scan over deterministically injected identifiers: same regex
+    # families, same split-count idiom, Java regex vs RE2 held to exact
+    # agreement on every row
+    "pii_scan_docs": (
+        _q_pii_scan,
+        r"""WITH t AS (
+              SELECT doc_id,
+                     coalesce(text, '') || CASE doc_id % 4
+                       WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                   || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                                   || '.com now'
+                       WHEN 1 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                                   || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                                   || ' up'
+                       WHEN 2 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                   || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                                   || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                       ELSE ' see https://ex' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.org/p?q=' || CAST(doc_id AS VARCHAR)
+                     END AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+                       AS BIGINT) AS pii_email,
+                     CAST(len(regexp_split_to_array(t,
+                       'https?://[^\s]+')) - 1 AS BIGINT) AS pii_url,
+                     CAST(len(regexp_split_to_array(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) - 1 AS BIGINT) AS pii_ipv4,
+                     CAST(len(regexp_split_to_array(t,
+                       '\b\d{3}-\d{2}-\d{4}\b')) - 1 AS BIGINT) AS pii_ssn,
+                     CAST(len(regexp_split_to_array(t,
+                       '\b(?:\d[ -]?){13,16}\b')) - 1 AS BIGINT) AS pii_credit_card,
+                     CAST(len(regexp_split_to_array(t,
+                       '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}')) - 1
+                       AS BIGINT) AS pii_phone
+              FROM t)
+            SELECT doc_id, pii_email, pii_url, pii_ipv4, pii_ssn,
+                   pii_credit_card, pii_phone,
+                   pii_email + pii_url + pii_ipv4 + pii_ssn + pii_credit_card
+                     + pii_phone AS pii_total
+            FROM c""",
+    ),
     # exact cross-engine MinHash: portable md5 hashes at every level mean
     # the oracle reproduces the LSH banding itself, not just true Jaccard
     "dedup_minhash_portable": (

@@ -804,3 +804,155 @@ def minhash_dedup_incremental(
         new_sigs.join(losers, id_col, "left_anti")
     )
     return survivors, updated_sigs
+
+
+# --------------------------------------------------------------------------
+# exact substring (span) dedup — Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": find token windows of a fixed length
+# that occur more than once ANYWHERE in the corpus, merge overlapping hits
+# into maximal duplicated spans, and optionally cut those spans out of the
+# text. Unlike MinHash (whole-document near-dup) this catches boilerplate
+# and templated passages embedded in otherwise-unique documents.
+# --------------------------------------------------------------------------
+
+def window_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+    mode: str = "word",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Positional window hashes: one ``(id, pos, _g)`` row per length-
+    ``window`` token window, ``pos`` 1-based. Same hoisted-token-hash
+    discipline as ``shingle_hash_rows`` (the nested-HOF form re-hashes
+    every token once per window position — O(tokens^2) string work), and
+    the same window-hash values, so ``hash_mode='md5'`` windows are
+    bit-reproducible by a SQL engine."""
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    norm = normalize_text(F.col(text_col))
+    units = F.split(norm, WHITESPACE if mode == "word" else "")
+    if hash_mode == "md5":
+        th = F.transform(units, portable_hash60)
+    else:
+        th = F.transform(units, lambda t: F.xxhash64(t))
+    toks = df.select(F.col(id_col), th.alias("_th"))
+    tcol = F.col("_th")
+    count = F.size(tcol) - F.lit(window - 1)
+    empty = F.array().cast("array<struct<pos:int,g:bigint>>")
+    arr = F.when(count < 1, empty).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.struct(
+                i.alias("pos"),
+                _hash_long_seq(F.slice(tcol, i, window), hash_mode).alias("g"),
+            ),
+        )
+    )
+    return toks.select(id_col, F.explode(arr).alias("_w")).select(
+        id_col, F.col("_w.pos").alias("pos"), F.col("_w.g").alias("_g")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+    mode: str = "word",
+    hash_mode: str = "xxhash64",
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    ``(id, span_start, span_end, span_len)`` (1-based, inclusive, token
+    units). A window is duplicated when its hash occurs ``min_count``+
+    times corpus-wide (within-document repeats count); overlapping or
+    touching duplicated windows merge into one span (gaps-and-islands over
+    the position column).
+
+    Scale shape: windows travel as 8-byte hashes; the global occurrence
+    count is one map-side-combinable aggregation on the hash; the merge is
+    a per-document window function — no joins wider than (hash -> count),
+    no text comparison anywhere. O(corpus tokens) rows end to end."""
+    from pyspark.sql.window import Window
+
+    wh = materialize(
+        window_hash_rows(df, text_col, id_col, window, mode, hash_mode)
+    )
+    dup_hashes = (
+        wh.groupBy("_g").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    hits = wh.join(dup_hashes, "_g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("pos") > F.col("_prev") + window, 1).otherwise(0),
+        )
+        .withColumn("_grp", F.sum("_new").over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).alias("span_end"),
+        )
+    )
+    return spans.select(
+        id_col,
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+    mode: str = "word",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Cut every duplicated span out of every document (the strictest of
+    the removal policies in Lee et al. — no canonical copy survives;
+    boilerplate is treated as noise, not content). Returns
+    ``(id, text)`` with ``text`` rebuilt from the surviving tokens of the
+    NORMALIZED token stream, preserving order; documents shorter than
+    ``window`` tokens pass through with normalized text.
+
+    The cut is a per-document anti-join of token positions against
+    exploded span ranges — linear in corpus tokens (spans are disjoint
+    after merging, so each position lands in at most one span)."""
+    spans = duplicate_spans(
+        df, text_col, id_col, window, mode, hash_mode
+    )
+    covered = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    norm = normalize_text(F.col(text_col))
+    units = F.split(norm, WHITESPACE if mode == "word" else "")
+    toks = df.select(F.col(id_col), F.posexplode_outer(units).alias("_p0", "_tok"))
+    toks = toks.select(
+        id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "_tok"
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("_tok")))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias(text_col)
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

@@ -383,3 +383,91 @@ def cm_query(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("freq_est")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (portable): set-membership sketch with the same mergeable
+# register pattern as the portable HLL above. Registers are (word_idx,
+# bits) rows — 32 bits per word, OR-mergeable, so fine-grained filters
+# roll up to coarser grains without revisiting raw data. All hashing is
+# md5-derived (Kirsch–Mitzenmacher double hashing: g_i = a + i*b), so a
+# SQL engine reproduces every bit — membership answers are exactly
+# verifiable cross-engine, FPs included.
+# --------------------------------------------------------------------------
+
+def bloom_positions(value: "F.Column", m_words: int = 2048, k: int = 4):
+    """array<struct<word:int,bit:int>> of the ``k`` bit positions for one
+    value. 60-bit ``a`` / 32-bit ``b`` from one md5; ``a + i*b`` never
+    overflows a signed long."""
+    hx = F.md5(value.cast("string"))
+    a = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring(hx, 16, 8), 16, 10).cast("long")
+    m_bits = m_words * 32
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            ((a + i * b) % m_bits / 32).cast("int").alias("word"),
+            ((a + i * b) % 32).cast("int").alias("bit"),
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    m_words: int = 2048,
+    k: int = 4,
+) -> DataFrame:
+    """Per-group Bloom registers ``(group..., word, bits)`` over
+    ``value_col``. One explode (k rows per value) + one
+    map-side-combinable bit_or — shuffles only (group, int, long)."""
+    pos = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.explode(bloom_positions(F.col(value_col), m_words, k)).alias("_p"),
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), _p.bit)")
+    return (
+        pos.select(*group_cols, F.col("_p.word").alias("word"), mask.alias("_m"))
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_merge(
+    registers: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """OR-merge register frames up to ``group_cols`` (associative)."""
+    return registers.groupBy(*group_cols, "word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_contains(
+    registers: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    id_cols: Sequence[str],
+    m_words: int = 2048,
+    k: int = 4,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test: ``(id_cols..., bloom_hit)`` — true iff ALL k bits
+    of the query value are set (the Bloom guarantee: no false negatives;
+    false positives at the usual ~(1-e^{-kn/m})^k rate, deterministic
+    given the hash). The probe is an equi-join on the int word index
+    against a register table of at most ``m_words`` rows — broadcast-size
+    by construction regardless of how much data built the filter."""
+    pos = queries.filter(F.col(value_col).isNotNull()).select(
+        *id_cols,
+        F.explode(bloom_positions(F.col(value_col), m_words, k)).alias("_p"),
+    ).select(*id_cols, F.col("_p.word").alias("word"), F.col("_p.bit").alias("bit"))
+    probed = pos.join(F.broadcast(registers), "word", "left")
+    ok = (
+        F.expr("bits & shiftleft(CAST(1 AS BIGINT), bit)") != 0
+    ) & F.col("bits").isNotNull()
+    return (
+        probed.withColumn("_ok", ok.cast("int"))
+        .groupBy(*id_cols)
+        .agg((F.sum("_ok") == F.lit(k)).alias(out_col))
+    )
