@@ -393,7 +393,12 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import minhash_dedup
 
     docs = _docs(spark, sf_dir)
-    return minhash_dedup(docs, num_hashes=32, bands=16, threshold=0.8).select("doc_id")
+    # bands=8 (r=4) tunes the s-curve to the 0.8 verify threshold: the
+    # band-collision knee sits at (1/8)^(1/4) ~ 0.6 instead of 0.25, which
+    # cuts sf1 candidates 600x (88k -> 146) while keeping ~98.5% per-pair
+    # recall at j=0.8 — r=2 was paying a quadratic candidate join to
+    # surface pairs the 0.8 verify threw away anyway
+    return minhash_dedup(docs, num_hashes=32, bands=8, threshold=0.8).select("doc_id")
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,6 +464,17 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return duplicate_spans(docs, window=10, hash_mode="md5", min_count=2)
+
+
+def _q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step behind dup_spans_docs: duplicated spans cut from
+    every document, text rebuilt from the surviving normalized tokens."""
+    from cypher_for_apache_spark_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return remove_duplicate_spans(docs, window=10, hash_mode="md5")
 
 
 def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1965,6 +1981,52 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
             SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
                    max(pos) + 9 - min(pos) + 1 AS span_len
             FROM isl GROUP BY doc_id, grp""",
+    ),
+    # the removal policy on top of dup_spans_docs: rebuild each text from
+    # the tokens no duplicated span covers
+    "remove_dup_spans_docs": (
+        _q_remove_dup_spans,
+        f"""WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM n),
+            th AS (SELECT doc_id,
+                          list_transform(w,
+                            x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+                   FROM toks WHERE len(w) >= 10),
+            wins AS (SELECT doc_id,
+                            [('0x' || substr(md5(array_to_string(
+                                list_transform(h[i:i+9],
+                                               x -> CAST(x AS VARCHAR)),
+                                ',')), 1, 15))::BIGINT
+                             for i in generate_series(1, len(h) - 9)] AS s
+                     FROM th),
+            wpos AS (SELECT doc_id, unnest(s) AS g,
+                            unnest(range(1, len(s) + 1)) AS pos
+                     FROM wins),
+            dupg AS (SELECT g FROM wpos GROUP BY g HAVING count(*) >= 2),
+            d AS (SELECT w.doc_id, w.pos FROM wpos w JOIN dupg USING (g)),
+            pr AS (SELECT doc_id, pos,
+                          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS prev
+                   FROM d),
+            isl AS (SELECT doc_id, pos,
+                           sum(CASE WHEN pos > prev + 10 THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM pr),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+                      FROM isl GROUP BY doc_id, grp),
+            cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+            tp AS (SELECT doc_id, unnest(w) AS tok,
+                          unnest(range(1, len(w) + 1)) AS pos
+                   FROM toks),
+            kept AS (SELECT t.doc_id, t.pos, t.tok
+                     FROM tp t LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.pos = c.pos
+                     WHERE c.pos IS NULL),
+            o AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+                  FROM kept GROUP BY doc_id)
+            SELECT d2.doc_id, coalesce(o.text, '') AS text
+            FROM documents d2 LEFT JOIN o USING (doc_id)""",
     ),
     # Bloom-filter decontamination: md5 double-hashed registers, exact
     # membership replay (false positives and all)

@@ -960,6 +960,31 @@ def _fn_size(e, ctx):
     return F.when(c.isNull(), F.lit(None)).otherwise(out).cast("long")
 
 
+def _fn_isempty(e, ctx):
+    """openCypher isEmpty(): '' / [] / {} -> true, null -> null. Maps are
+    structs in this engine, so map emptiness is a plan-time constant (the
+    ``_empty`` marker field of the zero-key map literal does not count)."""
+    c = compile_expr(e.args[0], ctx)
+    dt = _dtype(ctx, c)
+    if _is(dt, T.StringType):
+        return F.when(c.isNull(), F.lit(None)).otherwise(F.length(c) == 0)
+    if _is(dt, T.StructType):
+        names = [f.name for f in dt.fields if f.name != "_empty"]
+        return F.when(c.isNull(), F.lit(None)).otherwise(F.lit(len(names) == 0))
+    if _is(dt, T.MapType):
+        return F.when(c.isNull(), F.lit(None)).otherwise(F.size(F.map_keys(c)) == 0)
+    return F.when(c.isNull(), F.lit(None)).otherwise(F.size(c) == 0)
+
+
+def _fn_right(e, ctx):
+    # explicit clamped start instead of a negative substr position: Spark's
+    # negative-start substring returns '' when |start| exceeds the length,
+    # but right('abc', 5) must be 'abc'
+    args = _args(e, ctx)
+    s, n = args[0], args[1].cast("int")
+    return s.substr(F.greatest(F.length(s) - n + 1, F.lit(1)), n)
+
+
 def _fn_range(e, ctx):
     # openCypher range() is empty when step moves away from stop;
     # Spark's sequence() auto-reverses direction instead
@@ -1040,6 +1065,8 @@ _SCALAR_FNS: Dict[str, Callable] = {
         compile_expr(e.args[0], ctx), re.escape(_require_str_lit(e.args[1], ctx))
     ),
     "left": lambda e, ctx: compile_expr(e.args[0], ctx).substr(F.lit(1), compile_expr(e.args[1], ctx).cast("int")),
+    "right": _fn_right,
+    "isempty": _fn_isempty,
     "size": _fn_size,
     "length": _fn_size,
     "head": lambda e, ctx: F.get(compile_expr(e.args[0], ctx), F.lit(0)),

@@ -327,11 +327,39 @@ def minhash_dedup(
     pairs above ``threshold`` -> drop the larger id of each pair.
 
     (Keeping min-of-pair is the standard single-pass policy; see
-    ``minhash_dedup_cc`` for full-cluster semantics.)"""
-    verified = minhash_duplicate_pairs(
-        df, text_col, id_col, num_hashes, shingle_size, mode, bands, threshold
+    ``minhash_dedup_cc`` for full-cluster semantics.)
+
+    Identical-signature collapse: docs whose FULL signatures are equal
+    (exact dups and byte-level near-dups — at real corpus scale these form
+    clusters of thousands) are collapsed to their min-id representative
+    before the LSH join, so a cluster of size c costs O(c) instead of
+    O(c^2 * bands) candidate rows. The survivor set is provably unchanged:
+    non-representatives always lose to their representative (est = 1.0 >=
+    any threshold <= 1), and a pair (a, b) is surfaced/verified iff
+    (rep_a, b) is — equal signatures share every band bucket and every
+    estimate."""
+    sigs = materialize(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
     )
-    losers = verified.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    reps = sigs.groupBy("signature").agg(F.min(id_col).alias("_rep"))
+    with_rep = sigs.join(reps, "signature")
+    members = with_rep.filter(F.col(id_col) != F.col("_rep")).select(id_col)
+    rep_sigs = with_rep.filter(F.col(id_col) == F.col("_rep")).select(
+        id_col, "signature"
+    )
+    pairs = lsh_candidate_pairs(rep_sigs, id_col, bands, num_hashes=num_hashes)
+    sa = rep_sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = rep_sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    rep_losers = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(signature_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+    )
+    losers = (
+        rep_losers.unionByName(members if threshold <= 1.0 else members.limit(0))
+        .dropDuplicates()
+    )
     return df.join(losers, id_col, "left_anti")
 
 
@@ -363,13 +391,40 @@ def minhash_dedup_cc(
         connected_components_edges,
     )
 
-    verified = minhash_duplicate_pairs(
-        df, text_col, id_col, num_hashes, shingle_size, mode, bands, threshold,
-        hash_mode,
+    # identical-signature collapse (see minhash_dedup): sig-equal docs
+    # enter the component graph as one star around their min-id
+    # representative — exactly the edges the uncollapsed pipeline would
+    # have produced for them (est = 1.0, same buckets), at O(cluster)
+    # instead of O(cluster^2 * bands) cost. Components, and therefore the
+    # survivor-per-component set, are unchanged.
+    sigs = materialize(
+        minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size, mode, hash_mode
+        )
     )
-    comps = connected_components_edges(
-        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    reps = sigs.groupBy("signature").agg(F.min(id_col).alias("_rep"))
+    with_rep = sigs.join(reps, "signature")
+    member_edges = with_rep.filter(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("src"), F.col(id_col).alias("dst")
     )
+    rep_sigs = with_rep.filter(F.col(id_col) == F.col("_rep")).select(
+        id_col, "signature"
+    )
+    pairs = lsh_candidate_pairs(
+        rep_sigs, id_col, bands, num_hashes=num_hashes, hash_mode=hash_mode
+    )
+    sa = rep_sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = rep_sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    verified = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(signature_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    edges = verified.unionByName(
+        member_edges if threshold <= 1.0 else member_edges.limit(0)
+    )
+    comps = connected_components_edges(edges)
     # component == min id of the cluster by construction: everything else drops
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

@@ -395,13 +395,10 @@ def cm_query(
 # verifiable cross-engine, FPs included.
 # --------------------------------------------------------------------------
 
-def bloom_positions(value: "F.Column", m_words: int = 2048, k: int = 4):
-    """array<struct<word:int,bit:int>> of the ``k`` bit positions for one
-    value. 60-bit ``a`` / 32-bit ``b`` from one md5; ``a + i*b`` never
-    overflows a signed long."""
-    hx = F.md5(value.cast("string"))
-    a = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
-    b = F.conv(F.substring(hx, 16, 8), 16, 10).cast("long")
+def bloom_positions(a: "F.Column", b: "F.Column", m_words: int = 2048, k: int = 4):
+    """array<struct<word:int,bit:int>> of the ``k`` bit positions given the
+    two md5-derived seeds (``_bloom_ab``). ``a + i*b`` never overflows a
+    signed long (a < 2^60, b < 2^32, k small)."""
     m_bits = m_words * 32
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
@@ -409,6 +406,20 @@ def bloom_positions(value: "F.Column", m_words: int = 2048, k: int = 4):
             ((a + i * b) % m_bits / 32).cast("int").alias("word"),
             ((a + i * b) % 32).cast("int").alias("bit"),
         ),
+    )
+
+
+def _bloom_ab(df: DataFrame, value_col: str, keep: Sequence[str]) -> DataFrame:
+    """Project the 60-bit/32-bit double-hash seeds as REAL columns before
+    any lambda touches them: HOF lambdas are interpreted (CodegenFallback,
+    no common-subexpression reuse), so seeds left as expressions inside
+    ``transform`` would recompute the md5 2k times per value (the same
+    trap ``shingle_hash_rows`` documents)."""
+    hx = F.md5(F.col(value_col).cast("string"))
+    return df.filter(F.col(value_col).isNotNull()).select(
+        *keep,
+        F.conv(F.substring(hx, 1, 15), 16, 10).cast("long").alias("_a"),
+        F.conv(F.substring(hx, 16, 8), 16, 10).cast("long").alias("_b"),
     )
 
 
@@ -422,9 +433,12 @@ def bloom_build(
     """Per-group Bloom registers ``(group..., word, bits)`` over
     ``value_col``. One explode (k rows per value) + one
     map-side-combinable bit_or — shuffles only (group, int, long)."""
-    pos = df.filter(F.col(value_col).isNotNull()).select(
+    ab = _bloom_ab(df, value_col, group_cols)
+    pos = ab.select(
         *group_cols,
-        F.explode(bloom_positions(F.col(value_col), m_words, k)).alias("_p"),
+        F.explode(
+            bloom_positions(F.col("_a"), F.col("_b"), m_words, k)
+        ).alias("_p"),
     )
     mask = F.expr("shiftleft(CAST(1 AS BIGINT), _p.bit)")
     return (
@@ -458,9 +472,12 @@ def bloom_contains(
     given the hash). The probe is an equi-join on the int word index
     against a register table of at most ``m_words`` rows — broadcast-size
     by construction regardless of how much data built the filter."""
-    pos = queries.filter(F.col(value_col).isNotNull()).select(
+    ab = _bloom_ab(queries, value_col, id_cols)
+    pos = ab.select(
         *id_cols,
-        F.explode(bloom_positions(F.col(value_col), m_words, k)).alias("_p"),
+        F.explode(
+            bloom_positions(F.col("_a"), F.col("_b"), m_words, k)
+        ).alias("_p"),
     ).select(*id_cols, F.col("_p.word").alias("word"), F.col("_p.bit").alias("bit"))
     probed = pos.join(F.broadcast(registers), "word", "left")
     ok = (

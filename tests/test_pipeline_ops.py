@@ -774,3 +774,52 @@ def test_multimodal_auto_codec_probes_in_executor(spark, monkeypatch):
     assert auto == stub
     # the driver-side probe is informational only and stays consistent
     assert multimodal.default_codec() in ("stub", "pil")
+
+
+def test_minhash_dedup_collapse_invariance(spark):
+    """The identical-signature collapse must not change survivor sets:
+    compare against a reference pipeline built from the raw pair list
+    (which performs no collapse) on a corpus with a large exact-dup
+    cluster plus near-dups."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(8)]  # 8-doc exact cluster
+    rows += [(8, base.replace("kappa", "lambda"))]
+    rows += [(9, "totally different words compose this one document here")]
+    rows += [(10, None), (11, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_dedup(df, num_hashes=32, bands=8, threshold=0.5)
+    got = sorted(r["doc_id"] for r in out.collect())
+    # reference: uncollapsed pair list -> drop larger id of each pair
+    pairs = dedup.minhash_duplicate_pairs(
+        df, num_hashes=32, bands=8, threshold=0.5
+    )
+    losers = {r["id_b"] for r in pairs.collect()}
+    want = sorted(i for i in range(12) if i not in losers)
+    assert got == want
+    assert 0 in got and 9 in got and 10 in got and 11 in got
+
+
+def test_minhash_dedup_cc_collapse_invariance(spark):
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        connected_components_edges,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(6)]
+    rows += [(6, base.replace("kappa", "lambda")),
+             (7, base.replace("alpha", "omega").replace("kappa", "lambda"))]
+    rows += [(8, "totally different words compose this one document here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_dedup_cc(df, num_hashes=32, bands=8, threshold=0.5)
+    got = sorted(r["doc_id"] for r in out.collect())
+    pairs = dedup.minhash_duplicate_pairs(
+        df, num_hashes=32, bands=8, threshold=0.5
+    )
+    comps = connected_components_edges(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    ref_losers = {
+        r["id"] for r in comps.filter("id != component").collect()
+    }
+    want = sorted(i for i in range(9) if i not in ref_losers)
+    assert got == want
