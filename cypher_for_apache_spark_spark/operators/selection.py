@@ -42,19 +42,28 @@ MICRO = 1_000_000
 
 def _gram_buckets(df: DataFrame, text_col: str, id_col: str, buckets: int) -> DataFrame:
     """(id, bucket) rows: one per unigram and bigram occurrence. Hashing is
-    the portable 60-bit md5 prefix so oracles can reproduce bucket ids."""
+    the portable 60-bit md5 prefix so oracles can reproduce bucket ids.
+
+    The token array is HOISTED into its own projection before the bigram
+    lambda references it: HOF lambdas are interpreted (CodegenFallback, no
+    common-subexpression reuse), so an outer normalize+split+filter
+    expression inside ``element_at`` would re-tokenize the document once
+    per bigram — O(tokens^2) regex work (measured 19.8 s for sf1 DSIR
+    weights; ~6 s hoisted). Same trap ``shingle_hash_rows`` documents."""
     toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    tc = F.col("_toks")
     # unigrams ++ bigrams ("w1 w2"), built inside one projection
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(tc) >= 2,
         F.transform(
-            F.slice(toks, 1, F.size(toks) - 1),
-            lambda w, i: F.concat(w, F.lit(" "), F.element_at(toks, i + 2)),
+            F.slice(tc, 1, F.size(tc) - 1),
+            lambda w, i: F.concat(w, F.lit(" "), F.element_at(tc, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
+    grams = F.concat(tc, bigrams)
     return (
-        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_gram"))
+        base.select("_id", F.explode(grams).alias("_gram"))
         .select("_id", F.pmod(portable_hash60(F.col("_gram")), F.lit(buckets)).alias("_b"))
     )
 
