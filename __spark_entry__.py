@@ -218,6 +218,37 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
              SELECT CAST(2 AS BIGINT) AS hops FROM e a JOIN e b ON a.t = b.s)
            GROUP BY hops""",
     ),
+    # -- shortestPath / allShortestPaths (BFS with frontier pruning) ---------
+    # NEXT chains are per-customer order sequences, so the undirected
+    # shortest distance between two orders of one customer is their rank
+    # difference — exactly reproducible with a window function.
+    "shortest_path_orders": (
+        """MATCH p = shortestPath((a:Order {status: 'F'})-[:NEXT*1..4]-(b:Order {status: 'O'}))
+           RETURN length(p) AS hops, count(*) AS pairs""",
+        """WITH seq AS (
+             SELECT o_orderkey, o_custkey, o_orderstatus,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM orders)
+           SELECT CAST(abs(a.rn - b.rn) AS BIGINT) AS hops, count(*) AS pairs
+           FROM seq a JOIN seq b
+             ON a.o_custkey = b.o_custkey AND a.rn <> b.rn
+           WHERE abs(a.rn - b.rn) <= 4
+             AND a.o_orderstatus = 'F' AND b.o_orderstatus = 'O'
+           GROUP BY 1""",
+    ),
+    # two orders are at undirected LINE-distance 2 iff they share a part;
+    # allShortestPaths counts one path per (lineitem, lineitem) edge pair
+    "all_shortest_shared_part": (
+        """MATCH p = allShortestPaths((a:Order {priority: '1-URGENT'})-[:LINE*1..2]-(b:Order))
+           WHERE id(a) < id(b)
+           RETURN length(p) AS hops, count(*) AS paths""",
+        """WITH e AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem)
+           SELECT CAST(2 AS BIGINT) AS hops, count(*) AS paths
+           FROM e a JOIN e b ON a.p = b.p AND a.o < b.o
+           JOIN orders oa ON oa.o_orderkey = a.o
+           WHERE oa.o_orderpriority = '1-URGENT'""",
+    ),
     # -- scalar functions --------------------------------------------------------
     "string_funcs": (
         """MATCH (n:Nation)

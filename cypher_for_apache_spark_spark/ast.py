@@ -252,6 +252,8 @@ class PatternPart:
     # alternating [NodePat, RelPat, NodePat, RelPat, ...]
     elements: list
     path_var: Optional[str] = None
+    # shortestPath(...) / allShortestPaths(...) wrapper: 'single' | 'all'
+    shortest: Optional[str] = None
 
     @property
     def nodes(self) -> List[NodePat]:

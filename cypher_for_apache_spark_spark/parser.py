@@ -432,11 +432,24 @@ class Parser:
         if self.tok.kind == "ident" and self.peek().kind == "punct" and self.peek().value == "=":
             path_var = self.advance().value
             self.advance()
+        shortest = None
+        if (
+            self.tok.kind == "ident"
+            and self.tok.value.lower() in ("shortestpath", "allshortestpaths")
+            and self.peek().kind == "punct"
+            and self.peek().value == "("
+        ):
+            shortest = (
+                "single" if self.advance().value.lower() == "shortestpath" else "all"
+            )
+            self.expect("(")
         elements: list = [self.parse_node_pattern()]
         while self.at("-") or self.at("<-"):
             elements.append(self.parse_rel_pattern())
             elements.append(self.parse_node_pattern())
-        return A.PatternPart(elements, path_var)
+        if shortest is not None:
+            self.expect(")")
+        return A.PatternPart(elements, path_var, shortest)
 
     def parse_node_pattern(self) -> A.NodePat:
         self.expect("(")

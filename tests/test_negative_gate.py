@@ -36,9 +36,15 @@ BLACKLISTED = [
     # variable-length named paths (fixed-length path values ARE
     # supported — beyond the reference; see tests/tck/named_paths.feature)
     "MATCH p = (a)-[:KNOWS*1..2]->(b) RETURN p",
-    # shortestPath / allShortestPaths
-    "MATCH shortestPath((a)-[*1..3]->(b)) RETURN a",
-    "MATCH allShortestPaths((a)-[*1..3]->(b)) RETURN a",
+    # shortestPath / allShortestPaths: the BOUNDED form IS supported
+    # (planner._plan_shortest_path) — these unsupported variants must
+    # still fail cleanly
+    "MATCH shortestPath((a)-[*]->(b)) RETURN a",
+    "MATCH shortestPath((a)-[*1..]->(b)) RETURN a",
+    "MATCH shortestPath((a)-[*2..3]->(b)) RETURN a",
+    "MATCH shortestPath((a)-[:KNOWS]->(b)) RETURN a",
+    "MATCH allShortestPaths((a)-[*2..4]->(b)) RETURN a",
+    "MATCH shortestPath((a)-[*1..2]->()-[*1..2]->(b)) RETURN a",
     # update clauses (graph construction is CONSTRUCT-only)
     "CREATE (n:Person {name: 'X'}) RETURN n",
     "MATCH (a) SET a.name = 'Y' RETURN a",
@@ -64,6 +70,12 @@ def test_supported_neighbors_still_pass(g):
     assert (
         g.cypher("MATCH (a)-[:KNOWS]->(b) RETURN b.name AS n").df.collect()[0]["n"]
         == "Bo"
+    )
+    assert (
+        g.cypher(
+            "MATCH p = shortestPath((a)-[*1..3]->(b)) RETURN length(p) AS l"
+        ).df.collect()[0]["l"]
+        == 1
     )
 
 
