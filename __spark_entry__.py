@@ -1471,6 +1471,27 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, max_frames=8).select("media_id", "frame_idx")
 
 
+def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, portable mode: md5-seeded integer
+    codebooks (16 codes x 8 subspaces over dim 64), exact-integer PQ
+    encoding, then asymmetric-distance top-k where the scoring path is
+    pure JVM table lookups over the code arrays — the 100 TB pattern
+    (vectors compressed once to 8 small ints; search never rereads the
+    floats). The DuckDB oracle replays codebooks, encoding, and ADC
+    bit-for-bit."""
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        pq_codebooks,
+        pq_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    cb = pq_codebooks(emb, n_codes=16, sub_dim=8)
+    q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return pq_search(emb.where("vec_id <> 0"), q, cb, k=10)
+
+
 def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-limited ANN, portable mode: md5-seeded integer centroid
     model, integer-distance probe selection, sim_micro re-rank — the DuckDB
@@ -3190,6 +3211,29 @@ WHERE vec_id NOT IN (SELECT id_b FROM losers)""",
            FROM documents,
                 LATERAL (SELECT unnest(generate_series(
                     0, octet_length(encode(text)) % 8)) AS i) f""",
+    ),
+    "pq_search_embeddings": (
+        _q_pq_search,
+        """WITH q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+               FROM embeddings),
+seeds AS (SELECT v, k FROM (
+            SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k
+            FROM q) WHERE k < 16),
+exc AS (SELECT k, unnest(range(0,64)) AS d, unnest(v) AS cd FROM seeds),
+exv AS (SELECT vec_id, unnest(range(0,64)) AS d, unnest(v) AS vd FROM q),
+sub AS (SELECT e.vec_id, c.k, CAST(e.d // 8 AS INT) AS m,
+               SUM((e.vd-c.cd)*(e.vd-c.cd)) AS dist
+        FROM exv e JOIN exc c USING(d) GROUP BY 1,2,3),
+codes AS (SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM sub) WHERE rn = 1),
+qdt AS (SELECT m, k, dist FROM sub WHERE vec_id = 0),
+adc AS (SELECT c.vec_id, CAST(SUM(qdt.dist) AS BIGINT) AS adc
+        FROM codes c JOIN qdt ON c.m = qdt.m AND c.code = qdt.k
+        WHERE c.vec_id <> 0 GROUP BY 1)
+SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 10""",
     ),
     "ivf_search_embeddings": (
         _q_ivf_search,

@@ -708,6 +708,133 @@ def ivf_search_portable(
     return scored.orderBy(F.col("sim_micro").desc(), F.col(id_col)).limit(k)
 
 
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_codes: int = 16,
+    sub_dim: int = 8,
+    scale: int = 1000,
+) -> List[List[List[int]]]:
+    """Product-quantization codebooks, portable mode: the quantized
+    subvectors of the ``n_codes`` rows with the smallest md5(id) form one
+    shared seed set, sliced per subspace — (n_subspaces, n_codes, sub_dim)
+    integers. Same md5-order seeding as ``portable_seed_centroids`` (and
+    the same trade: no Lloyd refinement, so a SQL oracle reproduces the
+    model bit-for-bit; one bounded k-row collect = model fitting)."""
+    rows = (
+        df.select(quantize(F.col(vec_col), scale).alias("_qv"), F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    seeds = [list(r["_qv"]) for r in rows]
+    dim = len(seeds[0])
+    if dim % sub_dim:
+        raise ValueError(f"dim {dim} is not divisible by sub_dim {sub_dim}")
+    return [
+        [s[m * sub_dim : (m + 1) * sub_dim] for s in seeds]
+        for m in range(dim // sub_dim)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: List[List[List[int]]],
+    vec_col: str = "embedding",
+    out_col: str = "_codes",
+    scale: int = 1000,
+) -> DataFrame:
+    """argmin-per-subspace PQ encoding -> array<int> of code indices (ties
+    take the lowest code, matching the oracle's row_number tie-break).
+    Arrow-batched exact int64 matmul per subspace. At 100 TB this is the
+    one-off compression pass: downstream search scans M small ints per
+    vector instead of the raw floats."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]  # m x (k, sd)
+    c2s = [(C * C).sum(axis=1) for C in Cs]
+    sd = Cs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.int64)  # (batch, dim)
+        out = np.empty((m.shape[0], len(Cs)), dtype=np.int32)
+        for i, (C, c2) in enumerate(zip(Cs, c2s)):
+            sub = m[:, i * sd : (i + 1) * sd]
+            d = (sub * sub).sum(axis=1)[:, None] + c2[None, :] - 2 * (sub @ C.T)
+            out[:, i] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _enc(quantize(F.col(vec_col), scale)))
+
+
+def pq_adc_table(
+    query_vec: Sequence[float],
+    codebooks: List[List[List[int]]],
+    scale: int = 1000,
+) -> List[List[int]]:
+    """Exact integer asymmetric-distance table: dt[m][k] = squared L2
+    distance between the query's m-th quantized subvector and code k.
+    Driver-side and tiny (n_subspaces x n_codes); the query is quantized
+    with the same round-half-away rule as the corpus/oracle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = [
+        int(Decimal(float(x) * scale).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for x in query_vec
+    ]
+    sd = len(codebooks[0][0])
+    return [
+        [
+            sum((a - b) * (a - b) for a, b in zip(q[m * sd : (m + 1) * sd], code))
+            for code in cb
+        ]
+        for m, cb in enumerate(codebooks)
+    ]
+
+
+def pq_search(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: List[List[List[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    scale: int = 1000,
+    codes_col: Optional[str] = None,
+) -> DataFrame:
+    """PQ top-k by ADC: encode (or reuse ``codes_col`` from a pre-encoded
+    table), then score each row as sum over subspaces of a distance-table
+    lookup — pure JVM higher-order functions over the code array, no
+    Python in the scoring path, followed by a k-row ordered take
+    (TakeOrderedAndProject). The scan reads only (id, codes): at scale
+    the raw vectors are never touched after the one-off encode."""
+    dt = pq_adc_table(query_vec, codebooks, scale)
+    dt_lit = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in row]) for row in dt]
+    )
+    if codes_col is None:
+        df = pq_encode(df, codebooks, vec_col=vec_col, scale=scale)
+        codes_col = "_codes"
+    codes = F.col(codes_col)
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(dt))),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(dt_lit, m.cast("int")),
+            F.element_at(codes, m.cast("int")) + F.lit(1),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def semantic_dedup_portable(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -142,6 +142,63 @@ def test_sim_micro_tracks_true_cosine(vecs):
         assert abs(sm / 1e6 - exact[k]) < 5e-3, (k, sm, exact[k])
 
 
+def test_pq_codebooks_shape_and_determinism(vecs):
+    a = sim.pq_codebooks(vecs, n_codes=8, sub_dim=8)
+    b = sim.pq_codebooks(vecs, n_codes=8, sub_dim=8)
+    assert a == b
+    assert len(a) == 8 and len(a[0]) == 8 and len(a[0][0]) == 8
+    with pytest.raises(ValueError, match="divisible"):
+        sim.pq_codebooks(vecs, n_codes=8, sub_dim=7)
+
+
+def test_pq_seed_rows_encode_to_their_own_code(vecs):
+    # a codebook seed has distance 0 to itself in every subspace, so each
+    # seed row's ADC distance to itself-as-query is 0
+    cb = sim.pq_codebooks(vecs, n_codes=8, sub_dim=8)
+    # reconstruct seed 0's full raw vector from its subvectors
+    flat = [v / 1000.0 for m in cb for v in m[0]]
+    out = sim.pq_search(vecs, flat, cb, k=1).collect()
+    assert out[0]["adc"] == 0
+
+
+def test_pq_exact_dup_found(vecs):
+    # rows 0 and 100 are identical -> identical codes -> identical ADC;
+    # querying with row 0's vector must rank 100 at the same (minimal)
+    # distance as 0
+    cb = sim.pq_codebooks(vecs, n_codes=16, sub_dim=8)
+    q = vecs.where("vec_id = 0").first()["embedding"]
+    out = sim.pq_search(vecs, q, cb, k=3).collect()
+    top2 = {r["vec_id"] for r in out[:2]}
+    assert top2 == {0, 100}
+    assert out[0]["adc"] == out[1]["adc"]
+
+
+def test_pq_search_reuses_precomputed_codes(vecs):
+    cb = sim.pq_codebooks(vecs, n_codes=8, sub_dim=8)
+    enc = sim.pq_encode(vecs, cb, out_col="codes")
+    q = vecs.where("vec_id = 0").first()["embedding"]
+    a = sim.pq_search(vecs, q, cb, k=5).collect()
+    b = sim.pq_search(enc, q, cb, k=5, codes_col="codes").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pq_adc_scoring_is_jvm_side(vecs):
+    # the scoring path over pre-encoded codes must contain no Python:
+    # encode once (Arrow UDF), then score via HOF lookups only
+    cb = sim.pq_codebooks(vecs, n_codes=8, sub_dim=8)
+    enc = sim.pq_encode(vecs, cb, out_col="codes").select("vec_id", "codes")
+    enc = enc.localCheckpoint()  # cut the encode stage out of the plan
+    q = vecs.where("vec_id = 0").first()["embedding"]
+    plan = (
+        sim.pq_search(enc, q, cb, k=5, codes_col="codes")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_portable_plans_have_no_nested_loop(vecs, spark):
     # every portable ANN path must candidate via equi-joins — a
     # BroadcastNestedLoopJoin anywhere means the scale design broke
