@@ -1212,6 +1212,26 @@ def _k_core_oracle_sql(k: int = 2, rounds: int = 4) -> str:
     return sql
 
 
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line+document cleaning: terminal-punctuation/min-words/
+    javascript line rules, then lorem-ipsum/brace/min-sentence document
+    rules — one shuffle-free map stage of JVM higher-order functions."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.text import c4_filter
+
+    # the synthetic corpus is single-line and unpunctuated, which would
+    # make every C4 rule vacuous — synthesize line/sentence structure
+    # deterministically first (literal replace, same semantics in DuckDB)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    )
+    return c4_filter(docs).select(
+        "doc_id", "c4_kept", "c4_n_lines", "c4_n_kept_lines",
+        F.length("c4_text").cast("long").alias("c4_chars"),
+    )
+
+
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.text import gopher_filter
 
@@ -2419,6 +2439,32 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
               LEFT JOIN wts w USING (doc_id))
             SELECT doc_id, weight_micro, key_micro
             FROM keys ORDER BY key_micro DESC, doc_id LIMIT 100""",
+    ),
+    "c4_filter_docs": (
+        _q_c4_filter,
+        """WITH d AS (
+             SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text
+             FROM documents),
+           k AS (
+             SELECT doc_id, text,
+                    string_split(text, chr(10)) AS ls,
+                    list_filter(string_split(text, chr(10)), l ->
+                      len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= 3
+                      AND regexp_matches(trim(l), '[.!?"]$')
+                      AND NOT contains(lower(l), 'javascript')) AS kept
+             FROM d),
+           c AS (
+             SELECT doc_id, text, ls, kept,
+                    coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+             FROM k)
+           SELECT doc_id,
+                  (length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g')) >= 5
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, '{')) AS c4_kept,
+                  CAST(len(ls) AS BIGINT) AS c4_n_lines,
+                  CAST(len(kept) AS BIGINT) AS c4_n_kept_lines,
+                  CAST(length(cleaned) AS BIGINT) AS c4_chars
+           FROM c""",
     ),
     "gopher_filter_docs": (
         _q_gopher_filter,

@@ -216,6 +216,60 @@ def gopher_filter(
     return kept.select(*df.columns)
 
 
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    keep_only: bool = False,
+) -> DataFrame:
+    """C4-style line+document cleaning (Raffel et al. 2020 §2.2): keep
+    lines that end in terminal punctuation, have at least
+    ``min_words_per_line`` words, and don't mention 'javascript'; then
+    drop documents whose cleaned text has fewer than ``min_sentences``
+    sentence terminators, contains 'lorem ipsum', or contains '{'.
+
+    Adds ``c4_text`` (the cleaned text), ``c4_kept`` (document verdict),
+    ``c4_n_lines`` / ``c4_n_kept_lines``. Shuffle-free: one map stage of
+    higher-order functions over the scan — the shape that holds at
+    100 TB. ``keep_only=True`` returns surviving documents with the
+    original columns, text replaced by the cleaned version."""
+    keep_line = lambda l: (  # noqa: E731
+        (F.size(F.filter(F.split(F.trim(l), " "), lambda w: w != ""))
+         >= min_words_per_line)
+        & F.trim(l).rlike('[.!?"]$')
+        & ~F.lower(l).contains("javascript")
+    )
+    base = df.withColumn("_c4_lines", F.split(F.col(text_col), "\n")).withColumn(
+        "_c4_kept", F.filter(F.col("_c4_lines"), keep_line)
+    )
+    cleaned = F.array_join(F.col("_c4_kept"), "\n")
+    n_sentences = F.length(cleaned) - F.length(
+        F.regexp_replace(cleaned, r"[.!?]", "")
+    )
+    kept_doc = (
+        (n_sentences >= min_sentences)
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    out = base.select(
+        *df.columns,
+        cleaned.alias("c4_text"),
+        kept_doc.alias("c4_kept"),
+        F.size(F.col("_c4_lines")).cast("long").alias("c4_n_lines"),
+        F.size(F.col("_c4_kept")).cast("long").alias("c4_n_kept_lines"),
+    )
+    if keep_only:
+        return out.filter(F.col("c4_kept")).select(
+            *[
+                F.col("c4_text").alias(text_col) if c == text_col else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return out
+
+
 def portable_hash60(col: Column) -> Column:
     """Deterministic 60-bit token hash both Spark and DuckDB can compute
     bit-for-bit: the first 15 hex chars of md5, read as an integer

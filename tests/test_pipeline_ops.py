@@ -823,3 +823,38 @@ def test_minhash_dedup_cc_collapse_invariance(spark):
     }
     want = sorted(i for i in range(9) if i not in ref_losers)
     assert got == want
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    rows = [
+        # kept: 5 sentences, good lines
+        (0, "One good sentence right here.\nAnother fine line follows now!\n"
+            "Does this also pass? Yes it does. And one more."),
+        # line rules: too few words / no terminal punct / javascript
+        (1, "Too short.\nthis line has no terminal punctuation\n"
+            "enable javascript to view this page.\n"
+            "Only this long line survives the filter. But two sentences are "
+            "not five. Or three."),
+        # doc rules: lorem ipsum
+        (2, "Lorem Ipsum dolor sit amet sentence one. Two more words here. "
+            "Third sentence is fine. Fourth one also works. Fifth closes it."),
+        # doc rules: curly brace
+        (3, "function f() { return 1; } is code. Still code here. More. "
+            "And more. And even more sentences."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.c4_filter(df).collect()}
+    assert out[0]["c4_kept"] is True
+    assert out[0]["c4_n_kept_lines"] == 3
+    assert out[1]["c4_kept"] is False  # only 3 sentences survive
+    assert out[1]["c4_n_lines"] == 4 and out[1]["c4_n_kept_lines"] == 1
+    assert "javascript" not in out[1]["c4_text"]
+    assert "no terminal punctuation" not in out[1]["c4_text"]
+    assert out[2]["c4_kept"] is False  # lorem ipsum, case-insensitive
+    assert out[3]["c4_kept"] is False  # brace
+    only = text.c4_filter(df, keep_only=True).collect()
+    assert [r["doc_id"] for r in only] == [0]
+    assert only[0]["text"] == out[0]["c4_text"]
+    # shuffle-free: one map stage, no exchange
+    plan = text.c4_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
