@@ -1662,6 +1662,19 @@ class Planner:
         return rec, A.Ands(remaining)
 
     @staticmethod
+    def _pattern_prop_vars(part: A.PatternPart) -> set:
+        """Variables referenced inside a pattern's property maps
+        (``{name: who}``) — they must survive into any distinct-projection
+        rhs (OPTIONAL MATCH / EXISTS / pattern comprehensions) or the
+        prop filter can't compile."""
+        out: set = set()
+        for el in part.elements:
+            if el.props is not None:
+                for _, e in el.props.items:
+                    out |= {v.name for v in e.walk() if isinstance(v, A.Var)}
+        return out
+
+    @staticmethod
     def _key_col(meta: EntityMeta) -> str:
         """The single column that determines a variable's identity within a
         row: element id for nodes/rels, the value column otherwise."""
@@ -1682,7 +1695,7 @@ class Planner:
         pat_vars = {n.var for n in pattern.nodes if n.var} | {
             r.var for r in pattern.rels if r.var
         }
-        used = set(pat_vars)
+        used = set(pat_vars) | self._pattern_prop_vars(pattern)
         if where is not None:
             used |= {v.name for v in where.walk() if isinstance(v, A.Var)}
         for ex in extra:
@@ -1857,6 +1870,7 @@ class Planner:
         for part in clause.parts:
             used |= {n.var for n in part.nodes if n.var}
             used |= {r.var for r in part.rels if r.var}
+            used |= self._pattern_prop_vars(part)
         if clause.where is not None:
             used |= {v.name for v in clause.where.walk() if isinstance(v, A.Var)}
         common = sorted(v for v in used if v in lhs.header)
