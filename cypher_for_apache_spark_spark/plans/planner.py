@@ -22,7 +22,7 @@ import itertools
 from dataclasses import replace as dc_replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F, types as T
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 from cypher_for_apache_spark_spark import ast as A
 from cypher_for_apache_spark_spark.functions.compiler import (
@@ -704,22 +704,27 @@ class Planner:
                             F.col("_far").alias(end_c),
                         )
                     )
+                if single:
+                    # one representative shortest path per pair: min() over
+                    # the rel-id list (arrays are orderable) — map-side
+                    # partial aggregation, cheaper than a row_number window
+                    cur = cur.groupBy(src_c, end_c).agg(F.min(ids_col).alias(ids_col))
                 if lo == 0 or depth > 1:
                     cur = cur.join(visited, [src_c, end_c], "left_anti")
-                if single:
-                    w = W.partitionBy(src_c, end_c).orderBy(F.col(ids_col).asc())
-                    cur = (
-                        cur.withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn") == 1)
-                        .drop("_rn")
-                    )
                 if depth < hi:
                     cur = materialize(cur)
                 levels.append(cur)
                 if depth < hi:
-                    visited = materialize(
-                        visited.unionByName(cur.select(src_c, end_c).distinct())
-                    )
+                    new_pairs = cur.select(src_c, end_c)
+                    if not single:
+                        # 'all' keeps one row per shortest path; the visited
+                        # set needs distinct pairs ('single' rows are already
+                        # unique per pair and disjoint from visited).
+                        # Materialize so later anti-joins don't redo the
+                        # distinct; in single mode the union of already-
+                        # checkpointed frontiers needs no eager job.
+                        new_pairs = materialize(new_pairs.distinct())
+                    visited = visited.unionByName(new_pairs)
         elif lo > 0:
             levels.append(zero.filter(F.lit(False)))
 
