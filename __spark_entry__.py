@@ -1071,6 +1071,19 @@ def _q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling p_g ∝ n_g^0.5 over the language mix — the
+    multilingual-LLM upweight-the-tail rule, with integer micro-weight
+    quotas the DuckDB oracle replays exactly (sqrt is the one power
+    IEEE-754 rounds correctly)."""
+    from cypher_for_apache_spark_spark.operators.sampling import temperature_mix
+
+    docs = _docs(spark, sf_dir)
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.5, total=300).select(
+        "doc_id", "lang"
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.sampling import weighted_sample
 
@@ -2378,6 +2391,20 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
            SELECT d.doc_id, d.source
            FROM documents d JOIN fr USING (source)
            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < fr.cut""",
+    ),
+    "temperature_mix_docs": (
+        _q_temperature_mix,
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           w AS (SELECT lang, n,
+                        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+                 FROM c),
+           s AS (SELECT sum(wt) AS tw FROM w),
+           q AS (SELECT lang, least(n, wt * 300 // tw) AS quota FROM w, s),
+           r AS (SELECT doc_id, lang,
+                        row_number() OVER (PARTITION BY lang
+                                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                 FROM documents)
+           SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE r.rn <= q.quota""",
     ),
     "weighted_sample_docs": (
         _q_weighted_sample,

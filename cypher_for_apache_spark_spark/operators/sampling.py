@@ -159,6 +159,60 @@ def rebalance_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    total: int = 1000,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LLM sampling
+    rule p_g ∝ n_g^alpha, alpha < 1 upweights small sources): pick a
+    deterministic per-group quota t_g = min(n_g, w_g * total // Σw) with
+    integer micro-weights w_g = floor(n_g^alpha * 1e6), then keep each
+    group's first t_g rows in md5-of-key order. No upsampling — quotas
+    cap at the group size.
+
+    Deterministic and cross-engine exact for alpha = 0.5: sqrt is the one
+    power IEEE-754 rounds correctly, so floor(sqrt(n) * 1e6) is the same
+    integer in Spark, Python and DuckDB, and everything after it is pure
+    integer arithmetic (the oracle replays it). Other alphas are
+    driver-computed with Python pow (still re-run-stable, just not
+    bit-promised against other engines).
+
+    Plan shape: one count aggregation (map-side combinable) + a bounded
+    |groups|-row collect (model fitting), a broadcast of the quota table,
+    then ONE window shuffle on the group — the 100 TB shape. String group
+    keys only (the quota table joins on the stringified group)."""
+    import math
+
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    if alpha == 0.5:
+        wts = {g: int(math.floor(math.sqrt(float(n)) * 1e6)) for g, n in counts.items()}
+    else:
+        wts = {g: int(math.floor(float(n) ** alpha * 1e6)) for g, n in counts.items()}
+    tw = sum(wts.values())
+    quotas = [
+        (str(g), min(counts[g], wts[g] * int(total) // tw)) for g in counts
+    ]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(quotas, "_tm_g string, _tm_quota long")
+    w = W.partitionBy(group_col).orderBy(hash_key(F.col(key_col)), F.col(key_col))
+    return (
+        df.join(
+            F.broadcast(qdf), F.col(group_col).cast("string") == F.col("_tm_g")
+        )
+        .withColumn("_tm_rn", F.row_number().over(w))
+        .filter(F.col("_tm_rn") <= F.col("_tm_quota"))
+        .drop("_tm_g", "_tm_quota", "_tm_rn")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

@@ -103,3 +103,48 @@ def test_token_count_regex(spark):
     df = spark.createDataFrame([Row(text="Hello, world 42 times!")])
     # normalized: "hello, world 42 times!" -> hello | , | world | 42 | times | !
     assert df.select(token_count_regex(F.col("text")).alias("n")).collect()[0]["n"] == 6
+
+
+def test_temperature_mix_quotas_and_determinism(spark):
+    import math
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    from cypher_for_apache_spark_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(df, "src", "doc_id", alpha=0.5, total=300)
+    got = out.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in got}
+    # replay the quota arithmetic
+    counts = {"big": 900, "mid": 90, "small": 10}
+    wts = {g: int(math.floor(math.sqrt(float(n)) * 1e6)) for g, n in counts.items()}
+    tw = sum(wts.values())
+    expect = {g: min(counts[g], wts[g] * 300 // tw) for g in counts}
+    assert by == expect
+    # alpha < 1 upweights the tail: small source share grows vs raw mix
+    assert by["small"] / sum(by.values()) > 10 / 1000
+    # deterministic: same rows both runs
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"] for r in temperature_mix(df, "src", "doc_id", total=300).collect()
+    )
+    assert a == b
+    # repartitioning the input must not change the selection
+    c = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(7), "src", "doc_id", total=300
+        ).collect()
+    )
+    assert a == c
+
+
+def test_temperature_mix_alpha_one_matches_proportional(spark):
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    from cypher_for_apache_spark_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(df, "src", "doc_id", alpha=1.0, total=100)
+    by = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # alpha=1 preserves the raw mix: 300/100 -> 75/25
+    assert by == {"a": 75, "b": 25}
