@@ -691,6 +691,12 @@ class Parser:
         if self.at_kw("null"):
             self.advance()
             return A.Lit(None)
+        if self.at_kw("count") and self.peek().kind == "punct" and self.peek().value == "{":
+            # COUNT { pattern [WHERE p] } subquery: sugar for the size-of-
+            # pattern machinery (lowered like size((a)-[:T]->()), which the
+            # planner rewrites to a `| 1` pattern comprehension)
+            self.advance()
+            return A.FuncCall("size", [self.parse_exists_subquery()])
         if self.at_kw("count") and self.peek().kind == "punct" and self.peek().value == "(":
             if self.peek(2).kind == "punct" and self.peek(2).value == "*":
                 self.advance(); self.advance(); self.advance()

@@ -31,7 +31,9 @@ def run(spark) -> None:
         ],
         "id long, src long, dst long, minutes long",
     )
-    g = session.read_from(nodes={"Airport": airports}, rels={"FLIGHT": flights})
+    g = session.read_from(
+        nodes={"Airport": airports}, relationships={"FLIGHT": flights}
+    )
 
     print("== fewest hops SFO -> LHR (single shortest path)")
     g.cypher(
