@@ -1746,6 +1746,29 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.filter((F.col("id") >= ORDER) & (F.col("id") < ORDER + S))
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness over the NEXT order chains, hop-capped at 3.
+    On a chain every shortest path is unique, so the score of an order is
+    exactly the number of (earlier, later) same-customer pairs within 3
+    rank steps that straddle it — which the DuckDB oracle counts with a
+    window function (branching sigma arithmetic is covered by the
+    pure-Python Brandes cross-check in tests/test_algorithms.py)."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.algorithms import _edges, betweenness
+    from cypher_for_apache_spark_spark.sources.tpch import ORDER
+
+    g = _graph(spark, sf_dir)
+    e = _edges(g, rel_types=["NEXT"])
+    srcs = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    out = betweenness(e, srcs, max_hops=3)
+    return out.select((F.col("id") - F.lit(ORDER)).alias("orderkey"), "betweenness")
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1926,6 +1949,22 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, str]] = {
         """SELECT n_name AS nation, count(*) AS customers
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            WHERE c_acctbal > 0 GROUP BY n_name""",
+    ),
+    "betweenness_orders": (
+        _q_betweenness,
+        """WITH seq AS (
+             SELECT o_orderkey, o_custkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM orders),
+           p AS (
+             SELECT a.o_custkey AS ck, a.rn AS sa, b.rn AS tb
+             FROM seq a JOIN seq b
+               ON a.o_custkey = b.o_custkey AND b.rn > a.rn AND b.rn - a.rn <= 3)
+           SELECT v.o_orderkey AS orderkey,
+                  round(CAST(count(*) AS DOUBLE), 6) AS betweenness
+           FROM seq v JOIN p ON v.o_custkey = p.ck AND v.rn > p.sa AND v.rn < p.tb
+           GROUP BY 1""",
     ),
     # NEXT chains: every order of one customer forms one path, so each
     # component's id is the minimum order id of that customer — exactly

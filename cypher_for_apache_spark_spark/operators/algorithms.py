@@ -858,6 +858,113 @@ def landmark_distances(
     return visited
 
 
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: Optional[int] = None,
+    undirected: bool = False,
+) -> DataFrame:
+    """Betweenness centrality (Brandes 2001), batched over a source set:
+    for every source a forward BFS counts shortest paths (sigma), then a
+    reverse sweep accumulates dependencies
+    delta(v) = sum over successors w of sigma_v/sigma_w * (1 + delta_w);
+    betweenness(v) = sum of delta over sources, halved for undirected
+    graphs (each unordered pair is seen from both ends). With
+    ``sources`` = all vertices (and no hop cap) this is exact; a
+    hash-sampled source subset gives the standard estimator (scale by
+    n/|sources| for the unbiased value); ``max_hops`` bounds both sweeps
+    (only pairs within that distance count).
+
+    Scale shape: every step is an equi-join on the composite
+    (source, node) long pair — the forward pass is ``landmark_distances``
+    plus a map-side-combinable sigma sum, the reverse pass one
+    join+aggregate per level over the stored per-level frames (each
+    checkpointed, so plans stay flat). No collects, no windows. Returns
+    (id, betweenness) for nodes with a positive score, rounded to 6."""
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = _checkpoint(e.dropDuplicates())
+
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias("lm"))
+        .dropDuplicates()
+        .select("lm", F.col("lm").alias("id"), F.lit(1.0).alias("sigma"))
+    )
+    levels: List[DataFrame] = [_checkpoint(frontier)]
+    visited = levels[0].select("lm", "id")
+    depth = 0
+    while max_hops is None or depth < max_hops:
+        depth += 1
+        nxt = (
+            e.join(levels[-1].withColumnRenamed("id", "src"), "src")
+            .select("lm", F.col("dst").alias("id"), "sigma")
+            .join(visited, ["lm", "id"], "left_anti")
+            .groupBy("lm", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("lm", "id"))
+
+    if len(levels) == 1:
+        return levels[0].select("id", F.lit(0.0).alias("betweenness")).filter(
+            F.lit(False)
+        )
+
+    # reverse sweep: delta over the BFS DAG, deepest level first
+    delta = levels[-1].select("lm", "id", "sigma", F.lit(0.0).alias("delta"))
+    per_level: List[DataFrame] = []
+    for lvl in reversed(levels[:-1]):
+        succ = delta.select(
+            "lm",
+            F.col("id").alias("dst"),
+            F.col("sigma").alias("_sw"),
+            F.col("delta").alias("_dw"),
+        )
+        contrib = (
+            lvl.select("lm", F.col("id").alias("src"), F.col("sigma").alias("_sv"))
+            .join(e, "src")
+            .join(succ, ["lm", "dst"])
+            .groupBy("lm", F.col("src").alias("id"))
+            .agg(
+                F.sum(F.col("_sv") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))).alias(
+                    "_d"
+                )
+            )
+        )
+        delta = _checkpoint(
+            lvl.join(contrib, ["lm", "id"], "left").select(
+                "lm",
+                "id",
+                "sigma",
+                F.coalesce(F.col("_d"), F.lit(0.0)).alias("delta"),
+            )
+        )
+        per_level.append(delta.filter(F.col("id") != F.col("lm")))
+    # deeper levels' deltas (levels[1:] minus what the loop already added):
+    # every level except 0 contributes its delta; the loop emitted levels
+    # L-1..0 — add the deepest level (delta 0 there, so it only matters
+    # when a deepest-level node is also mid-path for another source,
+    # which per-source cannot happen; skip it)
+    out = per_level[0]
+    for d in per_level[1:]:
+        out = out.unionByName(d)
+    agg = (
+        out.groupBy("id")
+        .agg(F.sum("delta").alias("b"))
+        .filter(F.col("b") > 1e-12)
+    )
+    scale = 0.5 if undirected else 1.0
+    return agg.select(
+        "id", F.round(F.col("b") * F.lit(scale), 6).alias("betweenness")
+    )
+
+
 def harmonic_closeness(
     edges: DataFrame,
     landmarks: DataFrame,

@@ -449,3 +449,111 @@ def test_scc_random_graphs_match_tarjan(spark):
                for r in alg.strongly_connected_components(df, max_rounds=30).collect()}
         want = _tarjan_scc(n, edges)
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+# ---------------------------------------------------------------- betweenness
+
+
+def _brandes_reference(n_nodes, edge_list, sources=None, undirected=False,
+                       max_hops=None):
+    """Pure-Python Brandes (BFS variant) for cross-checking."""
+    from collections import defaultdict, deque
+
+    # neighbor SETS: the engine dedups the edge frame, so (a,b)+(b,a) in an
+    # undirected input is one edge, not two parallel ones
+    adj_s = defaultdict(set)
+    for s, d in edge_list:
+        adj_s[s].add(d)
+        if undirected:
+            adj_s[d].add(s)
+    adj = {k: sorted(v) for k, v in adj_s.items()}
+    bet = defaultdict(float)
+    for s in sources if sources is not None else range(n_nodes):
+        dist = {s: 0}
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            if max_hops is not None and dist[v] >= max_hops:
+                continue
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bet[w] += delta[w]
+    scale = 0.5 if undirected else 1.0
+    return {v: round(b * scale, 6) for v, b in bet.items() if b * scale > 1e-12}
+
+
+def _bet(spark, edge_list, n, **kw):
+    from cypher_for_apache_spark_spark.operators.algorithms import betweenness
+
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    srcs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    out = betweenness(e, srcs, **kw)
+    return {r["id"]: r["betweenness"] for r in out.collect()}
+
+
+def test_betweenness_diamond(spark):
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    got = _bet(spark, edges, 4)
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_betweenness_directed_chain(spark):
+    # chain 0->1->2->3: b(1) = pairs (0,2),(0,3) = 2; b(2) = (0,3),(1,3) = 2
+    got = _bet(spark, [(0, 1), (1, 2), (2, 3)], 4)
+    assert got == {1: 2.0, 2: 2.0}
+
+
+def test_betweenness_chain_with_hop_cap(spark):
+    got = _bet(spark, [(0, 1), (1, 2), (2, 3)], 4, max_hops=2)
+    exp = _brandes_reference(4, [(0, 1), (1, 2), (2, 3)], max_hops=2)
+    assert got == exp
+
+
+def test_betweenness_undirected_star(spark):
+    # star center 0 with leaves 1..4: center lies on all C(4,2) leaf pairs
+    edges = [(0, i) for i in range(1, 5)]
+    got = _bet(spark, edges, 5, undirected=True)
+    assert got == {0: 6.0}
+
+
+def test_betweenness_random_graphs_match_brandes(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n = rng.randint(5, 9)
+        m = rng.randint(n, 2 * n)
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        und = trial % 2 == 0
+        got = _bet(spark, edges, n, undirected=und)
+        exp = _brandes_reference(n, edges, undirected=und)
+        assert got == exp, f"trial {trial}: {sorted(got.items())} != {sorted(exp.items())}"
+
+
+def test_betweenness_sampled_sources_subset(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    from cypher_for_apache_spark_spark.operators.algorithms import betweenness
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (1,)], "id long")
+    got = {r["id"]: r["betweenness"] for r in betweenness(e, srcs).collect()}
+    exp = _brandes_reference(5, edges, sources=[0, 1])
+    assert got == exp
