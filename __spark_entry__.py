@@ -1525,6 +1525,30 @@ def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(emb.where("vec_id <> 0"), q, cb, k=10)
 
 
+def _q_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup over the documents-as-payloads corpus:
+    Arrow-batched phash (stub codec — deterministic sha256-derived bits,
+    so DuckDB replays it; the PIL aHash path is executor-probed), then
+    the SimHash pigeonhole banding join. The generator's duplicated
+    document tail surfaces as Hamming-0 pairs."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_dup_pairs,
+    )
+
+    # payload = the 40-char text prefix as bytes: the small shared
+    # vocabulary makes some prefixes collide, so the corpus contains
+    # genuine Hamming-0 groups at every scale factor
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 40), "utf-8").alias("payload"),
+    )
+    hashed = perceptual_hash(docs, codec="stub")
+    return phash_dup_pairs(hashed, max_distance=3)
+
+
 def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-limited ANN, portable mode: md5-seeded integer centroid
     model, integer-distance probe selection, sim_micro re-rank — the DuckDB
@@ -3323,6 +3347,18 @@ WHERE vec_id NOT IN (SELECT id_b FROM losers)""",
            FROM documents,
                 LATERAL (SELECT unnest(generate_series(
                     0, octet_length(encode(text)) % 8)) AS i) f""",
+    ),
+    "phash_dup_docs": (
+        _q_phash_dup,
+        """WITH h AS (
+             SELECT doc_id AS media_id,
+                    CAST(('0x' || substr(sha256(substr(text, 1, 40)), 1, 16)) AS UBIGINT)
+                      & 9223372036854775807 AS ph
+             FROM documents)
+           SELECT a.media_id AS id_a, b.media_id AS id_b,
+                  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+           FROM h a JOIN h b ON a.media_id < b.media_id
+           WHERE bit_count(xor(a.ph, b.ph)) <= 3""",
     ),
     "pq_search_embeddings": (
         _q_pq_search,

@@ -209,6 +209,90 @@ def frame_sample(
     return df.mapInPandas(batches, out_schema)
 
 
+def _phash_pil(payload: bytes):  # pragma: no cover - no PIL in this env
+    """8x8 average-hash (aHash): decode, grayscale, downscale, bit i set
+    iff pixel i is above the mean. Near-duplicate images differ in a few
+    bits — exactly the SimHash pigeonhole contract."""
+    if payload is None:
+        return None
+    from io import BytesIO
+
+    from PIL import Image
+
+    try:
+        with Image.open(BytesIO(bytes(payload))) as im:
+            px = list(im.convert("L").resize((8, 8)).getdata())
+    except Exception:
+        return None
+    mean = sum(px) / 64.0
+    bits = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            bits |= 1 << i
+    return bits & 0x7FFFFFFFFFFFFFFF
+
+
+def _phash_stub(payload: bytes):
+    """Deterministic 63-bit stand-in (first 8 sha256 bytes, sign bit
+    masked): identical payloads collide at Hamming 0, so exact-dup
+    detection and the whole banding pipeline stay testable — and the
+    value is reproducible in any engine with sha256."""
+    if payload is None:
+        return None
+    import hashlib
+
+    v = int.from_bytes(hashlib.sha256(bytes(payload)).digest()[:8], "big")
+    return v & 0x7FFFFFFFFFFFFFFF
+
+
+def _phash_auto(payload: bytes):
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return _phash_stub(payload)
+    return _phash_pil(payload)
+
+
+_PHASH_CODECS = {"stub": _phash_stub, "pil": _phash_pil, "auto": _phash_auto}
+
+
+def perceptual_hash(
+    df: DataFrame, payload_col: str = "payload", codec=None, out_col: str = "phash"
+) -> DataFrame:
+    """Adds a 64-bit perceptual hash per media payload (Arrow-batched
+    mapInPandas; same executor-probed codec discipline as decode_media).
+    Downstream near-dup detection is ``phash_dup_pairs``."""
+    if codec is None:
+        codec = "auto"
+    fn = _PHASH_CODECS[codec] if isinstance(codec, str) else codec
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pdf.assign(**{out_col: pdf[payload_col].map(fn).astype("Int64")})
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def phash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_distance: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance:
+    the SimHash pigeonhole candidate join (any pair within distance <
+    chunks shares one exact 16-bit piece) applied to the phash column —
+    banding, not O(n^2), so it scales like text SimHash dedup."""
+    from cypher_for_apache_spark_spark.operators.dedup import simhash_pairs
+
+    fp = df.select(F.col(id_col), F.col(phash_col).alias("simhash"))
+    return simhash_pairs(fp, id_col=id_col, max_distance=max_distance, chunks=chunks)
+
+
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rows = []
