@@ -218,6 +218,21 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
              SELECT CAST(2 AS BIGINT) AS hops FROM e a JOIN e b ON a.t = b.s)
            GROUP BY hops""",
     ),
+    # -- CALL { } subquery (correlated, per-row aggregates) -------------------
+    "call_subquery_orders": (
+        """MATCH (c:Customer)
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN count(o) AS orders,
+                         sum(toInteger(round(o.totalprice * 100))) AS cents }
+           RETURN c.mktsegment AS segment, sum(orders) AS orders,
+                  sum(cents) AS cents""",
+        """SELECT c_mktsegment AS segment,
+                  count(o_orderkey) AS orders,
+                  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                       AS BIGINT) AS cents
+           FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+           GROUP BY 1""",
+    ),
     # -- shortestPath / allShortestPaths (BFS with frontier pruning) ---------
     # NEXT chains are per-customer order sequences, so the undirected
     # shortest distance between two orders of one customer is their rank

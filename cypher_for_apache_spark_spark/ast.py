@@ -358,6 +358,14 @@ class DeleteViewStatement:
 
 
 @dataclass
+class CallSubquery:
+    """CALL { [WITH imports] ... RETURN ... }: the inner query runs against
+    the importing WITH's variables (correlated) or standalone."""
+
+    query: "SingleQuery"
+
+
+@dataclass
 class SingleQuery:
     clauses: list  # MatchClause | UnwindClause | ProjectionClause | FromGraph...
 

@@ -239,6 +239,14 @@ class Parser:
             elif self.at_kw("with"):
                 self.advance()
                 clauses.append(self.parse_projection(is_return=False))
+            elif self.tok.kind == "ident" and self.tok.value.lower() == "call":
+                # CALL { subquery }; procedure CALLs (CALL db.x() YIELD ..)
+                # stay unsupported and fail on the missing brace
+                self.advance()
+                self.expect("{")
+                inner = self.parse_query_until_brace()
+                self.expect("}")
+                clauses.append(A.CallSubquery(inner))
             elif self.at_kw("from"):
                 self.advance()
                 self.eat_kw("graph")

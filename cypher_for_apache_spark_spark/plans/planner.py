@@ -204,6 +204,8 @@ class Planner:
                 rec = self.plan_match(rec, clause)
             elif isinstance(clause, A.UnwindClause):
                 rec = self.plan_unwind(rec, clause)
+            elif isinstance(clause, A.CallSubquery):
+                rec = self.plan_call_subquery(rec, clause)
             elif isinstance(clause, A.FromGraphClause):
                 self.graph = self._resolve_graph_ref(clause)
             elif isinstance(clause, A.ConstructClause):
@@ -217,6 +219,231 @@ class Planner:
         if final is None:
             raise CypherPlanningError("query has no RETURN clause")
         return final
+
+    # -------------------------------------------------------- CALL { subquery }
+    def plan_call_subquery(self, rec: Record, clause: A.CallSubquery) -> Record:
+        """``CALL { [WITH a, b] ... RETURN ... }`` (beyond reference parity;
+        the reference has no subqueries). Set-based lowering of Neo4j's
+        per-row semantics:
+
+        - a leading import ``WITH`` (plain variables only) makes the call
+          CORRELATED: the inner query plans once against the DISTINCT
+          binding of the imported variables, then joins back on their
+          identities — the same distinct-binding discipline as OPTIONAL
+          MATCH / EXISTS, never a per-row loop;
+        - imported variables become implicit grouping keys of the final
+          RETURN, so inner aggregates aggregate per input row;
+        - an aggregating subquery returns one row per input row even with
+          zero matches (left join; count/sum -> 0, collect -> [] — the
+          openCypher empty-aggregate values); a row-returning subquery
+          with zero rows eliminates the input row (inner join);
+        - uncorrelated calls cross-join their result with the incoming
+          rows (Catalyst turns it into a broadcast for small sides).
+
+        Restrictions (clean errors): UNION inside CALL, ORDER BY / SKIP /
+        LIMIT on a correlated subquery's RETURN (per-input-row pagination
+        is a window, not a limit), RETURN GRAPH / CONSTRUCT inside."""
+        q = clause.query
+        if isinstance(q, A.UnionQuery):
+            raise CypherPlanningError("UNION inside CALL { } is not supported")
+        clauses = list(q.clauses)
+        imports: List[str] = []
+        head = clauses[0] if clauses else None
+        if (
+            isinstance(head, A.ProjectionClause)
+            and not head.is_return
+            and not head.star
+            and head.items
+            and all(isinstance(e, A.Var) and e.name == a for e, a in head.items)
+            and not head.order_by
+            and head.skip is None
+            and head.limit is None
+            and head.where is None
+            and not head.distinct
+        ):
+            imports = [a for _, a in head.items]
+            clauses = clauses[1:]
+            for v in imports:
+                if v not in rec.header:
+                    raise CypherPlanningError(
+                        f"CALL subquery imports unbound variable `{v}`"
+                    )
+        if not clauses or not (
+            isinstance(clauses[-1], A.ProjectionClause) and clauses[-1].is_return
+        ):
+            raise CypherPlanningError("CALL subquery must end in RETURN")
+
+        correlated = bool(imports) and rec.df is not None
+        if correlated:
+            join_cols: List[str] = []
+            key_cols: List[str] = []
+            for v in imports:
+                join_cols.extend(rec.header[v].columns())
+                key_cols.append(self._key_col(rec.header[v]))
+            seen = set()
+            join_cols = [c for c in join_cols if not (c in seen or seen.add(c))]
+            key_cols = sorted(set(key_cols))
+            inner = Record(
+                rec.df.select(*join_cols).dropDuplicates(key_cols),
+                {v: rec.header[v] for v in imports},
+            )
+        else:
+            imports = []
+            inner = Record(None, {})
+
+        ret = clauses[-1]
+        for c in clauses[:-1]:
+            if isinstance(c, A.MatchClause):
+                inner = self.plan_match(inner, c)
+            elif isinstance(c, A.UnwindClause):
+                inner = self.plan_unwind(inner, c)
+            elif isinstance(c, A.CallSubquery):
+                inner = self.plan_call_subquery(inner, c)
+            elif isinstance(c, A.ProjectionClause):
+                if correlated:
+                    # thread the imports through every intermediate WITH:
+                    # they stay in scope for the whole subquery, and as
+                    # extra projection items they become grouping keys of
+                    # intermediate aggregates / DISTINCTs — exactly the
+                    # per-input-row semantics
+                    if c.order_by or c.skip is not None or c.limit is not None:
+                        raise CypherPlanningError(
+                            "ORDER BY / SKIP / LIMIT inside a correlated "
+                            "CALL subquery is not supported"
+                        )
+                    items_c = list(self._resolve_items(inner, c))
+                    aliases = [a for _, a in items_c]
+                    for v in imports:
+                        if v in aliases:
+                            bound = items_c[aliases.index(v)][0]
+                            if not (isinstance(bound, A.Var) and bound.name == v):
+                                raise CypherPlanningError(
+                                    "CALL subquery cannot rebind imported "
+                                    f"variable `{v}`"
+                                )
+                        else:
+                            items_c.append((A.Var(v), v))
+                    c = A.ProjectionClause(
+                        items_c,
+                        distinct=c.distinct,
+                        star=False,
+                        where=c.where,
+                        is_return=False,
+                    )
+                inner = self.plan_projection(inner, c)
+            else:
+                raise CypherPlanningError(
+                    f"unsupported clause inside CALL {{ }}: {type(c).__name__}"
+                )
+
+        items = self._resolve_items(inner, ret)
+        out_aliases = [a for _, a in items]
+        for a in out_aliases:
+            if a in rec.header and a not in imports:
+                raise CypherPlanningError(
+                    f"CALL subquery output `{a}` collides with an existing variable"
+                )
+        has_agg = any(A.contains_aggregate(e) for e, _ in items)
+        # empty-aggregate fill values per openCypher: count/sum 0, collect []
+        fills = {}
+        for e, a in items:
+            if isinstance(e, A.CountStar) or (
+                isinstance(e, A.FuncCall) and e.name == "count"
+            ):
+                fills[a] = "zero"
+            elif isinstance(e, A.FuncCall) and e.name == "sum":
+                fills[a] = "zero"
+            elif isinstance(e, A.FuncCall) and e.name == "collect":
+                fills[a] = "empty_array"
+        if correlated:
+            if ret.order_by or ret.skip is not None or ret.limit is not None:
+                raise CypherPlanningError(
+                    "ORDER BY / SKIP / LIMIT on a correlated CALL subquery's "
+                    "RETURN is not supported"
+                )
+            proj_items = list(items)
+            present = set(out_aliases)
+            for v in imports:
+                if v not in present:
+                    proj_items.append((A.Var(v), v))
+            proj = A.ProjectionClause(
+                proj_items, distinct=ret.distinct, star=False, is_return=False
+            )
+        else:
+            proj = A.ProjectionClause(
+                items,
+                distinct=ret.distinct,
+                star=False,
+                order_by=ret.order_by,
+                skip=ret.skip,
+                limit=ret.limit,
+                is_return=False,
+            )
+        inner = self.plan_projection(inner, proj)
+
+        out_header = {a: inner.header[a] for a in out_aliases}
+        if not correlated:
+            header = dict(rec.header)
+            for a in out_aliases:
+                header[a] = out_header[a]
+            cols = []
+            seen = set()
+            for m in out_header.values():
+                for c in m.columns():
+                    if c not in seen:
+                        seen.add(c)
+                        cols.append(c)
+            idf = inner.df.select(*cols)
+            if rec.df is None:
+                return Record(idf, header)
+            return Record(rec.df.crossJoin(idf), header)
+
+        # correlated join-back on the imported identities. Import-owned
+        # columns never travel through the join: the outer side already
+        # has them (an imported var in the RETURN list reuses the outer
+        # binding — same entity, same values).
+        import_cols = set()
+        for v in imports:
+            import_cols.update(rec.header[v].columns())
+        out_cols = []
+        seen = set()
+        for a in out_aliases:
+            if a in imports:
+                continue
+            for c in out_header[a].columns():
+                if c not in seen and c not in import_cols:
+                    seen.add(c)
+                    out_cols.append(c)
+        key_cols = sorted({self._key_col(inner.header[v]) for v in imports})
+        renames = {k: f"{k}#call{next(self._uid)}" for k in key_cols}
+        sel = [F.col(k).alias(renames[k]) for k in key_cols]
+        sel += [F.col(c) for c in out_cols if c not in renames]
+        rdf = inner.df.select(*sel)
+        cond = None
+        for k in key_cols:
+            e = F.col(k).eqNullSafe(F.col(renames[k]))
+            cond = e if cond is None else cond & e
+        how = "left_outer" if has_agg else "inner"
+        df = rec.df.join(rdf, cond, how).drop(*renames.values())
+        if has_agg and fills:
+            for a, kind in fills.items():
+                m = out_header[a]
+                if m.kind != "value":
+                    continue
+                c = m.col
+                dt = next(f.dataType for f in df.schema.fields if f.name == c)
+                fill = (
+                    F.array().cast(dt)
+                    if kind == "empty_array"
+                    else F.lit(0).cast(dt)
+                )
+                df = df.withColumn(c, F.coalesce(F.col(c), fill))
+        header = dict(rec.header)
+        for a in out_aliases:
+            if a in imports:
+                continue  # the outer binding IS the subquery's value
+            header[a] = out_header[a]
+        return Record(df, header)
 
     # ------------------------------------------------ eager aggregation rewrite
     def _rel_candidate_tables(self, part: A.PatternPart, i: int) -> frozenset:

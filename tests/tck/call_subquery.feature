@@ -1,0 +1,168 @@
+Feature: CallSubquery
+
+  # CALL { [WITH imports] ... RETURN ... } (planner.plan_call_subquery) —
+  # beyond reference parity (the reference has no subqueries). Set-based
+  # per-row semantics: correlated calls plan once against the DISTINCT
+  # import binding and join back; imports become implicit grouping keys
+  # of inner aggregates; an aggregating subquery keeps zero-match rows
+  # (count/sum -> 0, collect -> []); a row-returning subquery with no
+  # rows eliminates the input row.
+
+  Background:
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (a:P {name: 'a', age: 10})-[:T]->(b:P {name: 'b', age: 20}),
+             (a)-[:T]->(c:P {name: 'c', age: 30}),
+             (b)-[:T]->(c)
+      """
+
+  Scenario: Correlated aggregate per input row
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q) RETURN count(q) AS deg }
+      RETURN p.name AS n, deg
+      """
+    Then the result should be, in any order:
+      | n   | deg |
+      | 'a' | 2   |
+      | 'b' | 1   |
+      | 'c' | 0   |
+    And no side effects
+
+  Scenario: Zero-match aggregate rows are kept with empty-aggregate values
+    When executing query:
+      """
+      MATCH (p:P {name: 'c'})
+      CALL { WITH p MATCH (p)-[:T]->(q)
+             RETURN count(q) AS c, sum(q.age) AS s, collect(q.name) AS l,
+                    max(q.age) AS m }
+      RETURN p.name AS n, c, s, l, m
+      """
+    Then the result should be, in any order:
+      | n   | c | s | l  | m    |
+      | 'c' | 0 | 0 | [] | null |
+    And no side effects
+
+  Scenario: Row-returning subquery multiplies rows
+    When executing query:
+      """
+      MATCH (p:P {name: 'a'})
+      CALL { WITH p MATCH (p)-[:T]->(q) RETURN q.name AS qn }
+      RETURN p.name AS n, qn
+      """
+    Then the result should be, in any order:
+      | n   | qn  |
+      | 'a' | 'b' |
+      | 'a' | 'c' |
+    And no side effects
+
+  Scenario: Row-returning subquery with no rows eliminates the input row
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q:P {name: 'c'}) RETURN q.name AS qn }
+      RETURN p.name AS n
+      """
+    Then the result should be, in any order:
+      | n   |
+      | 'a' |
+      | 'b' |
+    And no side effects
+
+  Scenario: Uncorrelated subquery cross-joins its result
+    When executing query:
+      """
+      MATCH (p:P {name: 'a'})
+      CALL { MATCH (x:P) RETURN max(x.age) AS oldest }
+      RETURN p.name AS n, oldest
+      """
+    Then the result should be, in any order:
+      | n   | oldest |
+      | 'a' | 30     |
+    And no side effects
+
+  Scenario: A returned node stays a node for later clauses
+    When executing query:
+      """
+      CALL { MATCH (p:P {name: 'a'}) RETURN p }
+      MATCH (p)-[:T]->(q)
+      RETURN q.name AS qn
+      """
+    Then the result should be, in any order:
+      | qn  |
+      | 'b' |
+      | 'c' |
+    And no side effects
+
+  Scenario: CALL as the first clause drives the query
+    When executing query:
+      """
+      CALL { MATCH (p:P) RETURN p.age AS age ORDER BY age DESC LIMIT 2 }
+      RETURN sum(age) AS s
+      """
+    Then the result should be, in any order:
+      | s  |
+      | 50 |
+    And no side effects
+
+  Scenario: Returning an imported variable reuses the outer binding
+    When executing query:
+      """
+      MATCH (p:P {name: 'a'})
+      CALL { WITH p MATCH (p)-[:T]->(q) RETURN p, count(q) AS deg }
+      RETURN p.name AS n, deg
+      """
+    Then the result should be, in any order:
+      | n   | deg |
+      | 'a' | 2   |
+    And no side effects
+
+  Scenario: Inner WITH chains are allowed
+    When executing query:
+      """
+      MATCH (p:P {name: 'a'})
+      CALL { WITH p
+             MATCH (p)-[:T]->(q)
+             WITH q WHERE q.age > 15
+             RETURN count(q) AS big }
+      RETURN big
+      """
+    Then the result should be, in any order:
+      | big |
+      | 2   |
+    And no side effects
+
+  Scenario: UNION inside CALL is rejected
+    When executing query:
+      """
+      CALL { MATCH (x:P) RETURN x.name AS n UNION MATCH (y:P) RETURN y.name AS n }
+      RETURN n
+      """
+    Then a SyntaxError should be raised
+
+  Scenario: Correlated per-row LIMIT is rejected
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q) RETURN q.name AS qn LIMIT 1 }
+      RETURN p.name AS n, qn
+      """
+    Then a SyntaxError should be raised
+
+  Scenario: Output name collision is rejected
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { MATCH (x:P) RETURN x AS p }
+      RETURN p
+      """
+    Then a SyntaxError should be raised
+
+  Scenario: Procedure CALL stays unsupported
+    When executing query:
+      """
+      CALL db.labels() YIELD label RETURN label
+      """
+    Then a SyntaxError should be raised
