@@ -233,6 +233,24 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
            GROUP BY 1""",
     ),
+    # top-k per input row: correlated ORDER BY + LIMIT lowers to ONE
+    # row_number window over the import identities (ties share a cents
+    # value, so either winner hashes identically)
+    "call_topk_orders": (
+        """MATCH (c:Customer) WHERE c.acctbal > 9000.0
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN toInteger(round(o.totalprice * 100)) AS cents
+                  ORDER BY cents DESC LIMIT 2 }
+           RETURN c.name AS name, cents""",
+        """WITH ranked AS (
+             SELECT c_name AS name,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY round(o_totalprice * 100) DESC) AS rn
+             FROM customer JOIN orders ON o_custkey = c_custkey
+             WHERE c_acctbal > 9000.0)
+           SELECT name, cents FROM ranked WHERE rn <= 2""",
+    ),
     # -- shortestPath / allShortestPaths (BFS with frontier pruning) ---------
     # NEXT chains are per-customer order sequences, so the undirected
     # shortest distance between two orders of one customer is their rank

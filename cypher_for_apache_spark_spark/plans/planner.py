@@ -238,11 +238,14 @@ class Planner:
           openCypher empty-aggregate values); a row-returning subquery
           with zero rows eliminates the input row (inner join);
         - uncorrelated calls cross-join their result with the incoming
-          rows (Catalyst turns it into a broadcast for small sides).
+          rows (Catalyst turns it into a broadcast for small sides);
+        - ORDER BY / SKIP / LIMIT on a correlated RETURN are per input
+          row: a row_number window over the import identities — top-k
+          per node stays one shuffle, never a per-row loop.
 
         Restrictions (clean errors): UNION inside CALL, ORDER BY / SKIP /
-        LIMIT on a correlated subquery's RETURN (per-input-row pagination
-        is a window, not a limit), RETURN GRAPH / CONSTRUCT inside."""
+        LIMIT on INTERMEDIATE correlated WITHs, import rebinding,
+        RETURN GRAPH / CONSTRUCT inside."""
         q = clause.query
         if isinstance(q, A.UnionQuery):
             raise CypherPlanningError("UNION inside CALL { } is not supported")
@@ -355,17 +358,28 @@ class Planner:
                 fills[a] = "zero"
             elif isinstance(e, A.FuncCall) and e.name == "collect":
                 fills[a] = "empty_array"
+        ord_hidden: List[Tuple[str, bool]] = []
         if correlated:
-            if ret.order_by or ret.skip is not None or ret.limit is not None:
-                raise CypherPlanningError(
-                    "ORDER BY / SKIP / LIMIT on a correlated CALL subquery's "
-                    "RETURN is not supported"
-                )
             proj_items = list(items)
             present = set(out_aliases)
             for v in imports:
                 if v not in present:
                     proj_items.append((A.Var(v), v))
+            if ret.order_by and not ret.distinct:
+                # materialize each ORDER BY key as a hidden projection item:
+                # underlying variables are still in scope here, and under
+                # aggregation the key aggregates alongside the outputs.
+                # References to output ALIASES substitute to their defining
+                # expressions (they don't exist pre-projection).
+                subs = [
+                    (A.Var(a), e)
+                    for e, a in items
+                    if not (isinstance(e, A.Var) and e.name == a)
+                ]
+                for oi in ret.order_by:
+                    alias = f" ord#{next(self._uid)}"
+                    proj_items.append((A.substitute(oi.expr, subs), alias))
+                    ord_hidden.append((alias, oi.asc))
             proj = A.ProjectionClause(
                 proj_items, distinct=ret.distinct, star=False, is_return=False
             )
@@ -380,6 +394,43 @@ class Planner:
                 is_return=False,
             )
         inner = self.plan_projection(inner, proj)
+        if correlated and (
+            ret.order_by or ret.skip is not None or ret.limit is not None
+        ):
+            # per-input-row pagination: a window over the import identities,
+            # NOT a global limit — ``CALL { WITH p ... RETURN x ORDER BY s
+            # DESC LIMIT 3 }`` is top-3-per-p
+            from pyspark.sql import Window as SqlWindow
+
+            sort_cols = []
+            if ord_hidden:
+                for alias, asc in ord_hidden:
+                    c = F.col(self._key_col(inner.header[alias]))
+                    sort_cols.append(c.asc_nulls_last() if asc else c.desc_nulls_first())
+            else:
+                # DISTINCT projection: ORDER BY sees the output aliases only
+                ctx = self._ctx(inner)
+                for oi in ret.order_by:
+                    c = compile_expr(oi.expr, ctx)
+                    sort_cols.append(
+                        c.asc_nulls_last() if oi.asc else c.desc_nulls_first()
+                    )
+            if not sort_cols:
+                sort_cols = [F.lit(0).asc()]
+            kcols = sorted({self._key_col(inner.header[v]) for v in imports})
+            w = SqlWindow.partitionBy(*kcols).orderBy(*sort_cols)
+            lo = self._int_value(ret.skip) if ret.skip is not None else 0
+            cond = F.col("_rn#call") > F.lit(lo)
+            if ret.limit is not None:
+                cond = cond & (
+                    F.col("_rn#call") <= F.lit(lo + self._int_value(ret.limit))
+                )
+            inner = Record(
+                inner.df.withColumn("_rn#call", F.row_number().over(w))
+                .filter(cond)
+                .drop("_rn#call"),
+                inner.header,
+            )
 
         out_header = {a: inner.header[a] for a in out_aliases}
         if not correlated:

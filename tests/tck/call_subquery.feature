@@ -142,11 +142,40 @@ Feature: CallSubquery
       """
     Then a SyntaxError should be raised
 
-  Scenario: Correlated per-row LIMIT is rejected
+  Scenario: Correlated ORDER BY + LIMIT paginates per input row
     When executing query:
       """
       MATCH (p:P)
-      CALL { WITH p MATCH (p)-[:T]->(q) RETURN q.name AS qn LIMIT 1 }
+      CALL { WITH p MATCH (p)-[:T]->(q)
+             RETURN q.name AS qn ORDER BY q.age DESC LIMIT 1 }
+      RETURN p.name AS n, qn
+      """
+    Then the result should be, in any order:
+      | n   | qn  |
+      | 'a' | 'c' |
+      | 'b' | 'c' |
+    And no side effects
+
+  Scenario: Correlated SKIP past the first match per row
+    When executing query:
+      """
+      MATCH (p:P {name: 'a'})
+      CALL { WITH p MATCH (p)-[:T]->(q)
+             RETURN q.name AS qn ORDER BY q.age DESC SKIP 1 }
+      RETURN qn
+      """
+    Then the result should be, in any order:
+      | qn  |
+      | 'b' |
+    And no side effects
+
+  Scenario: Per-row LIMIT on an intermediate WITH is rejected
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q)
+             WITH q LIMIT 1
+             RETURN q.name AS qn }
       RETURN p.name AS n, qn
       """
     Then a SyntaxError should be raised
