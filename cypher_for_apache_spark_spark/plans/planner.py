@@ -243,12 +243,13 @@ class Planner:
           row: a row_number window over the import identities — top-k
           per node stays one shuffle, never a per-row loop.
 
-        Restrictions (clean errors): UNION inside CALL, ORDER BY / SKIP /
+        Restrictions (clean errors): CORRELATED UNION inside CALL
+        (uncorrelated unions work — _plan_call_union), ORDER BY / SKIP /
         LIMIT on INTERMEDIATE correlated WITHs, import rebinding,
         RETURN GRAPH / CONSTRUCT inside."""
         q = clause.query
         if isinstance(q, A.UnionQuery):
-            raise CypherPlanningError("UNION inside CALL { } is not supported")
+            return self._plan_call_union(rec, q)
         clauses = list(q.clauses)
         imports: List[str] = []
         head = clauses[0] if clauses else None
@@ -495,6 +496,97 @@ class Planner:
                 continue  # the outer binding IS the subquery's value
             header[a] = out_header[a]
         return Record(df, header)
+
+    def _plan_call_union(self, rec: Record, q: A.UnionQuery) -> Record:
+        """UNION [ALL] inside an UNCORRELATED CALL { }: each branch plans
+        standalone; branch outputs align by alias (value outputs only —
+        entity layouts differ per branch) and union, then cross-join the
+        incoming rows like any uncorrelated call. Correlated unions stay
+        a clean error."""
+        branch_frames = []
+        aliases0: List[str] = []
+        for sq in q.queries:
+            clauses = list(sq.clauses)
+            head = clauses[0] if clauses else None
+            if (
+                isinstance(head, A.ProjectionClause)
+                and not head.is_return
+                and not head.star
+                and head.items
+                and all(isinstance(e, A.Var) and e.name == a for e, a in head.items)
+                and any(a in rec.header for _, a in head.items)
+            ):
+                raise CypherPlanningError(
+                    "correlated UNION inside CALL { } is not supported"
+                )
+            if not clauses or not (
+                isinstance(clauses[-1], A.ProjectionClause)
+                and clauses[-1].is_return
+            ):
+                raise CypherPlanningError("CALL subquery must end in RETURN")
+            inner = Record(None, {})
+            for c in clauses[:-1]:
+                if isinstance(c, A.MatchClause):
+                    inner = self.plan_match(inner, c)
+                elif isinstance(c, A.UnwindClause):
+                    inner = self.plan_unwind(inner, c)
+                elif isinstance(c, A.ProjectionClause):
+                    inner = self.plan_projection(inner, c)
+                else:
+                    raise CypherPlanningError(
+                        f"unsupported clause inside CALL {{ }}: {type(c).__name__}"
+                    )
+            ret = clauses[-1]
+            items = self._resolve_items(inner, ret)
+            proj = A.ProjectionClause(
+                items,
+                distinct=ret.distinct,
+                star=False,
+                order_by=ret.order_by,
+                skip=ret.skip,
+                limit=ret.limit,
+                is_return=False,
+            )
+            inner = self.plan_projection(inner, proj)
+            out_aliases = [a for _, a in items]
+            for a in out_aliases:
+                m = inner.header[a]
+                if m.kind != "value":
+                    raise CypherPlanningError(
+                        "UNION inside CALL { } supports value outputs only"
+                    )
+            if not branch_frames:
+                aliases0 = out_aliases
+            elif set(out_aliases) != set(aliases0):
+                raise CypherPlanningError(
+                    f"UNION requires same return columns: {aliases0} vs {out_aliases}"
+                )
+            branch_frames.append(
+                inner.df.select(
+                    *[F.col(inner.header[a].col).alias(a) for a in aliases0]
+                )
+            )
+        out = branch_frames[0]
+        for bdf, all_flag in zip(branch_frames[1:], q.all_flags):
+            out = out.unionByName(bdf)
+        if not all(q.all_flags):
+            out = out.dropDuplicates()
+        # rebind with engine-unique physical names so downstream clauses
+        # can't collide with user-visible column names
+        header = dict(rec.header)
+        sel = []
+        for a in aliases0:
+            if a in rec.header:
+                raise CypherPlanningError(
+                    f"CALL subquery output `{a}` collides with an existing variable"
+                )
+            phys = f"{self._u(a)}#val"
+            sel.append(F.col(a).alias(phys))
+            header[a] = EntityMeta(kind="value", col=phys)
+        out = out.select(*sel)
+        if rec.df is None:
+            return Record(out, header)
+        return Record(rec.df.crossJoin(out), header)
 
     # ------------------------------------------------ eager aggregation rewrite
     def _rel_candidate_tables(self, part: A.PatternPart, i: int) -> frozenset:

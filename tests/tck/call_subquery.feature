@@ -134,10 +134,41 @@ Feature: CallSubquery
       | 2   |
     And no side effects
 
-  Scenario: UNION inside CALL is rejected
+  Scenario: Uncorrelated UNION inside CALL unions branch outputs
     When executing query:
       """
-      CALL { MATCH (x:P) RETURN x.name AS n UNION MATCH (y:P) RETURN y.name AS n }
+      CALL { MATCH (x:P) RETURN x.name AS n
+             UNION
+             MATCH (y:P) WHERE y.age > 15 RETURN y.name AS n }
+      RETURN n
+      """
+    Then the result should be, in any order:
+      | n   |
+      | 'a' |
+      | 'b' |
+      | 'c' |
+    And no side effects
+
+  Scenario: UNION ALL inside CALL keeps duplicates
+    When executing query:
+      """
+      CALL { MATCH (x:P {name: 'a'}) RETURN x.age AS v
+             UNION ALL
+             MATCH (y:P {name: 'a'}) RETURN y.age AS v }
+      RETURN count(*) AS c, sum(v) AS s
+      """
+    Then the result should be, in any order:
+      | c | s  |
+      | 2 | 20 |
+    And no side effects
+
+  Scenario: Correlated UNION inside CALL is rejected
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q) RETURN q.name AS n
+             UNION
+             MATCH (y:P) RETURN y.name AS n }
       RETURN n
       """
     Then a SyntaxError should be raised
