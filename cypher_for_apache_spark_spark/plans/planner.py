@@ -466,14 +466,23 @@ class Planner:
                 if c not in seen and c not in import_cols:
                     seen.add(c)
                     out_cols.append(c)
-        key_cols = sorted({self._key_col(inner.header[v]) for v in imports})
-        renames = {k: f"{k}#call{next(self._uid)}" for k in key_cols}
-        sel = [F.col(k).alias(renames[k]) for k in key_cols]
+        # (outer key, inner key) per import: a projection inside the
+        # subquery may have REBOUND a value import to a fresh physical
+        # column (aggregation grouping keys do), so the two sides' column
+        # names can differ
+        key_pairs = sorted(
+            {
+                (self._key_col(rec.header[v]), self._key_col(inner.header[v]))
+                for v in imports
+            }
+        )
+        renames = {ik: f"{ik}#call{next(self._uid)}" for _, ik in key_pairs}
+        sel = [F.col(ik).alias(renames[ik]) for ik in renames]
         sel += [F.col(c) for c in out_cols if c not in renames]
         rdf = inner.df.select(*sel)
         cond = None
-        for k in key_cols:
-            e = F.col(k).eqNullSafe(F.col(renames[k]))
+        for ok, ik in key_pairs:
+            e = F.col(ok).eqNullSafe(F.col(renames[ik]))
             cond = e if cond is None else cond & e
         how = "left_outer" if has_agg else "inner"
         df = rec.df.join(rdf, cond, how).drop(*renames.values())
