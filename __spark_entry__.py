@@ -1582,6 +1582,33 @@ def _q_phash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dup_pairs(hashed, max_distance=3)
 
 
+def _q_pq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse semantic dedup by PQ code equality: vectors that encode to
+    the SAME code in every subspace are near-duplicates at codebook
+    resolution; keep the minimum id per code group. One groupBy on the
+    8-int code array — the cheapest possible semantic dedup pass at
+    100 TB (codes are precomputed once by the compression pass)."""
+    from pyspark.sql import functions as F
+
+    from cypher_for_apache_spark_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    # coarse on purpose (8 codes x 16-dim subspaces): cluster members
+    # collide into shared codes, so the dedup actually drops rows
+    cb = pq_codebooks(emb, n_codes=8, sub_dim=16)
+    enc = pq_encode(emb, cb, out_col="codes")
+    return (
+        enc.groupBy("codes")
+        .agg(F.min("vec_id").alias("survivor"), F.count("*").alias("members"))
+        .select("survivor", "members")
+    )
+
+
 def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-limited ANN, portable mode: md5-seeded integer centroid
     model, integer-distance probe selection, sim_micro re-rank — the DuckDB
@@ -3415,6 +3442,28 @@ adc AS (SELECT c.vec_id, CAST(SUM(qdt.dist) AS BIGINT) AS adc
         FROM codes c JOIN qdt ON c.m = qdt.m AND c.code = qdt.k
         WHERE c.vec_id <> 0 GROUP BY 1)
 SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 10""",
+    ),
+    "pq_dedup_embeddings": (
+        _q_pq_dedup,
+        """WITH q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+               FROM embeddings),
+seeds AS (SELECT v, k FROM (
+            SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k
+            FROM q) WHERE k < 8),
+exc AS (SELECT k, unnest(range(0,64)) AS d, unnest(v) AS cd FROM seeds),
+exv AS (SELECT vec_id, unnest(range(0,64)) AS d, unnest(v) AS vd FROM q),
+sub AS (SELECT e.vec_id, c.k, CAST(e.d // 16 AS INT) AS m,
+               SUM((e.vd-c.cd)*(e.vd-c.cd)) AS dist
+        FROM exv e JOIN exc c USING(d) GROUP BY 1,2,3),
+codes AS (SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM sub) WHERE rn = 1),
+sig AS (SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS s
+        FROM codes GROUP BY 1)
+SELECT CAST(min(vec_id) AS BIGINT) AS survivor, count(*) AS members
+FROM sig GROUP BY s""",
     ),
     "ivf_search_embeddings": (
         _q_ivf_search,
