@@ -1,9 +1,24 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+JSON line: {"metric", "value", "unit", "sf", "n_queries"}.
+
+The final stdout line is TOTALS-ONLY (~100 bytes) so the driver's ~2 KB
+tail capture always parses it — rounds 3-5 embedded the 112-entry
+per-query map (~2.7 KB) in that line and the driver recorded
+"parsed": null three rounds running. The per-query map + JVM telemetry
+live in BENCH_local_latest.json next to this file.
 
 The value is total wall-clock seconds over all headline queries (each
 executed to completion via a count/collect action).
+
+Modes:
+  python bench.py                 default: one JVM, warmup pass, best-of-2
+  python bench.py --isolate       fresh JVM per query (subprocess), warmup
+                                  inside each; immune to cross-query JIT /
+                                  codecache / GC contamination — use for
+                                  SCALE.md growth curves
+  python bench.py --one NAME      (internal) time a single query in this
+                                  process; prints {"name", "sec"}
 
 METHODOLOGY — FROZEN since round 2 (commit 5ac75a0) so cross-round
 numbers stay comparable; do not change without re-baselining every prior
@@ -61,15 +76,8 @@ def _jvm_stats(spark) -> tuple[int, int, int]:
         return -1, -1, -1
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        sf = -1.0
-
-    spark = (
+def _build_session(cpus: str) -> SparkSession:
+    return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("cypher-spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -99,6 +107,159 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _warm_dir(sf_dir: str) -> str:
+    warm = "/root/testdata/sf0.001"
+    return warm if os.path.isdir(warm) else sf_dir
+
+
+def _time_query(spark: SparkSession, fn, sf_dir: str) -> float | None:
+    """Frozen per-query methodology: best-of-2, gc + cache-clear + JVM gc
+    nudge before each timed run (see module docstring / round-2 notes)."""
+    best = None
+    for _ in range(2):
+        gc.collect()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            dt = time.time() - t0
+        except Exception as ex:
+            print(
+                f"# bench error: {type(ex).__name__}: {str(ex)[:200]}",
+                file=sys.stderr,
+            )
+            return None
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _run_one(name: str, sf_dir: str, cpus: str) -> None:
+    """Isolated-mode worker: fresh JVM, warm only this query, time it,
+    print a one-line JSON {"name", "sec"}."""
+    queries = E.queries()
+    if name not in queries:
+        print(json.dumps({"name": name, "sec": None, "err": "unknown query"}))
+        return
+    spark = _build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = queries[name]
+    warm = _warm_dir(sf_dir)
+    try:
+        fn(spark, warm).collect()
+    except Exception:
+        pass
+    gc.collect()
+    spark.catalog.clearCache()
+    best = _time_query(spark, fn, sf_dir)
+    print(
+        json.dumps({"name": name, "sec": None if best is None else round(best, 3)}),
+        flush=True,
+    )
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def _run_isolated(sf_dir: str, cpus: str, sf: float) -> None:
+    """Fresh JVM per query via subprocess — removes cross-query JIT/
+    codecache/GC contamination (measured 2x swings in both directions in
+    the shared-session sf1 record; see SCALE.md). Slower wall-clock, only
+    used for scale studies, never the driver bench."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in E.queries():
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["SPARK_GRAFT_CPUS"] = cpus
+        try:
+            proc = subprocess.run(
+                [sys.executable, me, "--one", name],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = proc.stdout.strip().rsplit("\n", 1)[-1]
+            rec = json.loads(line)
+        except Exception as ex:
+            print(f"# isolate error in {name}: {ex}", file=sys.stderr)
+            continue
+        if rec.get("sec") is None:
+            print(f"# isolate: {name} failed", file=sys.stderr)
+            continue
+        timings[name] = rec["sec"]
+        total += rec["sec"]
+        print(f"# {name}: {rec['sec']}s", file=sys.stderr)
+    _emit(total, timings, {}, sf, isolated=True)
+
+
+def _emit(
+    total: float,
+    timings: dict[str, float],
+    jvm_stats: dict[str, dict],
+    sf: float,
+    isolated: bool = False,
+) -> None:
+    # Final stdout line is TOTALS-ONLY (~100 bytes): the driver's tail
+    # capture is ~2 KB and rounds 3-5 lost the record to truncation when
+    # the per-query map was embedded. Per-query timings go to
+    # BENCH_local_latest.json (or BENCH_local_isolated.json).
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+        },
+        separators=(",", ":"),
+    )
+    full = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "isolated": isolated,
+            "jvm": jvm_stats,
+        }
+    )
+    fname = "BENCH_local_isolated.json" if isolated else "BENCH_local_latest.json"
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname), "w"
+        ) as f:
+            f.write(full + "\n")
+    except Exception:
+        pass
+    print(compact, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    if "--one" in sys.argv:
+        _run_one(sys.argv[sys.argv.index("--one") + 1], sf_dir, cpus)
+        return
+    if "--isolate" in sys.argv:
+        _run_isolated(sf_dir, cpus, sf)
+        return
+
+    spark = _build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = E.queries()
@@ -109,9 +270,7 @@ def main() -> None:
     # threads starve mid-run and cold queries execute interpreted for
     # seconds (measured 3-5x nondeterministic swings on the heavy text
     # pipelines); compile cost is a session constant, not a query cost.
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    warm_dir = _warm_dir(sf_dir)
     try:
         E.entry.__globals__["_graph"](spark, sf_dir)
         spark.range(1).count()
@@ -173,44 +332,7 @@ def main() -> None:
         }
         total += best
 
-    # ONE COMPACT JSON line, flushed immediately, with nothing after it on
-    # stdout: the driver's tail capture must always parse. The jvm telemetry
-    # stays OUT of this line — r4's jvm-annotated line overflowed the
-    # driver's tail window and BENCH_r04.json recorded "parsed": null; the
-    # full annotated record goes to BENCH_local_latest.json instead.
-    compact = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    full = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "jvm": jvm_stats,
-        }
-    )
-    # belt-and-braces: the full record lands next to the repo so a truncated
-    # driver capture never loses per-query data
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
-            ),
-            "w",
-        ) as f:
-            f.write(full + "\n")
-    except Exception:
-        pass
-    print(compact, flush=True)
+    _emit(total, timings, jvm_stats, sf)
     try:
         spark.stop()
     except Exception:

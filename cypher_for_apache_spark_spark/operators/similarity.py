@@ -728,6 +728,13 @@ def pq_codebooks(
         .limit(n_codes)
         .collect()
     )
+    if len(rows) < n_codes:
+        # a silently smaller codebook would make codes range over fewer
+        # values than callers/oracles assume (and an empty input would
+        # IndexError on seeds[0] below) — fail loudly like the sub_dim check
+        raise ValueError(
+            f"pq_codebooks needs at least n_codes={n_codes} rows, got {len(rows)}"
+        )
     seeds = [list(r["_qv"]) for r in rows]
     dim = len(seeds[0])
     if dim % sub_dim:

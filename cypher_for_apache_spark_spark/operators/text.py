@@ -805,6 +805,14 @@ def bpe_encode(
     )
 
 
+#: Hard ceiling on BPE merge rounds. Induction is inherently sequential —
+#: each round ends in ONE driver-side `.first()` (the argmax is a 1-row
+#: model decision), so a huge `num_merges` means thousands of tiny Spark
+#: jobs. Real vocabularies (~30-50k merges) belong in a dedicated
+#: tokenizer trainer; this operator exists for modest rule sets.
+BPE_MAX_MERGES = 1000
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -827,6 +835,13 @@ def bpe_merges(
     Ties break deterministically: highest count, then lexicographically
     smallest (left, right)."""
     from cypher_for_apache_spark_spark.materialize import materialize
+
+    if num_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"num_merges={num_merges} exceeds BPE_MAX_MERGES={BPE_MAX_MERGES}: "
+            "each merge round is one sequential driver-side argmax; train "
+            "production-size vocabularies in a dedicated tokenizer trainer"
+        )
 
     words = materialize(
         df.select(

@@ -316,6 +316,21 @@ class Planner:
                             "CALL subquery is not supported"
                         )
                     items_c = list(self._resolve_items(inner, c))
+                    if items_c and all(
+                        A.contains_aggregate(e) for e, _ in items_c
+                    ):
+                        # ``WITH count(q) AS c`` has no grouping keys in
+                        # Neo4j, so a zero-match input row still yields one
+                        # c=0 row; threading the imports in as grouping
+                        # keys would make that row vanish and the final
+                        # inner join-back would silently drop the input
+                        # row. Reject rather than diverge.
+                        raise CypherPlanningError(
+                            "an intermediate WITH of only aggregates inside "
+                            "a correlated CALL subquery is not supported "
+                            "(zero-match rows would be dropped); aggregate "
+                            "in the final RETURN instead"
+                        )
                     aliases = [a for _, a in items_c]
                     for v in imports:
                         if v in aliases:
@@ -347,9 +362,36 @@ class Planner:
                 raise CypherPlanningError(
                     f"CALL subquery output `{a}` collides with an existing variable"
                 )
-        has_agg = any(A.contains_aggregate(e) for e, _ in items)
-        # empty-aggregate fill values per openCypher: count/sum 0, collect []
+        # Neo4j zero-match semantics: a RETURN of ONLY aggregates (no
+        # grouping keys) yields one row per input row even with zero
+        # matches -> left join + empty-aggregate fills. A RETURN with any
+        # non-aggregate item is a GROUPED aggregate: zero rows produce no
+        # groups, so the input row is eliminated -> inner join (the
+        # earlier left-join-always lowering produced a spurious
+        # (key=null, count=0) row here).
+        all_agg = bool(items) and all(A.contains_aggregate(e) for e, _ in items)
+        # empty-aggregate fill values per openCypher: count/sum 0, collect
+        # []; min/max/avg/stdev/percentile are null, which the left join
+        # already yields. Fill analysis only covers a BARE aggregate call
+        # as the whole item — a composite like ``count(q) + 1`` would need
+        # the fill folded through the composition, so reject it rather
+        # than silently return null for zero-match rows.
         fills = {}
+        if correlated and all_agg:
+            from cypher_for_apache_spark_spark.functions.registry import AGGREGATES
+
+            for e, a in items:
+                bare = isinstance(e, A.CountStar) or (
+                    isinstance(e, A.FuncCall) and e.name in AGGREGATES
+                )
+                if not bare:
+                    raise CypherPlanningError(
+                        "a correlated CALL subquery RETURN item composing "
+                        f"an aggregate into a larger expression (`{a}`) is "
+                        "not supported: its zero-match value cannot be "
+                        "filled; RETURN the bare aggregate and compose "
+                        "outside the CALL"
+                    )
         for e, a in items:
             if isinstance(e, A.CountStar) or (
                 isinstance(e, A.FuncCall) and e.name == "count"
@@ -484,9 +526,9 @@ class Planner:
         for ok, ik in key_pairs:
             e = F.col(ok).eqNullSafe(F.col(renames[ik]))
             cond = e if cond is None else cond & e
-        how = "left_outer" if has_agg else "inner"
+        how = "left_outer" if all_agg else "inner"
         df = rec.df.join(rdf, cond, how).drop(*renames.values())
-        if has_agg and fills:
+        if all_agg and fills:
             for a, kind in fills.items():
                 m = out_header[a]
                 if m.kind != "value":

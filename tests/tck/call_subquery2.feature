@@ -134,3 +134,67 @@ Feature: CallSubquery2
       | 'x' | 10  |
       | 'y' | 10  |
     And no side effects
+
+  Scenario: Mixed aggregate and grouping-key RETURN eliminates zero-match rows
+    # grouped aggregate over zero rows yields no groups — the input row
+    # 'c' (no outgoing :T) must NOT survive as (qn=null, c=0)
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q) RETURN q.name AS qn, count(q) AS c }
+      RETURN p.name AS n, qn, c
+      """
+    Then the result should be, in any order:
+      | n   | qn  | c |
+      | 'a' | 'b' | 1 |
+      | 'a' | 'c' | 1 |
+      | 'b' | 'c' | 1 |
+    And no side effects
+
+  Scenario: All-aggregate RETURN keeps zero-match rows with empty-aggregate values
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q)
+             RETURN count(q) AS c, sum(q.age) AS s, min(q.age) AS m }
+      RETURN p.name AS n, c, s, m
+      """
+    Then the result should be, in any order:
+      | n   | c | s  | m    |
+      | 'a' | 2 | 50 | 20   |
+      | 'b' | 1 | 30 | 30   |
+      | 'c' | 0 | 0  | null |
+    And no side effects
+
+  Scenario: Composite aggregate expression in correlated CALL RETURN is rejected
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q) RETURN count(q) + 1 AS c }
+      RETURN p.name AS n, c
+      """
+    Then a SyntaxError should be raised
+
+  Scenario: Intermediate all-aggregate WITH in correlated CALL is rejected
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q) WITH count(q) AS c RETURN c }
+      RETURN p.name AS n, c
+      """
+    Then a SyntaxError should be raised
+
+  Scenario: Intermediate WITH with a user grouping key keeps per-row semantics
+    When executing query:
+      """
+      MATCH (p:P)
+      CALL { WITH p MATCH (p)-[:T]->(q)
+             WITH q.name AS qn, sum(q.age) AS s WHERE s > 15 RETURN qn, s }
+      RETURN p.name AS n, qn, s
+      """
+    Then the result should be, in any order:
+      | n   | qn  | s  |
+      | 'a' | 'b' | 20 |
+      | 'a' | 'c' | 30 |
+      | 'b' | 'c' | 30 |
+    And no side effects

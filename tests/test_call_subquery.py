@@ -79,3 +79,100 @@ def test_per_row_topk_equals_window_semantics(session, spark, seed):
         (n, -a) for n, lst in per.items() for a, _ in sorted(lst)[:2]
     )
     assert got == want
+
+
+def test_mixed_agg_nonagg_return_drops_zero_match_rows(session, spark):
+    """Neo4j: RETURN q.name AS qn, count(q) AS c inside a correlated CALL
+    is a GROUPED aggregate — zero matches produce no groups, so the input
+    row is eliminated (NOT kept with (qn=null, c=0))."""
+    nodes = {
+        "N": spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "lonely")], "id long, name string"
+        )
+    }
+    rels = {
+        "E": spark.createDataFrame(
+            [(100, 0, 1), (101, 0, 1)], "id long, src long, dst long"
+        )
+    }
+    g = session.read_from(nodes, rels)
+    got = rows(
+        g,
+        "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+        "RETURN q.name AS qn, count(q) AS c } RETURN p.name AS n, qn, c",
+    )
+    assert got == [("a", "b", 2)]  # 'b' and 'lonely' have no out-edges
+
+
+def test_all_agg_return_keeps_zero_match_rows_with_fills(session, spark):
+    nodes = {
+        "N": spark.createDataFrame(
+            [(0, "a", 5), (1, "lonely", 7)], "id long, name string, age long"
+        )
+    }
+    rels = {
+        "E": spark.createDataFrame([(100, 0, 0)], "id long, src long, dst long")
+    }
+    g = session.read_from(nodes, rels)
+    got = rows(
+        g,
+        "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+        "RETURN count(q) AS c, sum(q.age) AS s, min(q.age) AS m } "
+        "RETURN p.name AS n, c, s, m",
+    )
+    # zero-match: count/sum fill 0, min fills null (openCypher empty agg)
+    assert got == [("a", 1, 5, 5), ("lonely", 0, 0, None)]
+
+
+def test_composite_aggregate_item_raises(session, spark):
+    from cypher_for_apache_spark_spark.plans.planner import CypherPlanningError
+
+    nodes = {"N": spark.createDataFrame([(0, "a")], "id long, name string")}
+    rels = {
+        "E": spark.createDataFrame([(100, 0, 0)], "id long, src long, dst long")
+    }
+    g = session.read_from(nodes, rels)
+    with pytest.raises(CypherPlanningError, match="compos"):
+        g.cypher(
+            "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+            "RETURN count(q) + 1 AS c } RETURN p.name AS n, c"
+        ).df.collect()
+
+
+def test_intermediate_all_aggregate_with_raises(session, spark):
+    from cypher_for_apache_spark_spark.plans.planner import CypherPlanningError
+
+    nodes = {"N": spark.createDataFrame([(0, "a")], "id long, name string")}
+    rels = {
+        "E": spark.createDataFrame([(100, 0, 0)], "id long, src long, dst long")
+    }
+    g = session.read_from(nodes, rels)
+    with pytest.raises(CypherPlanningError, match="intermediate WITH"):
+        g.cypher(
+            "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+            "WITH count(q) AS c RETURN c } RETURN p.name AS n, c"
+        ).df.collect()
+
+
+def test_intermediate_with_explicit_grouping_key_still_works(session, spark):
+    """WITH q.name AS qn, count(q) AS c has a user grouping key — per-row
+    grouped semantics are preserved by threading imports in; zero-match
+    elimination matches Neo4j (grouped agg over zero rows -> no rows)."""
+    nodes = {
+        "N": spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "lonely")], "id long, name string"
+        )
+    }
+    rels = {
+        "E": spark.createDataFrame(
+            [(100, 0, 1), (101, 0, 1), (102, 1, 0)], "id long, src long, dst long"
+        )
+    }
+    g = session.read_from(nodes, rels)
+    got = rows(
+        g,
+        "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+        "WITH q.name AS qn, count(q) AS c WHERE c > 0 RETURN qn, c } "
+        "RETURN p.name AS n, qn, c",
+    )
+    assert got == [("a", "b", 2), ("b", "a", 1)]

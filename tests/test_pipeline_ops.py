@@ -591,6 +591,12 @@ def test_bpe_merges_match_reference(spark):
     assert got == want
     # sanity: the most common pair of the corpus is the first rule
     assert got[0][1] + got[0][2] in ("lo", "ow", "we", "wi", "id")
+    # guard: induction is one sequential driver-side argmax per round —
+    # production-size vocabularies are rejected loudly
+    from cypher_for_apache_spark_spark.operators.text import BPE_MAX_MERGES
+
+    with pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        bpe_merges(df, num_merges=BPE_MAX_MERGES + 1)
 
 
 def test_multimodal_codec_flag(spark):

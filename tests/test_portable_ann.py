@@ -149,6 +149,12 @@ def test_pq_codebooks_shape_and_determinism(vecs):
     assert len(a) == 8 and len(a[0]) == 8 and len(a[0][0]) == 8
     with pytest.raises(ValueError, match="divisible"):
         sim.pq_codebooks(vecs, n_codes=8, sub_dim=7)
+    # too few rows for the requested codebook: loud error, never a silently
+    # smaller codebook (and never an IndexError on empty input)
+    with pytest.raises(ValueError, match="n_codes"):
+        sim.pq_codebooks(vecs.limit(3), n_codes=8, sub_dim=8)
+    with pytest.raises(ValueError, match="n_codes"):
+        sim.pq_codebooks(vecs.limit(0), n_codes=8, sub_dim=8)
 
 
 def test_pq_seed_rows_encode_to_their_own_code(vecs):
