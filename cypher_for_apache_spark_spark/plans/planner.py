@@ -187,6 +187,8 @@ class Planner:
         start = 0
         if self.driving_table is None and len(q.clauses) >= 2:
             pre = self._try_eager_agg(q.clauses[0], q.clauses[1])
+            if pre is None:
+                pre = self._try_shortest_agg(q.clauses[0], q.clauses[1])
             if pre is not None:
                 rec = pre
                 start = 2
@@ -1183,6 +1185,257 @@ class Planner:
             (ids_col, rmeta.types if rdf is not None else frozenset(), True)
         )
         return Record(df, header)
+
+    def _try_shortest_agg(self, m, ret) -> Optional[Record]:
+        """Multiplicity (sigma) plan for ``MATCH p = allShortestPaths(...)
+        [WHERE ...] RETURN <agg over length(p)>``: when the path variable
+        is consumed only as ``length(p)`` / ``size(p)`` and the projection
+        aggregates (or is DISTINCT), the per-path row explosion is pure
+        multiplicity — carry one row per (source, target) endpoint pair
+        with a shortest-path COUNT column (sigma, exactly betweenness's
+        forward sweep) and aggregate through the existing weighted-
+        aggregate machinery. On dense bipartite expansions (Order-LINE-
+        Order) the path count grows superlinearly in the data while the
+        pair count stays near-linear, so this is the 100 TB plan; the
+        per-path plan at planner._plan_shortest_path stays for queries
+        that project the actual relationship list.
+
+        Soundness gates (any miss -> None, generic per-path plan): single
+        non-optional MATCH part wrapped in allShortestPaths with bounded
+        var-length and distinct endpoint variables; path/rel variables
+        referenced ONLY as the sole argument of length()/size() anywhere
+        in MATCH-WHERE / items / ORDER BY / trailing WHERE; aggregates
+        weight-expressible (same set as the eager-agg rewrite); no
+        pattern comprehensions/predicates."""
+        if self.graph is None:
+            return None
+        if not isinstance(m, A.MatchClause) or m.optional or len(m.parts) != 1:
+            return None
+        if not isinstance(ret, A.ProjectionClause) or ret.star:
+            return None
+        part = m.parts[0]
+        if part.shortest != "all" or len(part.rels) != 1:
+            return None
+        rel, src_pat, tgt_pat = part.rels[0], part.nodes[0], part.nodes[1]
+        if rel.var_length is None:
+            return None
+        lo, hi = rel.var_length
+        if hi is None or lo not in (0, 1):
+            return None
+        if src_pat.var is not None and src_pat.var == tgt_pat.var:
+            return None  # (a)-[*]-(a): keep the generic join plan
+        has_agg = any(A.contains_aggregate(e) for e, _ in ret.items)
+        if not has_agg and not ret.distinct:
+            return None  # plain projection: row multiplicity IS the result
+        exprs = [e for e, _ in ret.items] + [oi.expr for oi in ret.order_by]
+        if ret.where is not None:
+            exprs.append(ret.where)
+        all_exprs = exprs + ([m.where] if m.where is not None else [])
+        if any(
+            isinstance(n, (A.PatternComprehension, A.PatternPredicate))
+            for e in all_exprs
+            for n in e.walk()
+        ):
+            return None
+        for e in exprs:
+            for a in A.aggregate_subtrees(e):
+                if isinstance(a, A.CountStar):
+                    continue
+                if a.distinct:
+                    if a.name not in ("count", "sum", "avg", "collect", "min", "max"):
+                        return None
+                elif a.name not in ("count", "sum", "avg", "min", "max"):
+                    return None
+        pvars = {v for v in (part.path_var, rel.var) if v}
+
+        def len_only(e: A.Expr) -> bool:
+            if (
+                isinstance(e, A.FuncCall)
+                and e.name in ("length", "size")
+                and len(e.args) == 1
+                and isinstance(e.args[0], A.Var)
+                and e.args[0].name in pvars
+            ):
+                return True
+            if isinstance(e, A.Var) and e.name in pvars:
+                return False
+            return all(len_only(c) for c in e.children())
+
+        if pvars and not all(len_only(e) for e in all_exprs):
+            return None
+
+        planned = self._plan_all_shortest_sigma(part)
+        if planned is None:
+            return None
+        rec, plen_var, sigma_col = planned
+        subs: List[Tuple[A.Expr, A.Expr]] = []
+        for pv in sorted(pvars):
+            subs.append((A.FuncCall("length", [A.Var(pv)]), A.Var(plen_var)))
+            subs.append((A.FuncCall("size", [A.Var(pv)]), A.Var(plen_var)))
+        if m.where is not None:
+            rec = self.plan_where(rec, A.substitute(m.where, subs))
+        items2 = [(A.substitute(e, subs), a) for e, a in ret.items]
+        ret2 = A.ProjectionClause(
+            items2,
+            distinct=ret.distinct,
+            star=False,
+            order_by=[
+                A.OrderItem(A.substitute(oi.expr, subs), oi.asc)
+                for oi in ret.order_by
+            ],
+            skip=ret.skip,
+            limit=ret.limit,
+            where=A.substitute(ret.where, subs) if ret.where is not None else None,
+            is_return=ret.is_return,
+        )
+        if has_agg:
+            try:
+                return self._plan_aggregation(rec, ret2, items2, weight_col=sigma_col)
+            except WeightedAggUnsupported:
+                return None
+        # DISTINCT projection: multiplicity collapses, sigma is irrelevant
+        return self.plan_projection(rec, ret2)
+
+    def _plan_all_shortest_sigma(
+        self, part: A.PatternPart
+    ) -> Optional[Tuple[Record, str, str]]:
+        """Sigma-BFS for allShortestPaths: level-synchronous rounds keyed
+        (source, end, last-edge) with a shortest-path-count column instead
+        of one row per path with a rel-id array. Frontier pruning as in
+        _plan_shortest_path; edge-distinctness (trail semantics) reduces
+        to forbidding the immediate same-edge back-step, because every
+        other node of a counted walk sits at its first-reach BFS level —
+        an edge's endpoints are pinned to two consecutive levels, so the
+        only possible reuse is stepping straight back (the betweenness
+        sweep, algorithms.py:895-907, makes the same argument).
+        Returns (record binding src/tgt nodes + a hidden length value
+        variable, hidden-length var name, sigma column name)."""
+        rel, src_pat, tgt_pat = part.rels[0], part.nodes[0], part.nodes[1]
+        lo, hi = rel.var_length
+
+        rec = Record(None, {})
+        rec, src_var = self.ensure_node(rec, src_pat)
+        rec = self._materialize(rec)
+        src_meta = rec.header[src_var]
+
+        u = self._u(rel.var or self._anon())
+        len_col, sigma_col = f"{u}#plen", f"{u}#sigma"
+        src_c, end_c, last_c = f"{u}#bfssrc", f"{u}#bfsend", f"{u}#bfslast"
+        plen_var = f" plen{next(self._uid)}"
+
+        rdf, rmeta = self.scan_rel_frame(rel.var or self._anon(), rel.types)
+        if rdf is not None:
+            rdf = self._prop_filter(rdf, rmeta, rel.props)
+            trip = [
+                F.col(rmeta.src_col).alias("_near"),
+                F.col(rmeta.dst_col).alias("_far"),
+                F.col(rmeta.id_col).alias("_rid"),
+            ]
+            back = [
+                F.col(rmeta.dst_col).alias("_near"),
+                F.col(rmeta.src_col).alias("_far"),
+                F.col(rmeta.id_col).alias("_rid"),
+            ]
+            if rel.direction == "out":
+                step = rdf.select(trip)
+            elif rel.direction == "in":
+                step = rdf.select(back)
+            else:
+                step = rdf.select(trip).unionByName(rdf.select(back))
+            if hi > 1:
+                step = materialize(step)
+        else:
+            step = None
+
+        srcs = rec.df.select(F.col(src_meta.id_col).alias(src_c)).distinct()
+        if hi > 1:
+            srcs = materialize(srcs)
+        zero_pairs = srcs.select(src_c, F.col(src_c).alias(end_c))
+
+        one = F.lit(1).cast("long")
+        levels: List[DataFrame] = []
+        if lo == 0:
+            levels.append(
+                zero_pairs.select(
+                    src_c, end_c, F.lit(0).alias(len_col), one.alias(sigma_col)
+                )
+            )
+            visited = zero_pairs
+        else:
+            visited = zero_pairs.filter(F.lit(False))
+
+        if step is not None:
+            cur = srcs.join(step, F.col(src_c) == F.col("_near")).select(
+                src_c,
+                F.col("_far").alias(end_c),
+                F.col("_rid").alias(last_c),
+                one.alias(sigma_col),
+            )
+            for depth in range(1, hi + 1):
+                if depth > 1:
+                    cur = (
+                        cur.join(step, F.col(end_c) == F.col("_near"))
+                        # trail: the only reusable edge is the one just
+                        # traversed (see docstring)
+                        .filter(F.col("_rid") != F.col(last_c))
+                        .select(
+                            src_c,
+                            F.col("_far").alias(end_c),
+                            F.col("_rid").alias(last_c),
+                            F.col(sigma_col),
+                        )
+                    )
+                    if depth < hi:
+                        # collapse walk multiplicity BEFORE the next
+                        # expansion (this is where superlinear path growth
+                        # dies: the frontier is bounded by edges incident
+                        # to the level, never by path count). At the LAST
+                        # depth there is no next expansion and the weighted
+                        # aggregate downstream sums sigma anyway — grouping
+                        # here would be one more full-width shuffle for
+                        # nothing (measured 47.8 s -> 32.9 s at sf1 on
+                        # all_shortest_shared_part).
+                        cur = cur.groupBy(src_c, end_c, last_c).agg(
+                            F.sum(sigma_col).alias(sigma_col)
+                        )
+                if lo == 0 or depth > 1:
+                    cur = cur.join(visited, [src_c, end_c], "left_anti")
+                if depth < hi:
+                    cur = materialize(cur)
+                # sigma is additive: per-level output rows may stay at
+                # whatever granularity the frontier has — downstream
+                # weighted aggregation (or DISTINCT) absorbs duplicates
+                levels.append(
+                    cur.select(
+                        src_c, end_c, F.lit(depth).alias(len_col), sigma_col
+                    )
+                )
+                if depth < hi:
+                    visited = visited.unionByName(
+                        materialize(cur.select(src_c, end_c).distinct())
+                    )
+        elif lo > 0:
+            levels.append(
+                zero_pairs.filter(F.lit(False)).select(
+                    src_c, end_c, F.lit(0).alias(len_col), one.alias(sigma_col)
+                )
+            )
+
+        allrows = levels[0]
+        for l in levels[1:]:
+            allrows = allrows.unionByName(l)
+
+        header = dict(rec.header)
+        tgt_var = tgt_pat.var or self._anon()
+        tgt_scan, tmeta = self.scan_node_record(tgt_var, tgt_pat.labels)
+        tgt_scan = self._prop_filter(tgt_scan, tmeta, tgt_pat.props)
+        hits = allrows.join(tgt_scan, F.col(end_c) == F.col(tmeta.id_col))
+        df = rec.df.join(hits, F.col(src_meta.id_col) == F.col(src_c)).drop(
+            src_c, end_c
+        )
+        header[tgt_var] = tmeta
+        header[plen_var] = EntityMeta(kind="value", col=len_col)
+        return Record(df, header), plen_var, sigma_col
 
     def try_triplet_scan(
         self, rec: Record, nodes, rels, rel_ids
