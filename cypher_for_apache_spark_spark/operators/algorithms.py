@@ -863,6 +863,7 @@ def betweenness(
     sources: DataFrame,
     max_hops: Optional[int] = None,
     undirected: bool = False,
+    source_batches: int = 1,
 ) -> DataFrame:
     """Betweenness centrality (Brandes 2001), batched over a source set:
     for every source a forward BFS counts shortest paths (sigma), then a
@@ -874,6 +875,17 @@ def betweenness(
     hash-sampled source subset gives the standard estimator (scale by
     n/|sources| for the unbiased value); ``max_hops`` bounds both sweeps
     (only pairs within that distance count).
+
+    ``source_batches`` > 1 splits the sources into deterministic
+    xxhash64 waves processed sequentially, each through the full
+    forward+reverse sweep, with one cross-wave (id, delta) aggregation
+    at the end. The algebra is unchanged (delta sums over sources
+    commute); what changes is PEAK state: per-level frames carry
+    |S|/waves x reach pairs instead of |S| x reach, which is the knob
+    that keeps the frontier inside executor memory when |S| x |V| pairs
+    would otherwise spill — the 100 TB path. More waves = more
+    scheduling rounds, so at bench scale 1 wave is fastest; at cluster
+    scale pick waves ~ |S| x avg_reach / executor-memory budget.
 
     Scale shape: every step is an equi-join on the composite
     (source, node) long pair — the forward pass is ``landmark_distances``
@@ -888,10 +900,46 @@ def betweenness(
         )
     e = _checkpoint(e.dropDuplicates())
 
-    frontier = (
-        sources.select(F.col(sources.columns[0]).alias("lm"))
-        .dropDuplicates()
-        .select("lm", F.col("lm").alias("id"), F.lit(1.0).alias("sigma"))
+    lms = sources.select(F.col(sources.columns[0]).alias("lm")).dropDuplicates()
+    if source_batches <= 1:
+        waves = [lms]
+    else:
+        waves = [
+            lms.filter(F.pmod(F.xxhash64("lm"), F.lit(source_batches)) == F.lit(w))
+            for w in range(source_batches)
+        ]
+    parts: List[DataFrame] = []
+    for wave in waves:
+        d = _brandes_wave(e, wave, max_hops)
+        if d is not None:
+            parts.append(d)
+    if not parts:
+        return lms.select(
+            F.col("lm").alias("id"), F.lit(0.0).alias("betweenness")
+        ).filter(F.lit(False))
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    agg = (
+        out.groupBy("id")
+        .agg(F.sum("delta").alias("b"))
+        .filter(F.col("b") > 1e-12)
+    )
+    scale = 0.5 if undirected else 1.0
+    return agg.select(
+        "id", F.round(F.col("b") * F.lit(scale), 6).alias("betweenness")
+    )
+
+
+def _brandes_wave(
+    e: DataFrame, lms: DataFrame, max_hops: Optional[int]
+) -> Optional[DataFrame]:
+    """One Brandes forward+reverse sweep over a wave of sources: returns
+    per-(source, node) dependency rows (lm, id, sigma, delta) unioned over
+    levels, or None when the wave produced no paths. ``e`` must already be
+    deduplicated/checkpointed (shared across waves by the caller)."""
+    frontier = lms.select(
+        "lm", F.col("lm").alias("id"), F.lit(1.0).alias("sigma")
     )
     levels: List[DataFrame] = [_checkpoint(frontier)]
     visited = levels[0].select("lm", "id")
@@ -912,9 +960,7 @@ def betweenness(
         visited = visited.unionByName(nxt.select("lm", "id"))
 
     if len(levels) == 1:
-        return levels[0].select("id", F.lit(0.0).alias("betweenness")).filter(
-            F.lit(False)
-        )
+        return None
 
     # reverse sweep: delta over the BFS DAG, deepest level first
     delta = levels[-1].select("lm", "id", "sigma", F.lit(0.0).alias("delta"))
@@ -954,15 +1000,7 @@ def betweenness(
     out = per_level[0]
     for d in per_level[1:]:
         out = out.unionByName(d)
-    agg = (
-        out.groupBy("id")
-        .agg(F.sum("delta").alias("b"))
-        .filter(F.col("b") > 1e-12)
-    )
-    scale = 0.5 if undirected else 1.0
-    return agg.select(
-        "id", F.round(F.col("b") * F.lit(scale), 6).alias("betweenness")
-    )
+    return out
 
 
 def harmonic_closeness(

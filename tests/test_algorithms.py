@@ -557,3 +557,27 @@ def test_betweenness_sampled_sources_subset(spark):
     got = {r["id"]: r["betweenness"] for r in betweenness(e, srcs).collect()}
     exp = _brandes_reference(5, edges, sources=[0, 1])
     assert got == exp
+
+
+def test_betweenness_source_batches_equal_single_wave(spark):
+    # delta sums over sources commute, so wave-split results must be
+    # identical to the one-wave plan — on graphs with branching sigma
+    import random
+
+    rng = random.Random(31)
+    for trial in range(3):
+        n = rng.randint(6, 10)
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(2 * n)})
+        edges = [(a, b) for a, b in edges if a != b]
+        und = trial % 2 == 1
+        one = _bet(spark, edges, n, undirected=und)
+        for nb in (2, 3):
+            batched = _bet(spark, edges, n, undirected=und, source_batches=nb)
+            assert batched == one, f"trial {trial} nb={nb}"
+
+
+def test_betweenness_source_batches_with_hop_cap(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2), (2, 4)]
+    one = _bet(spark, edges, 5, max_hops=2)
+    assert _bet(spark, edges, 5, max_hops=2, source_batches=4) == one
+    assert one == _brandes_reference(5, edges, max_hops=2)
