@@ -322,6 +322,7 @@ def minhash_dedup(
     mode: str = "word",
     bands: int = 8,
     threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate removal: MinHash -> LSH banding -> signature-verified
     pairs above ``threshold`` -> drop the larger id of each pair.
@@ -339,7 +340,9 @@ def minhash_dedup(
     (rep_a, b) is — equal signatures share every band bucket and every
     estimate."""
     sigs = materialize(
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, mode)
+        minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_size, mode, hash_mode
+        )
     )
     reps = sigs.groupBy("signature").agg(F.min(id_col).alias("_rep"))
     with_rep = sigs.join(reps, "signature")
