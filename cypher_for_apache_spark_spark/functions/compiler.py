@@ -660,6 +660,11 @@ def _case(e: A.CaseExpr, ctx: CompileCtx) -> Column:
         cond = compile_expr(cond_e, ctx)
         if operand is not None:
             cond = operand == cond
+        elif _is(_dtype(ctx, cond), T.NullType):
+            # searched CASE with a literal-null condition: Cypher treats a
+            # null predicate as not-matched; Spark's CASE WHEN rejects a
+            # VOID-typed condition outright (DATATYPE_MISMATCH)
+            cond = cond.cast("boolean")
         val = compile_expr(val_e, ctx)
         out = F.when(cond, val) if out is None else out.when(cond, val)
     if e.default is not None:
@@ -755,6 +760,34 @@ def _reduce(e: A.Reduce, ctx: CompileCtx) -> Column:
     init_t = _dtype(ctx, init) or _static_type(e.init, ctx)
     src_t = _dtype(ctx, src)
     elem_t = src_t.elementType if _is(src_t, T.ArrayType) else None
+
+    # an untyped init (`reduce(acc = [], ...)` compiles to array<void>,
+    # `acc = null` to void) pins the aggregate's accumulator type, and
+    # Spark rejects the lambda when the merge result is any other type.
+    # Infer the real accumulator type by probing the merge body ONCE
+    # against the outer frame (acc := init, elem := first element), then
+    # cast the init — Neo4j's empty-list/null accumulators just work.
+    untyped = _is(init_t, T.NullType) or (
+        _is(init_t, T.ArrayType) and _is(init_t.elementType, T.NullType)
+    )
+    if untyped and ctx.df is not None:
+        lam = ctx.with_lambda(e.acc, init, init_t).with_lambda(
+            e.var, F.element_at(src, F.lit(1)), elem_t
+        )
+        probe_ctx = CompileCtx(
+            ctx.df, ctx.scope, ctx.params, lam.lambda_vars, lam.lambda_types
+        )
+        try:
+            bt = _dtype(ctx, compile_expr(e.expr, probe_ctx))
+        except Exception:
+            bt = None
+        if (
+            bt is not None
+            and not _is(bt, T.NullType)
+            and not (_is(bt, T.ArrayType) and _is(bt.elementType, T.NullType))
+        ):
+            init = init.cast(bt)
+            init_t = bt
 
     def merge(acc, x):
         c = ctx.with_lambda(e.acc, acc, init_t).with_lambda(e.var, x, elem_t)
