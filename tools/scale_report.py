@@ -35,7 +35,13 @@ def main() -> None:
         "",
         f"Benchmarks: sf{a['sf']:g} ({a['value']:.1f} s total, {len(qa)} queries)"
         f" vs sf{b['sf']:g} ({b['value']:.1f} s total, {len(qb)} queries),"
-        f" data ratio {ratio:g}x, local[32], bench.py frozen methodology.",
+        f" data ratio {ratio:g}x, local[32], "
+        + (
+            "bench.py --isolate (fresh JVM per query, warmup inside — immune "
+            "to cross-query JIT/codecache/GC contamination)."
+            if a.get("isolated") and b.get("isolated")
+            else "bench.py frozen methodology."
+        ),
         "",
         f"Total wall grew {b['value'] / a['value']:.2f}x for {ratio:g}x the data"
         " (sub-linear overall: fixed per-query overhead — job launch, codegen,"
