@@ -221,6 +221,34 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int, hash_mode: str) -> DataFrame:
+    """Keep a deterministic ``max_bucket``-member sample of each
+    (band, bucket) group of a banded frame with an ``_id`` column.
+
+    row_number over (band, bucket) ordered by a hash of the id — the
+    window's shuffle lands on the same (band, bucket) keys the downstream
+    self-join needs, so this adds sort work but no extra exchange. The
+    ``md5`` mode orders by the portable 60-bit hash so the sample — and
+    therefore a binding cap — is reproducible by any SQL engine."""
+    from pyspark.sql import Window as W
+
+    order = (
+        portable_hash60(F.col("_id").cast("string"))
+        if hash_mode == "md5"
+        else F.xxhash64(F.col("_id"))
+    )
+    return (
+        banded.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("band", "bucket").orderBy(order, F.col("_id"))
+            ),
+        )
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -228,6 +256,7 @@ def lsh_candidate_pairs(
     rows_per_band: Optional[int] = None,
     num_hashes: Optional[int] = None,
     hash_mode: str = "xxhash64",
+    max_bucket: Optional[int] = 1024,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band index, band hash) to get
     candidate pairs (a < b). The join key is a (int, long) pair — bounded
@@ -235,7 +264,24 @@ def lsh_candidate_pairs(
 
     ``num_hashes`` (or ``rows_per_band``) is REQUIRED: the signature width
     is part of the caller's sketch model, and inferring it by peeking at a
-    row would be a hidden driver-side action on the hot path."""
+    row would be a hidden driver-side action on the hot path.
+
+    ``max_bucket`` caps each (band, bucket) group to a deterministic
+    pseudo-random sample of that many members before the self-join.
+    Without it a k-member bucket emits O(k^2) pairs: boilerplate-heavy web
+    corpora routinely put 10^5-10^6 near-identical docs in one band bucket,
+    which at 100 TB is a 10^10-pair task key — one straggler that never
+    finishes. The cap bounds any bucket's contribution to
+    C(max_bucket, 2) pairs per band, trading recall ONLY inside buckets
+    hotter than the cap (the sig-equal collapse in the callers already
+    routes exact-duplicate clusters around this join, so a binding cap
+    means >max_bucket distinct-signature near-dups hashed together —
+    sampling there still surfaces the cluster, just not every pair).
+    Ordering inside a bucket is a hash of the id — a deterministic shuffle,
+    not head-of-file bias; in ``md5`` mode the hash is the portable 60-bit
+    md5 form so a SQL oracle can reproduce even a binding cap. Pass
+    ``None`` for the exact all-pairs join. Same design as the embedding
+    LSH path (similarity.py ``lsh_candidates`` max_bucket)."""
     if rows_per_band is None:
         if num_hashes is None:
             raise ValueError(
@@ -258,6 +304,8 @@ def lsh_candidate_pairs(
             )
         ).alias("_bb"),
     ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        banded = _cap_buckets(banded, max_bucket, hash_mode)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -288,10 +336,12 @@ def minhash_duplicate_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     hash_mode: str = "xxhash64",
+    max_bucket: Optional[int] = 1024,
 ) -> DataFrame:
     """Signature-verified near-duplicate pairs ``(id_a, id_b,
     jaccard_est >= threshold)`` from MinHash + LSH banding — the shared
-    candidate stage behind both dedup policies below."""
+    candidate stage behind both dedup policies below. ``max_bucket``
+    bounds hot band buckets (see ``lsh_candidate_pairs``)."""
     # signatures feed banding and both sides of the verification join;
     # materialize before the branches fan out (see ngram_jaccard_pairs)
     sigs = materialize(
@@ -300,7 +350,8 @@ def minhash_duplicate_pairs(
         )
     )
     pairs = lsh_candidate_pairs(
-        sigs, id_col, bands, num_hashes=num_hashes, hash_mode=hash_mode
+        sigs, id_col, bands, num_hashes=num_hashes, hash_mode=hash_mode,
+        max_bucket=max_bucket,
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -323,6 +374,7 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.8,
     hash_mode: str = "xxhash64",
+    max_bucket: Optional[int] = 1024,
 ) -> DataFrame:
     """Near-duplicate removal: MinHash -> LSH banding -> signature-verified
     pairs above ``threshold`` -> drop the larger id of each pair.
@@ -350,7 +402,10 @@ def minhash_dedup(
     rep_sigs = with_rep.filter(F.col(id_col) == F.col("_rep")).select(
         id_col, "signature"
     )
-    pairs = lsh_candidate_pairs(rep_sigs, id_col, bands, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(
+        rep_sigs, id_col, bands, num_hashes=num_hashes, hash_mode=hash_mode,
+        max_bucket=max_bucket,
+    )
     sa = rep_sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = rep_sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     rep_losers = (
@@ -376,6 +431,7 @@ def minhash_dedup_cc(
     bands: int = 8,
     threshold: float = 0.8,
     hash_mode: str = "xxhash64",
+    max_bucket: Optional[int] = 1024,
 ) -> DataFrame:
     """Cluster-complete near-duplicate removal: duplicate pairs form an
     undirected similarity graph; connected components collapse transitive
@@ -414,7 +470,8 @@ def minhash_dedup_cc(
         id_col, "signature"
     )
     pairs = lsh_candidate_pairs(
-        rep_sigs, id_col, bands, num_hashes=num_hashes, hash_mode=hash_mode
+        rep_sigs, id_col, bands, num_hashes=num_hashes, hash_mode=hash_mode,
+        max_bucket=max_bucket,
     )
     sa = rep_sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = rep_sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -780,6 +837,7 @@ def minhash_dedup_incremental(
     bands: int = 8,
     threshold: float = 0.8,
     hash_mode: str = "xxhash64",
+    max_bucket: Optional[int] = 1024,
 ) -> Tuple[DataFrame, DataFrame]:
     """Continuous-ingest dedup: drop incoming docs that near-duplicate the
     ALREADY-SIGNED corpus or a smaller-id doc in the same batch, without
@@ -820,6 +878,14 @@ def minhash_dedup_incremental(
         ).select("_id", "_bb.band", "_bb.bucket")
     new_b = banded(new_sigs)
     old_b = banded(existing_sigs)
+    if max_bucket is not None:
+        # a hot STORE bucket (the corpus-scale side) is the quadratic
+        # exposure here: new-in-bucket x old-in-bucket. A new doc only
+        # needs one >=threshold match to be dropped, so a bounded sample
+        # of each store bucket keeps the match probability while bounding
+        # the join fan-out; the intra-batch self-join gets the same cap.
+        old_b = _cap_buckets(old_b, max_bucket, hash_mode)
+        new_b = _cap_buckets(new_b, max_bucket, hash_mode)
     # candidate (new, other) pairs: vs the store (any id) OR vs an
     # earlier-id doc within the batch — one band join each, deduplicated
     cand = (
