@@ -223,6 +223,158 @@ class Planner:
         return final
 
     # -------------------------------------------------------- CALL { subquery }
+    def _agg_fill_specs(self, items, imports):
+        """Zero-match fill plan for an ALL-aggregate correlated projection.
+
+        openCypher empty-aggregate values: count/sum -> 0, collect -> [];
+        min/max/avg/stdev/percentile -> null (which a left join already
+        yields, so those need no explicit fill). Returns
+
+        - ``bare_fills``: alias -> "zero" | "empty_array" for items that
+          ARE a single aggregate call (coalesce-fillable: the aggregate's
+          matched value is never null for those kinds);
+        - ``composite``: alias -> fill AST for items that COMPOSE
+          aggregates into a larger expression (``count(q) + 1``): the item
+          with each maximal aggregate subtree replaced by its empty value.
+          Any VARIABLE left outside the aggregates is an implicit grouping
+          expression — Neo4j rejects the query outright ("Aggregation
+          column contains implicit grouping expressions"), and so do we.
+          The surviving fill is therefore constant per row; it applies
+          only to zero-match rows via a matched-marker column, never
+          coalesce — a composite's matched value can legitimately be
+          null."""
+        from cypher_for_apache_spark_spark.functions.registry import AGGREGATES
+
+        bare_fills: Dict[str, str] = {}
+        composite: Dict[str, A.Expr] = {}
+        for e, a in items:
+            bare = isinstance(e, A.CountStar) or (
+                isinstance(e, A.FuncCall) and e.name in AGGREGATES
+            )
+            if bare:
+                if isinstance(e, A.CountStar) or e.name in ("count", "sum"):
+                    bare_fills[a] = "zero"
+                elif e.name == "collect":
+                    bare_fills[a] = "empty_array"
+                continue
+            subs: List[Tuple[A.Expr, A.Expr]] = []
+            for agg in A.aggregate_subtrees(e):
+                if isinstance(agg, A.CountStar) or agg.name in ("count", "sum"):
+                    subs.append((agg, A.Lit(0)))
+                elif agg.name == "collect":
+                    subs.append((agg, A.ListLit([])))
+                else:
+                    subs.append((agg, A.Lit(None)))
+            fill_ast = A.substitute(e, subs)
+            for node in fill_ast.walk():
+                if isinstance(node, A.Var):
+                    raise CypherPlanningError(
+                        "a correlated CALL subquery aggregate expression "
+                        f"(`{a}`) references variable `{node.name}` outside "
+                        "the aggregate — an implicit grouping expression "
+                        "(Neo4j rejects this too); project it as its own "
+                        "item instead"
+                    )
+            composite[a] = fill_ast
+        return bare_fills, composite
+
+    def _plan_correlated_agg_with(
+        self,
+        cur: Record,
+        driving: Record,
+        imports: List[str],
+        clause: A.ProjectionClause,
+        items_c,
+    ) -> Record:
+        """Intermediate ``WITH <only aggregates>`` inside a correlated CALL:
+        ``WITH count(q) AS c`` has no grouping keys in Neo4j, so EVERY
+        input row yields one aggregate row — including zero-match rows.
+        Lowering: aggregate per import combination (imports threaded in as
+        grouping keys), LEFT-join the subquery's driving table back on the
+        import identities, and fill the empty aggregates (count/sum 0,
+        collect [], rest null). A WHERE on the WITH filters AFTER the
+        fill, exactly as Neo4j filters the aggregated row."""
+        fills, comp_fills = self._agg_fill_specs(items_c, imports)
+        aliases = [a for _, a in items_c]
+        items_p = list(items_c)
+        for v in imports:
+            if v in aliases:
+                bound = items_c[aliases.index(v)][0]
+                if not (isinstance(bound, A.Var) and bound.name == v):
+                    raise CypherPlanningError(
+                        f"CALL subquery cannot rebind imported variable `{v}`"
+                    )
+            else:
+                items_p.append((A.Var(v), v))
+        proj = A.ProjectionClause(
+            items_p, distinct=clause.distinct, star=False, is_return=False
+        )
+        agg = self.plan_projection(cur, proj)
+        import_cols = set()
+        for v in imports:
+            import_cols.update(driving.header[v].columns())
+        out_cols = []
+        seen = set()
+        for a in aliases:
+            if a in imports:
+                continue
+            for c in agg.header[a].columns():
+                if c not in seen and c not in import_cols:
+                    seen.add(c)
+                    out_cols.append(c)
+        key_pairs = sorted(
+            {
+                (self._key_col(driving.header[v]), self._key_col(agg.header[v]))
+                for v in imports
+            }
+        )
+        renames = {ik: f"{ik}#call{next(self._uid)}" for _, ik in key_pairs}
+        sel = [F.col(ik).alias(renames[ik]) for ik in renames]
+        sel += [F.col(c) for c in out_cols if c not in renames]
+        rdf = agg.df.select(*sel)
+        marker = None
+        if comp_fills:
+            marker = f"_m#call{next(self._uid)}"
+            rdf = rdf.withColumn(marker, F.lit(True))
+        cond = None
+        for ok, ik in key_pairs:
+            e = F.col(ok).eqNullSafe(F.col(renames[ik]))
+            cond = e if cond is None else cond & e
+        df = driving.df.join(rdf, cond, "left_outer").drop(*renames.values())
+        header = {v: driving.header[v] for v in imports}
+        for a in aliases:
+            if a in imports:
+                continue
+            header[a] = agg.header[a]
+        for a, kind in fills.items():
+            m = header.get(a)
+            if m is None or m.kind != "value":
+                continue
+            c = m.col
+            dt = next(f.dataType for f in df.schema.fields if f.name == c)
+            fill = (
+                F.array().cast(dt) if kind == "empty_array" else F.lit(0).cast(dt)
+            )
+            df = df.withColumn(c, F.coalesce(F.col(c), fill))
+        if marker is not None:
+            ctx = self._ctx(Record(df, {v: driving.header[v] for v in imports}))
+            for a, fill_ast in comp_fills.items():
+                m = header.get(a)
+                if m is None or m.kind != "value":
+                    continue
+                c = m.col
+                dt = next(f.dataType for f in df.schema.fields if f.name == c)
+                fill = compile_expr(fill_ast, ctx).cast(dt)
+                df = df.withColumn(
+                    c,
+                    F.when(F.col(marker).isNull(), fill).otherwise(F.col(c)),
+                )
+            df = df.drop(marker)
+        out = Record(df, header)
+        if clause.where is not None:
+            out = self.plan_where(out, clause.where)
+        return out
+
     def plan_call_subquery(self, rec: Record, clause: A.CallSubquery) -> Record:
         """``CALL { [WITH a, b] ... RETURN ... }`` (beyond reference parity;
         the reference has no subqueries). Set-based lowering of Neo4j's
@@ -296,6 +448,10 @@ class Planner:
         else:
             imports = []
             inner = Record(None, {})
+        # the subquery's driving table: one row per distinct import
+        # combination. Intermediate all-aggregate WITHs join back to THIS
+        # to restore zero-match input rows with empty-aggregate values.
+        driving = inner
 
         ret = clauses[-1]
         for c in clauses[:-1]:
@@ -323,16 +479,15 @@ class Planner:
                     ):
                         # ``WITH count(q) AS c`` has no grouping keys in
                         # Neo4j, so a zero-match input row still yields one
-                        # c=0 row; threading the imports in as grouping
-                        # keys would make that row vanish and the final
-                        # inner join-back would silently drop the input
-                        # row. Reject rather than diverge.
-                        raise CypherPlanningError(
-                            "an intermediate WITH of only aggregates inside "
-                            "a correlated CALL subquery is not supported "
-                            "(zero-match rows would be dropped); aggregate "
-                            "in the final RETURN instead"
+                        # c=0 row. Threading the imports in as grouping
+                        # keys alone would drop that row — so aggregate
+                        # per import combination, then left-join the
+                        # subquery's DRIVING table back and fill the empty
+                        # aggregates (count/sum 0, collect [], rest null).
+                        inner = self._plan_correlated_agg_with(
+                            inner, driving, imports, c, items_c
                         )
+                        continue
                     aliases = [a for _, a in items_c]
                     for v in imports:
                         if v in aliases:
@@ -372,37 +527,13 @@ class Planner:
         # earlier left-join-always lowering produced a spurious
         # (key=null, count=0) row here).
         all_agg = bool(items) and all(A.contains_aggregate(e) for e, _ in items)
-        # empty-aggregate fill values per openCypher: count/sum 0, collect
-        # []; min/max/avg/stdev/percentile are null, which the left join
-        # already yields. Fill analysis only covers a BARE aggregate call
-        # as the whole item — a composite like ``count(q) + 1`` would need
-        # the fill folded through the composition, so reject it rather
-        # than silently return null for zero-match rows.
-        fills = {}
+        # empty-aggregate fill plan (see _agg_fill_specs): bare aggregates
+        # coalesce-fill; composites (``count(q) + 1``) fold the empty
+        # values through the composition and apply via a matched-marker.
+        fills: Dict[str, str] = {}
+        comp_fills: Dict[str, A.Expr] = {}
         if correlated and all_agg:
-            from cypher_for_apache_spark_spark.functions.registry import AGGREGATES
-
-            for e, a in items:
-                bare = isinstance(e, A.CountStar) or (
-                    isinstance(e, A.FuncCall) and e.name in AGGREGATES
-                )
-                if not bare:
-                    raise CypherPlanningError(
-                        "a correlated CALL subquery RETURN item composing "
-                        f"an aggregate into a larger expression (`{a}`) is "
-                        "not supported: its zero-match value cannot be "
-                        "filled; RETURN the bare aggregate and compose "
-                        "outside the CALL"
-                    )
-        for e, a in items:
-            if isinstance(e, A.CountStar) or (
-                isinstance(e, A.FuncCall) and e.name == "count"
-            ):
-                fills[a] = "zero"
-            elif isinstance(e, A.FuncCall) and e.name == "sum":
-                fills[a] = "zero"
-            elif isinstance(e, A.FuncCall) and e.name == "collect":
-                fills[a] = "empty_array"
+            fills, comp_fills = self._agg_fill_specs(items, imports)
         ord_hidden: List[Tuple[str, bool]] = []
         if correlated:
             proj_items = list(items)
@@ -524,6 +655,12 @@ class Planner:
         sel = [F.col(ik).alias(renames[ik]) for ik in renames]
         sel += [F.col(c) for c in out_cols if c not in renames]
         rdf = inner.df.select(*sel)
+        marker = None
+        if all_agg and comp_fills:
+            # a composite's matched value can legitimately be null, so
+            # zero-match rows are detected by a marker, never by coalesce
+            marker = f"_m#call{next(self._uid)}"
+            rdf = rdf.withColumn(marker, F.lit(True))
         cond = None
         for ok, ik in key_pairs:
             e = F.col(ok).eqNullSafe(F.col(renames[ik]))
@@ -543,6 +680,20 @@ class Planner:
                     else F.lit(0).cast(dt)
                 )
                 df = df.withColumn(c, F.coalesce(F.col(c), fill))
+        if marker is not None:
+            ctx = self._ctx(Record(df, rec.header))
+            for a, fill_ast in comp_fills.items():
+                m = out_header[a]
+                if m.kind != "value":
+                    continue
+                c = m.col
+                dt = next(f.dataType for f in df.schema.fields if f.name == c)
+                fill = compile_expr(fill_ast, ctx).cast(dt)
+                df = df.withColumn(
+                    c,
+                    F.when(F.col(marker).isNull(), fill).otherwise(F.col(c)),
+                )
+            df = df.drop(marker)
         header = dict(rec.header)
         for a in out_aliases:
             if a in imports:
@@ -2016,13 +2167,25 @@ class Planner:
         joins with relationship-isomorphism filters, null-padded union of the
         per-length results (reference: VarLengthExpandPlanner.scala:82-170).
         The rel variable binds to the LIST of traversed relationship ids.
-        Unbounded upper is unsupported (parity: failing_blacklist:3-4)."""
+
+        UNBOUNDED upper (``[*]`` / ``[*n..]``) goes BEYOND the reference
+        (it blacklists the whole family, failing_blacklist:3-7): a
+        driver-paced fixpoint — extend the frontier one relationship per
+        iteration until it drains. Termination is guaranteed on any finite
+        graph because relationship isomorphism strictly grows the id list;
+        each level is materialized (scoped checkpoint) so lineage stays
+        flat and the emptiness probe is O(1) per level, the same loop
+        discipline as the shortest-path and iterative-algorithm machinery.
+
+        The frontier is SLIM — (start id, rel-id list, end id), never the
+        incoming record's columns: every level shuffles 3 columns and the
+        full record joins back once at the end (measured ~3x on deep
+        chains; at cluster scale the per-level shuffle volume is what
+        would dominate). When the oriented step scan is small, the
+        fixpoint hints broadcast so the whole loop is shuffle-free on the
+        step side."""
         lo, hi = rel.var_length
-        if hi is None:
-            raise CypherPlanningError(
-                "unbounded var-length expand (*..) is not supported; give an upper bound"
-            )
-        if lo < 0 or hi < lo:
+        if lo < 0 or (hi is not None and hi < lo):
             raise CypherPlanningError(f"bad var-length range *{lo}..{hi}")
         if hi == 0 and lo == 0 and tgt.var == src_var:
             pass  # zero-length self: handled below
@@ -2062,7 +2225,7 @@ class Planner:
                 step = orient(rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col).unionByName(
                     orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col)
                 )
-            if self.cache_varlength_scans and hi > 1:
+            if self.cache_varlength_scans and (hi is None or hi > 1):
                 # the same oriented scan is joined up to ``hi`` times —
                 # materialize it or Spark recomputes the scan per branch
                 # (reference: RelationalOptimizer.scala
@@ -2074,41 +2237,93 @@ class Planner:
         else:
             step = None
 
+        start_col = f"{u}#start"
+        starts = rec.df.select(
+            F.col(src_meta.id_col).alias(start_col)
+        ).dropDuplicates()
+
         levels: List[DataFrame] = []
         if lo == 0:
-            zero = rec.df.select(
-                "*",
+            zero = starts.select(
+                start_col,
                 F.array().cast("array<long>").alias(ids_col),
-                F.col(src_meta.id_col).alias(end_col),
+                F.col(start_col).alias(end_col),
             )
             levels.append(zero)
 
-        if step is not None and hi >= 1:
+        if step is not None and (hi is None or hi >= 1):
+            if hi is None:
+                # one count job decides the fixpoint's join strategy: the
+                # step scan is checkpointed (opaque to AQE's stats), so
+                # hint broadcast explicitly when it's comfortably small —
+                # the whole loop then never shuffles the step side
+                if step.count() <= 2_000_000:
+                    step = F.broadcast(step)
             s1 = step.select(
                 F.col("_near"),
                 F.array(F.col("_rid")).alias(ids_col),
                 F.col("_far").alias(end_col),
             )
-            cur = rec.df.join(s1, F.col(src_meta.id_col) == F.col("_near")).drop("_near")
-            if lo <= 1:
-                levels.append(cur)
-            for depth in range(2, hi + 1):
+            cur = starts.join(s1, F.col(start_col) == F.col("_near")).drop("_near")
+
+            def extend(cur: DataFrame) -> DataFrame:
                 nxt = cur.join(step, F.col(end_col) == F.col("_near")).filter(
                     ~F.array_contains(F.col(ids_col), F.col("_rid"))
                 )
-                cur = nxt.select(
+                return nxt.select(
                     *[c for c in cur.columns if c not in (ids_col, end_col)],
                     F.concat(F.col(ids_col), F.array(F.col("_rid"))).alias(ids_col),
                     F.col("_far").alias(end_col),
                 )
-                if depth >= lo:
-                    levels.append(cur)
+
+            if lo <= 1:
+                levels.append(cur)
+            if hi is not None:
+                for depth in range(2, hi + 1):
+                    cur = extend(cur)
+                    if depth >= lo:
+                        levels.append(cur)
+            else:
+                # fixpoint: iterate until the frontier drains. At high
+                # depths the cost is driver round trips (checkpoint job +
+                # emptiness probe per level), not data — so extend K
+                # levels per round trip: one chunk = K chained joins, one
+                # checkpoint, one probe. Intermediate levels re-derive
+                # from the chunk's base checkpoint at union time (1..K-1
+                # cheap joins, broadcast on the step side); extends past
+                # the drain point are empty frames in the union. Lineage
+                # stays flat (every K levels), termination unchanged.
+                K = 4
+                cur = materialize(cur)
+                depth = 1
+                while not cur.isEmpty():
+                    appended_last = False
+                    for _ in range(K):
+                        depth += 1
+                        cur = extend(cur)
+                        if depth >= lo:
+                            levels.append(cur)
+                            appended_last = True
+                    cur = materialize(cur)
+                    if appended_last:
+                        # the chunk's last level reads the checkpoint
+                        # directly, not the re-derived K-join plan
+                        levels[-1] = cur
 
         if not levels:
-            raise CypherPlanningError("var-length expand produced no levels")
-        df = levels[0]
+            if step is not None:
+                # e.g. [*3..] on a graph whose walks drained at depth 2:
+                # an empty result with the right shape, not an error
+                levels.append(cur.limit(0))
+            else:
+                raise CypherPlanningError("var-length expand produced no levels")
+        paths = levels[0]
         for l in levels[1:]:
-            df = df.unionByName(l)
+            paths = paths.unionByName(l)
+        # the slim paths rejoin the full incoming record exactly once
+        df = rec.df.join(
+            paths, F.col(src_meta.id_col) == F.col(start_col)
+        ).drop(start_col)
 
         header = dict(rec.header)
         header[rel_var] = EntityMeta(kind="value", col=ids_col)

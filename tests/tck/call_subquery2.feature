@@ -166,23 +166,37 @@ Feature: CallSubquery2
       | 'c' | 0 | 0  | null |
     And no side effects
 
-  Scenario: Composite aggregate expression in correlated CALL RETURN is rejected
+  Scenario: Composite aggregate expression in correlated CALL RETURN fills through
+    # supported since round 7: zero-match folds the empty-aggregate value
+    # through the composition (see call_subquery_zero_match.feature)
     When executing query:
       """
       MATCH (p:P)
       CALL { WITH p MATCH (p)-[:T]->(q) RETURN count(q) + 1 AS c }
       RETURN p.name AS n, c
       """
-    Then a SyntaxError should be raised
+    Then the result should be, in any order:
+      | n   | c |
+      | 'a' | 3 |
+      | 'b' | 2 |
+      | 'c' | 1 |
+    And no side effects
 
-  Scenario: Intermediate all-aggregate WITH in correlated CALL is rejected
+  Scenario: Intermediate all-aggregate WITH in correlated CALL keeps zero-match rows
+    # supported since round 7: per-input-row ungrouped aggregate, filled
+    # to 0 on zero matches (see call_subquery_zero_match.feature)
     When executing query:
       """
       MATCH (p:P)
       CALL { WITH p MATCH (p)-[:T]->(q) WITH count(q) AS c RETURN c }
       RETURN p.name AS n, c
       """
-    Then a SyntaxError should be raised
+    Then the result should be, in any order:
+      | n   | c |
+      | 'a' | 2 |
+      | 'b' | 1 |
+      | 'c' | 0 |
+    And no side effects
 
   Scenario: Intermediate WITH with a user grouping key keeps per-row semantics
     When executing query:

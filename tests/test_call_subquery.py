@@ -124,7 +124,32 @@ def test_all_agg_return_keeps_zero_match_rows_with_fills(session, spark):
     assert got == [("a", 1, 5, 5), ("lonely", 0, 0, None)]
 
 
-def test_composite_aggregate_item_raises(session, spark):
+def test_composite_aggregate_fills_through_composition(session, spark):
+    """``RETURN count(q) + 1`` in a zero-match correlated CALL folds the
+    empty-aggregate value through the composition (0 + 1 = 1)."""
+    nodes = {
+        "N": spark.createDataFrame(
+            [(0, "a"), (1, "lonely")], "id long, name string"
+        )
+    }
+    rels = {
+        "E": spark.createDataFrame(
+            [(100, 0, 0), (101, 0, 1)], "id long, src long, dst long"
+        )
+    }
+    g = session.read_from(nodes, rels)
+    got = rows(
+        g,
+        "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+        "RETURN count(q) + 1 AS c, size(collect(q.name)) AS s } "
+        "RETURN p.name AS n, c, s",
+    )
+    assert sorted(got) == [("a", 3, 2), ("lonely", 1, 0)]
+
+
+def test_composite_aggregate_implicit_grouping_raises(session, spark):
+    """A variable composed with an aggregate outside the aggregate is an
+    implicit grouping expression — Neo4j rejects the query; so do we."""
     from cypher_for_apache_spark_spark.plans.planner import CypherPlanningError
 
     nodes = {"N": spark.createDataFrame([(0, "a")], "id long, name string")}
@@ -132,26 +157,62 @@ def test_composite_aggregate_item_raises(session, spark):
         "E": spark.createDataFrame([(100, 0, 0)], "id long, src long, dst long")
     }
     g = session.read_from(nodes, rels)
-    with pytest.raises(CypherPlanningError, match="compos"):
+    with pytest.raises(CypherPlanningError, match="implicit grouping"):
         g.cypher(
             "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
-            "RETURN count(q) + 1 AS c } RETURN p.name AS n, c"
+            "RETURN count(q) + p.id AS c } RETURN p.name AS n, c"
         ).df.collect()
 
 
-def test_intermediate_all_aggregate_with_raises(session, spark):
-    from cypher_for_apache_spark_spark.plans.planner import CypherPlanningError
-
-    nodes = {"N": spark.createDataFrame([(0, "a")], "id long, name string")}
+def test_intermediate_all_aggregate_with_keeps_zero_match_rows(session, spark):
+    """``WITH count(q) AS c`` inside a correlated CALL has no grouping keys
+    in Neo4j: every input row yields one aggregate row, zero-match rows
+    included (c = 0), and downstream clauses see it."""
+    nodes = {
+        "N": spark.createDataFrame(
+            [(0, "a"), (1, "lonely")], "id long, name string"
+        )
+    }
     rels = {
-        "E": spark.createDataFrame([(100, 0, 0)], "id long, src long, dst long")
+        "E": spark.createDataFrame(
+            [(100, 0, 0), (101, 0, 1)], "id long, src long, dst long"
+        )
     }
     g = session.read_from(nodes, rels)
-    with pytest.raises(CypherPlanningError, match="intermediate WITH"):
-        g.cypher(
-            "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
-            "WITH count(q) AS c RETURN c } RETURN p.name AS n, c"
-        ).df.collect()
+    got = rows(
+        g,
+        "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+        "WITH count(q) AS c RETURN c * 10 AS d } RETURN p.name AS n, d",
+    )
+    assert sorted(got) == [("a", 20), ("lonely", 0)]
+
+
+def test_intermediate_aggregate_with_where_filters_after_fill(session, spark):
+    """WHERE on the aggregate WITH filters the FILLED row — a zero-match
+    input passes ``WHERE c = 0`` and is eliminated by ``WHERE c > 0``."""
+    nodes = {
+        "N": spark.createDataFrame(
+            [(0, "a"), (1, "lonely")], "id long, name string"
+        )
+    }
+    rels = {
+        "E": spark.createDataFrame(
+            [(100, 0, 0), (101, 0, 1)], "id long, src long, dst long"
+        )
+    }
+    g = session.read_from(nodes, rels)
+    got = rows(
+        g,
+        "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+        "WITH count(q) AS c WHERE c = 0 RETURN c } RETURN p.name AS n, c",
+    )
+    assert got == [("lonely", 0)]
+    got2 = rows(
+        g,
+        "MATCH (p:N) CALL { WITH p MATCH (p)-[:E]->(q) "
+        "WITH count(q) AS c WHERE c > 0 RETURN c } RETURN p.name AS n, c",
+    )
+    assert got2 == [("a", 2)]
 
 
 def test_intermediate_with_explicit_grouping_key_still_works(session, spark):
