@@ -218,6 +218,29 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
              SELECT CAST(2 AS BIGINT) AS hops FROM e a JOIN e b ON a.t = b.s)
            GROUP BY hops""",
     ),
+    # unbounded upper ([*2..], round 7 — beyond reference parity): the
+    # fixpoint expand walks each customer's order chain to its end. NEXT
+    # is acyclic (row_number chain), so trail semantics = plain walks and
+    # a recursive CTE is an exact oracle.
+    "varlength_unbounded_chain": (
+        """MATCH (a:Order)-[rs:NEXT*2..]->(b:Order)
+           RETURN size(rs) AS hops, count(*) AS c""",
+        """WITH RECURSIVE seq AS (
+             SELECT o_orderkey, o_custkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM orders),
+           e AS (
+             SELECT a.o_orderkey AS s, b.o_orderkey AS t
+             FROM seq a JOIN seq b
+               ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+           walk(s, t, hops) AS (
+             SELECT s, t, CAST(1 AS BIGINT) AS hops FROM e
+             UNION ALL
+             SELECT w.s, e.t, w.hops + 1 FROM walk w JOIN e ON w.t = e.s)
+           SELECT hops, count(*) AS c FROM walk WHERE hops >= 2
+           GROUP BY hops""",
+    ),
     # -- CALL { } subquery (correlated, per-row aggregates) -------------------
     "call_subquery_orders": (
         """MATCH (c:Customer)

@@ -78,9 +78,16 @@ Feature: VarLengthDetails
       | 'c'  |
     And no side effects
 
-  Scenario: Unbounded upper bound is rejected
+  Scenario: Unbounded upper bound walks the chain to its end
+    # supported since round 7 (fixpoint expand, beyond reference parity —
+    # see varlength_unbounded.feature for the full family)
     When executing query:
       """
       MATCH (a:N {name: 'a'})-[:R*]->(x) RETURN x.name AS name
       """
-    Then a SyntaxError should be raised at compile time: UnboundedVarLength
+    Then the result should be, in any order:
+      | name |
+      | 'b'  |
+      | 'c'  |
+      | 'd'  |
+    And no side effects

@@ -30,9 +30,9 @@ def g(session, spark):
 
 
 BLACKLISTED = [
-    # unbounded var-length (failing_blacklist:3-4)
-    "MATCH (a)-[*]->(b) RETURN a.name",
-    "MATCH (a)-[*1..]->(b) RETURN a.name",
+    # unbounded [*] / [*n..] is SUPPORTED since round 7 (fixpoint expand,
+    # beyond reference parity — see tests/tck/varlength_unbounded.feature);
+    # only the shortestPath variants below still gate.
     # variable-length named paths (fixed-length path values ARE
     # supported — beyond the reference; see tests/tck/named_paths.feature)
     "MATCH p = (a)-[:KNOWS*1..2]->(b) RETURN p",
