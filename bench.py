@@ -174,6 +174,7 @@ def _run_isolated(sf_dir: str, cpus: str, sf: float) -> None:
 
     me = os.path.abspath(__file__)
     timings: dict[str, float] = {}
+    failed: list[str] = []
     total = 0.0
     for name in E.queries():
         env = dict(os.environ)
@@ -191,14 +192,19 @@ def _run_isolated(sf_dir: str, cpus: str, sf: float) -> None:
             rec = json.loads(line)
         except Exception as ex:
             print(f"# isolate error in {name}: {ex}", file=sys.stderr)
+            failed.append(name)
             continue
         if rec.get("sec") is None:
             print(f"# isolate: {name} failed", file=sys.stderr)
+            failed.append(name)
             continue
         timings[name] = rec["sec"]
         total += rec["sec"]
         print(f"# {name}: {rec['sec']}s", file=sys.stderr)
-    _emit(total, timings, {}, sf, isolated=True)
+    # failed names travel with the record: two isolated records are only
+    # total-comparable over the same query set, and scale_report refuses
+    # to ratio totals when the sets differ (ADVICE r6)
+    _emit(total, timings, {}, sf, isolated=True, failed=failed)
 
 
 def _emit(
@@ -207,21 +213,22 @@ def _emit(
     jvm_stats: dict[str, dict],
     sf: float,
     isolated: bool = False,
+    failed: list[str] | None = None,
 ) -> None:
     # Final stdout line is TOTALS-ONLY (~100 bytes): the driver's tail
     # capture is ~2 KB and rounds 3-5 lost the record to truncation when
     # the per-query map was embedded. Per-query timings go to
     # BENCH_local_latest.json (or BENCH_local_isolated.json).
-    compact = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": round(total, 3),
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-        },
-        separators=(",", ":"),
-    )
+    compact_rec = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if failed:
+        compact_rec["failed"] = len(failed)
+    compact = json.dumps(compact_rec, separators=(",", ":"))
     full = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -231,6 +238,7 @@ def _emit(
             "sf": sf,
             "isolated": isolated,
             "jvm": jvm_stats,
+            "failed": failed or [],
         }
     )
     fname = "BENCH_local_isolated.json" if isolated else "BENCH_local_latest.json"

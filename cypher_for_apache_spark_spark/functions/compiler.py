@@ -786,8 +786,26 @@ def _reduce(e: A.Reduce, ctx: CompileCtx) -> Column:
             and not _is(bt, T.NullType)
             and not (_is(bt, T.ArrayType) and _is(bt.elementType, T.NullType))
         ):
-            init = init.cast(bt)
-            init_t = bt
+            # fix-point check (ADVICE r6): the first probe ran with a
+            # null-typed acc, and a body whose type DEPENDS on the acc's
+            # type could yield a different steady-state type (a silent
+            # numeric widening, say). Re-probe with the casted init; only
+            # adopt the cast when the probed type fixes — otherwise keep
+            # the original init and let Spark's analysis raise loudly.
+            casted = init.cast(bt)
+            lam2 = ctx.with_lambda(e.acc, casted, bt).with_lambda(
+                e.var, F.element_at(src, F.lit(1)), elem_t
+            )
+            probe2_ctx = CompileCtx(
+                ctx.df, ctx.scope, ctx.params, lam2.lambda_vars, lam2.lambda_types
+            )
+            try:
+                bt2 = _dtype(ctx, compile_expr(e.expr, probe2_ctx))
+            except Exception:
+                bt2 = None
+            if bt2 == bt:
+                init = casted
+                init_t = bt
 
     def merge(acc, x):
         c = ctx.with_lambda(e.acc, acc, init_t).with_lambda(e.var, x, elem_t)

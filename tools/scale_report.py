@@ -23,6 +23,20 @@ def main() -> None:
     ratio = b["sf"] / a["sf"]
     qa, qb = a["queries"], b["queries"]
     shared = sorted(set(qa) & set(qb))
+    # totals are only comparable over the SAME query set: a partially
+    # failed isolated run (bench.py records its `failed` list) would
+    # otherwise yield a misleading growth ratio (ADVICE r6). Ratio over
+    # the intersection; surface any asymmetry loudly.
+    only_a, only_b = sorted(set(qa) - set(qb)), sorted(set(qb) - set(qa))
+    if only_a or only_b:
+        print(
+            f"WARNING: query sets differ — only in A: {only_a or '[]'}, "
+            f"only in B: {only_b or '[]'}; totals computed over the "
+            f"{len(shared)}-query intersection",
+            file=sys.stderr,
+        )
+    total_a = sum(qa[q] for q in shared)
+    total_b = sum(qb[q] for q in shared)
     rows = []
     for q in shared:
         growth = qb[q] / qa[q] if qa[q] > 0 else float("inf")
@@ -33,17 +47,22 @@ def main() -> None:
     lines = [
         "# SCALE — wall-clock growth vs data growth",
         "",
-        f"Benchmarks: sf{a['sf']:g} ({a['value']:.1f} s total, {len(qa)} queries)"
-        f" vs sf{b['sf']:g} ({b['value']:.1f} s total, {len(qb)} queries),"
-        f" data ratio {ratio:g}x, local[32], "
+        f"Benchmarks: sf{a['sf']:g} ({total_a:.1f} s, {len(shared)} shared queries)"
+        f" vs sf{b['sf']:g} ({total_b:.1f} s), data ratio {ratio:g}x, local[32], "
         + (
             "bench.py --isolate (fresh JVM per query, warmup inside — immune "
             "to cross-query JIT/codecache/GC contamination)."
             if a.get("isolated") and b.get("isolated")
             else "bench.py frozen methodology."
+        )
+        + (
+            f" NOTE: query sets differ (A-only: {only_a}, B-only: {only_b});"
+            " totals cover the intersection only."
+            if only_a or only_b
+            else ""
         ),
         "",
-        f"Total wall grew {b['value'] / a['value']:.2f}x for {ratio:g}x the data"
+        f"Total wall grew {total_b / total_a:.2f}x for {ratio:g}x the data"
         " (sub-linear overall: fixed per-query overhead — job launch, codegen,"
         " Python round-trips — amortizes as partitions fill).",
         "",
