@@ -229,3 +229,57 @@ def test_bpe_encode_plan_broadcasts_vocab(spark):
     # the merge-fold vocab joins back via broadcast: corpus side never
     # shuffles on the word
     assert "BroadcastHashJoin" in plan
+
+
+# -- measured recall floors vs exact brute force (VERDICT r6 task #8) --------
+# knn_lsh already has one (tests/test_pipeline_ops.py
+# test_knn_lsh_measured_recall); these pin IVF and PQ/ADC.
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """8 Gaussian clusters, 200 base vectors + 10 held-out queries —
+    ground truth per query is exact cosine top-5 (knn_brute)."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.15) for c in centers[i % 8]]) for i in range(200)
+    ]
+    queries = [
+        [c + rng.gauss(0, 0.15) for c in centers[j % 8]] for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, queries
+
+
+def _mean_recall(df, queries, search, k=5):
+    recs = []
+    for q in queries:
+        truth = {r["vec_id"] for r in sim.knn_brute(df, q, k=k).collect()}
+        got = {r["vec_id"] for r in search(q).collect()}
+        recs.append(len(truth & got) / k)
+    return sum(recs) / len(recs)
+
+
+def test_ivf_measured_recall_floor(clustered):
+    """IVF probing 2 of 8 lists on cluster-shaped data: near-exact —
+    the probed lists are where the true neighbors live (measured 1.0)."""
+    df, queries = clustered
+    cents = sim.ivf_train_centroids(df, n_centroids=8, max_train_rows=64)
+    r = _mean_recall(df, queries, lambda q: sim.ivf_search(df, q, cents, k=5, n_probes=2))
+    assert r >= 0.9, f"IVF recall@5 = {r:.3f}"
+
+
+def test_pq_measured_recall_floor(clustered):
+    """PQ/ADC is a lossy scorer: recall@5 directly is moderate (measured
+    0.5), but the standard retrieve-R-then-rerank window catches the true
+    neighbors — recall@5-in-top-20 measured 1.0. Pin both floors."""
+    df, queries = clustered
+    cbs = sim.pq_codebooks(df, n_codes=64, sub_dim=4)
+    direct = _mean_recall(df, queries, lambda q: sim.pq_search(df, q, cbs, k=5))
+    window = _mean_recall(df, queries, lambda q: sim.pq_search(df, q, cbs, k=20))
+    assert direct >= 0.3, f"PQ direct recall@5 = {direct:.3f}"
+    assert window >= 0.9, f"PQ recall@5-in-top20 = {window:.3f}"
