@@ -535,6 +535,12 @@ def _string_pred(e: A.StringPred, ctx: CompileCtx) -> Column:
         return l.endswith(r)
     if e.op == "contains":
         return l.contains(r)
+    # regex: a null pattern makes the match null (openCypher) — gate it
+    # before the literal requirement, which exists for pushdown
+    if isinstance(e.rhs, A.Lit) and e.rhs.value is None:
+        return F.lit(None).cast("boolean")
+    if isinstance(e.rhs, A.Param) and ctx.params.get(e.rhs.name) is None:
+        return F.lit(None).cast("boolean")
     return l.rlike(_require_str_lit(e.rhs, ctx))  # regex
 
 
@@ -559,6 +565,9 @@ def _in(e: A.In, ctx: CompileCtx) -> Column:
     l = compile_expr(e.lhs, ctx)
     r = compile_expr(e.rhs, ctx)
     rt = _dtype(ctx, r)
+    if _is(rt, T.NullType):
+        # x IN null is unknown for every x (openCypher)
+        return F.lit(None).cast("boolean")
     if _is(rt, T.ArrayType) and isinstance(rt.elementType, T.NullType):
         # list of only-null literals: containment is unknown
         return F.lit(None).cast("boolean")
@@ -706,12 +715,20 @@ def _slice(e: A.Slice, ctx: CompileCtx) -> Column:
 
     def norm(c: Column) -> Column:
         # negative bounds count from the end (xs[-3..-1] = xs[n-3..n-1]);
-        # both directions clamp into [0, n]. Null bounds -> null result.
-        return F.when(c < 0, F.greatest(n + c, F.lit(0))).otherwise(F.least(c, n))
+        # both directions clamp into [0, n]. Null bounds -> null result —
+        # propagate explicitly: least/greatest SKIP nulls, they don't
+        # poison, so xs[0..null] would otherwise clamp to n
+        return (
+            F.when(c.isNull(), F.lit(None))
+            .when(c < 0, F.greatest(n + c, F.lit(0)))
+            .otherwise(F.least(c, n))
+        )
 
     lo = norm(compile_expr(e.lo, ctx).cast("int")) if e.lo is not None else F.lit(0)
     hi = norm(compile_expr(e.hi, ctx).cast("int")) if e.hi is not None else n
-    return F.slice(base, lo + F.lit(1), F.greatest(hi - lo, F.lit(0)))
+    return F.when(
+        lo.isNull() | hi.isNull(), F.lit(None)
+    ).otherwise(F.slice(base, lo + F.lit(1), F.greatest(hi - lo, F.lit(0))))
 
 
 def _elem_type(ctx: CompileCtx, src: Column) -> Optional[T.DataType]:
@@ -721,6 +738,10 @@ def _elem_type(ctx: CompileCtx, src: Column) -> Optional[T.DataType]:
 
 def _list_comp(e: A.ListComp, ctx: CompileCtx) -> Column:
     src = compile_expr(e.source, ctx)
+    if _is(_dtype(ctx, src), T.NullType):
+        # [x IN null | ...] is null (openCypher); a VOID source would
+        # type-error inside transform/filter at analysis
+        return F.lit(None)
     et = _elem_type(ctx, src)
     out = src
     if e.where is not None:
@@ -736,6 +757,9 @@ def _list_comp(e: A.ListComp, ctx: CompileCtx) -> Column:
 
 def _quantified(e: A.Quantified, ctx: CompileCtx) -> Column:
     src = compile_expr(e.source, ctx)
+    if _is(_dtype(ctx, src), T.NullType):
+        # any/all/none/single over a null list is null (openCypher)
+        return F.lit(None).cast("boolean")
     et = _elem_type(ctx, src)
 
     def pred(x):
@@ -753,6 +777,9 @@ def _quantified(e: A.Quantified, ctx: CompileCtx) -> Column:
 
 def _reduce(e: A.Reduce, ctx: CompileCtx) -> Column:
     src = compile_expr(e.source, ctx)
+    if _is(_dtype(ctx, src), T.NullType):
+        # reduce over a null list is null (openCypher)
+        return F.lit(None)
     init = compile_expr(e.init, ctx)
     # probe types OUTSIDE the lambda (the body can't) so the accumulator /
     # element get static types and `+` resolves its string/list overloads
@@ -929,7 +956,19 @@ def _meta_arg(e: A.FuncCall, ctx: CompileCtx) -> EntityMeta:
     raise CypherCompileError(f"{e.name}() expects a bound node/relationship variable")
 
 
+def _is_null_lit_arg(e: A.FuncCall) -> bool:
+    """labels(null), type(null), id(null), keys(null), properties(null)
+    are all null in openCypher — not compile errors."""
+    return (
+        len(e.args) == 1
+        and isinstance(e.args[0], A.Lit)
+        and e.args[0].value is None
+    )
+
+
 def _fn_id(e, ctx):
+    if _is_null_lit_arg(e):
+        return F.lit(None).cast("long")
     meta = _meta_arg(e, ctx)
     if meta.kind == "value":
         return F.col(meta.col)
@@ -937,6 +976,8 @@ def _fn_id(e, ctx):
 
 
 def _fn_labels(e, ctx):
+    if _is_null_lit_arg(e):
+        return F.lit(None).cast("array<string>")
     meta = _meta_arg(e, ctx)
     if meta.kind != "node":
         raise CypherCompileError("labels() expects a node")
@@ -944,6 +985,8 @@ def _fn_labels(e, ctx):
 
 
 def _fn_type(e, ctx):
+    if _is_null_lit_arg(e):
+        return F.lit(None).cast("string")
     meta = _meta_arg(e, ctx)
     if meta.kind != "rel":
         raise CypherCompileError("type() expects a relationship")
@@ -951,6 +994,8 @@ def _fn_type(e, ctx):
 
 
 def _fn_keys(e, ctx):
+    if _is_null_lit_arg(e):
+        return F.lit(None).cast("array<string>")
     try:
         meta = _meta_arg(e, ctx)
     except CypherCompileError:
@@ -960,9 +1005,11 @@ def _fn_keys(e, ctx):
             F.when(F.col(c).isNotNull(), F.lit(k))
             for k, c in sorted(meta.prop_cols.items())
         ]
+        # an unmatched OPTIONAL entity (null id) has null keys, not []
+        bound = F.col(meta.id_col).isNotNull()
         if not items:
-            return F.array().cast("array<string>")
-        return F.array_compact(F.array(*items))
+            return F.when(bound, F.array().cast("array<string>"))
+        return F.when(bound, F.array_compact(F.array(*items)))
     # keys() of a map value: struct fields are plan-time constants
     c = compile_expr(e.args[0], ctx)
     dt = _dtype(ctx, c)
@@ -975,10 +1022,21 @@ def _fn_keys(e, ctx):
 
 
 def _fn_properties(e, ctx):
+    if _is_null_lit_arg(e):
+        return F.lit(None)
     meta = _meta_arg(e, ctx)
+    if meta.kind == "value":
+        # properties() of a map value is the map itself
+        return F.col(meta.col)
+    # an unmatched OPTIONAL entity (null id) has null properties, not a
+    # struct of nulls
+    bound = F.col(meta.id_col).isNotNull()
     if not meta.prop_cols:
-        return F.struct(F.lit(None).alias("_empty"))
-    return F.struct(*[F.col(c).alias(k) for k, c in sorted(meta.prop_cols.items())])
+        return F.when(bound, F.struct(F.lit(None).alias("_empty")))
+    return F.when(
+        bound,
+        F.struct(*[F.col(c).alias(k) for k, c in sorted(meta.prop_cols.items())]),
+    )
 
 
 def _fn_startnode(e, ctx):
@@ -1001,9 +1059,29 @@ def _fn_exists(e, ctx):
     return compile_expr(e.args[0], ctx).isNotNull()
 
 
+def _log_ieee(logfn, x) -> Column:
+    x = x.cast("double")
+    return (
+        F.when(x > 0, logfn(x))
+        .when(x == 0, F.lit(float("-inf")))
+        .when(x < 0, F.lit(float("nan")))
+    )
+
+
+def _null_guarded_list(e, ctx, fn):
+    """head/last/tail of a statically-null list is null (openCypher); the
+    VOID literal would otherwise type-error at analysis."""
+    c = compile_expr(e.args[0], ctx)
+    if _is(_dtype(ctx, c), T.NullType):
+        return F.lit(None)
+    return fn(c)
+
+
 def _fn_size(e, ctx):
     c = compile_expr(e.args[0], ctx)
     dt = _dtype(ctx, c)
+    if _is(dt, T.NullType):
+        return F.lit(None).cast("long")  # size(null) is null (openCypher)
     if _is(dt, T.StringType):
         return F.length(c).cast("long")
     out = F.size(c)
@@ -1039,6 +1117,14 @@ def _fn_right(e, ctx):
 def _fn_range(e, ctx):
     # openCypher range() is empty when step moves away from stop;
     # Spark's sequence() auto-reverses direction instead
+    if (
+        len(e.args) > 2
+        and isinstance(e.args[2], A.Lit)
+        and e.args[2].value == 0
+    ):
+        # a clean plan-time error beats sequence()'s runtime
+        # IllegalArgumentException (openCypher: step 0 is an error)
+        raise CypherCompileError("range() step must not be zero")
     args = _args(e, ctx)
     start, stop = args[0].cast("long"), args[1].cast("long")
     step = args[2].cast("long") if len(args) > 2 else F.lit(1).cast("long")
@@ -1120,9 +1206,11 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "isempty": _fn_isempty,
     "size": _fn_size,
     "length": _fn_size,
-    "head": lambda e, ctx: F.get(compile_expr(e.args[0], ctx), F.lit(0)),
-    "last": lambda e, ctx: F.element_at(compile_expr(e.args[0], ctx), -1),
-    "tail": lambda e, ctx: F.slice(compile_expr(e.args[0], ctx), 2, F.greatest(F.size(compile_expr(e.args[0], ctx)) - 1, F.lit(0))),
+    "head": lambda e, ctx: _null_guarded_list(e, ctx, lambda c: F.get(c, F.lit(0))),
+    "last": lambda e, ctx: _null_guarded_list(e, ctx, lambda c: F.element_at(c, -1)),
+    "tail": lambda e, ctx: _null_guarded_list(
+        e, ctx, lambda c: F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
+    ),
     "range": _fn_range,
     "abs": lambda e, ctx: F.abs(compile_expr(e.args[0], ctx)),
     "ceil": lambda e, ctx: F.ceil(compile_expr(e.args[0], ctx)).cast("double"),
@@ -1131,8 +1219,10 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "sign": lambda e, ctx: F.signum(compile_expr(e.args[0], ctx)).cast("long"),
     "sqrt": lambda e, ctx: F.sqrt(compile_expr(e.args[0], ctx)),
     "exp": lambda e, ctx: F.exp(compile_expr(e.args[0], ctx)),
-    "log": lambda e, ctx: F.log(compile_expr(e.args[0], ctx)),
-    "log10": lambda e, ctx: F.log10(compile_expr(e.args[0], ctx)),
+    # Neo4j follows java.lang.Math: log(0) = -Infinity, log(<0) = NaN;
+    # Spark's log returns null for non-positive inputs instead
+    "log": lambda e, ctx: _log_ieee(F.log, compile_expr(e.args[0], ctx)),
+    "log10": lambda e, ctx: _log_ieee(F.log10, compile_expr(e.args[0], ctx)),
     "e": lambda e, ctx: F.exp(F.lit(1.0)),
     "pi": lambda e, ctx: F.lit(3.141592653589793),
     "rand": lambda e, ctx: F.rand(),
@@ -1249,6 +1339,8 @@ def _fn_duration(e, ctx):
     if not e.args:
         raise CypherCompileError("duration() expects a map or ISO-8601 string")
     arg = e.args[0]
+    if isinstance(arg, A.Lit) and arg.value is None:
+        return F.lit(None).cast("interval day to second")  # duration(null)
     text = None
     if isinstance(arg, A.Lit) and isinstance(arg.value, str):
         text = arg.value
@@ -1395,9 +1487,15 @@ def compile_aggregate(e: A.Expr, ctx: CompileCtx) -> Column:
         out = F.collect_set(arg) if e.distinct else F.collect_list(arg)
         return out
     if name == "stdev":
-        return F.stddev_samp(arg)
+        # Neo4j: stDev of a single value is 0.0 (Spark's stddev_samp is
+        # null for n = 1); zero values stay null via the count gate
+        return F.coalesce(
+            F.stddev_samp(arg), F.when(F.count(arg) > 0, F.lit(0.0))
+        )
     if name == "stdevp":
-        return F.stddev_pop(arg)
+        return F.coalesce(
+            F.stddev_pop(arg), F.when(F.count(arg) > 0, F.lit(0.0))
+        )
     if name == "percentilecont":
         # exact continuous percentile (reference uses a custom UDAF,
         # PercentileUdafs.scala; Spark's percentile() is exact and JVM-side)

@@ -1,16 +1,21 @@
 Feature: Errors
 
-  Scenario: Unbounded variable-length match is rejected
+  Scenario: Unbounded variable-length match finds the chain
+    # unbounded [*] is supported since round 7 (fixpoint expand) — this
+    # scenario used to pin the rejection; see varlength_unbounded.feature
     Given an empty graph
     And having executed:
       """
-      CREATE (:A)-[:R]->(:A)
+      CREATE (:A {k: 1})-[:R]->(:A {k: 2})
       """
     When executing query:
       """
-      MATCH (a:A)-[:R*]->(b) RETURN b
+      MATCH (a:A)-[:R*]->(b) RETURN b.k AS k
       """
-    Then a SyntaxError should be raised
+    Then the result should be, in any order:
+      | k |
+      | 2 |
+    And no side effects
     And no side effects
 
   Scenario: Unbound variable in RETURN

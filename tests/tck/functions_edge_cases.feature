@@ -138,15 +138,17 @@ Feature: FunctionsEdgeCases
       | 3    | 2    | 6.0 | [5, 7] |
     And no side effects
 
-  Scenario: Sample standard deviation of a single value is null
+  Scenario: Sample standard deviation of a single value is zero
+    # Neo4j returns 0.0 for stDev of one value (Spark's stddev_samp is
+    # null there — the compiler coalesces behind a count gate, round 7)
     When executing query:
       """
       MATCH (n:N {name: 'a'})
       RETURN stDev(n.age) AS s, stDevP(n.age) AS p
       """
     Then the result should be, in any order:
-      | s    | p   |
-      | null | 0.0 |
+      | s   | p   |
+      | 0.0 | 0.0 |
     And no side effects
 
   Scenario: Nested UNWIND flattens in order

@@ -125,8 +125,8 @@ Feature: ListOperatorPrecedence
       RETURN [1,2][null] AS a, [1,2][0..null] AS b
       """
     Then the result should be, in any order:
-      | a    | b      |
-      | null | [1, 2] |
+      | a    | b    |
+      | null | null |
     And no side effects
 
   Scenario: IN with null element and null subject
