@@ -241,6 +241,35 @@ _CYPHER_QUERIES: dict[str, tuple[str, str]] = {
            SELECT hops, count(*) AS c FROM walk WHERE hops >= 2
            GROUP BY hops""",
     ),
+    # var-length NAMED path (round 7, beyond parity): p binds runtime
+    # node/rel arrays; reduce over nodes(p) folds prices along each
+    # 2-hop order chain — the oracle walks the same chains with joins.
+    "varpath_chain_cents": (
+        """MATCH p = (a:Order)-[:NEXT*2..2]->(b:Order)
+           RETURN count(*) AS n,
+                  sum(reduce(acc = 0,
+                             x IN nodes(p) |
+                             acc + toInteger(round(x.totalprice * 100)))) AS cents""",
+        """WITH seq AS (
+             SELECT o_orderkey, o_custkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM orders),
+           e AS (
+             SELECT a.o_orderkey AS s, b.o_orderkey AS t
+             FROM seq a JOIN seq b
+               ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+           two AS (
+             SELECT x.s AS a, x.t AS m, y.t AS b FROM e x JOIN e y ON x.t = y.s)
+           SELECT count(*) AS n,
+                  CAST(SUM(CAST(round(pa.o_totalprice * 100) AS BIGINT)
+                         + CAST(round(pm.o_totalprice * 100) AS BIGINT)
+                         + CAST(round(pb.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM two
+           JOIN orders pa ON pa.o_orderkey = two.a
+           JOIN orders pm ON pm.o_orderkey = two.m
+           JOIN orders pb ON pb.o_orderkey = two.b""",
+    ),
     # -- CALL { } subquery (correlated, per-row aggregates) -------------------
     "call_subquery_orders": (
         """MATCH (c:Customer)

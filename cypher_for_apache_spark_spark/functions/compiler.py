@@ -123,6 +123,11 @@ def entity_column(meta: EntityMeta) -> Column:
     node/rel -> id (element equality is id equality), value -> its column."""
     if meta.kind == "value":
         return F.col(meta.col)
+    if meta.kind == "varpath":
+        raise CypherCompileError(
+            "a variable-length path value can be returned or passed to "
+            "length()/nodes()/relationships(), not used as a scalar"
+        )
     return F.col(meta.id_col)
 
 
@@ -927,6 +932,22 @@ def _path_fn(e: A.FuncCall, meta: EntityMeta, ctx: CompileCtx) -> Column:
     raise CypherCompileError(f"{e.name}() is not supported on paths")
 
 
+def _varpath_fn(e: A.FuncCall, meta: EntityMeta) -> Column:
+    """Functions over a VAR-LENGTH named path: the element list is runtime
+    data, so length() is size of the rel-id array; nodes()/relationships()
+    need a plan-level join and are lowered by the planner
+    (_replace_varpath_fns) before compilation reaches here."""
+    bound = F.col(meta.col).isNotNull()
+    if e.name in ("length", "size"):
+        return F.when(bound, F.size(F.col(meta.vpath_rels_col)).cast("long"))
+    if e.name in ("nodes", "relationships"):
+        raise CypherCompileError(
+            f"{e.name}() on a variable-length path is supported in "
+            "projection items (RETURN/WITH), not in this position"
+        )
+    raise CypherCompileError(f"{e.name}() is not supported on paths")
+
+
 # -- function calls ---------------------------------------------------------------
 
 
@@ -938,6 +959,8 @@ def _func(e: A.FuncCall, ctx: CompileCtx) -> Column:
         meta = ctx.scope.get(e.args[0].name)
         if meta is not None and meta.kind == "path":
             return _path_fn(e, meta, ctx)
+        if meta is not None and meta.kind == "varpath":
+            return _varpath_fn(e, meta)
     fn = _SCALAR_FNS.get(name)
     if fn is None:
         raise CypherCompileError(f"unknown function {name}()")
@@ -966,9 +989,27 @@ def _is_null_lit_arg(e: A.FuncCall) -> bool:
     )
 
 
+def _struct_lambda_field(e: A.FuncCall, ctx: CompileCtx, field: str):
+    """id(x)/labels(x)/type(x) where x is a LAMBDA variable bound to an
+    entity STRUCT (an element of nodes(p)/relationships(p)): read the
+    struct's field. Returns None when the shape doesn't apply."""
+    if (
+        len(e.args) == 1
+        and isinstance(e.args[0], A.Var)
+        and e.args[0].name in ctx.lambda_vars
+    ):
+        lt = ctx.lambda_types.get(e.args[0].name)
+        if _is(lt, T.StructType) and field in lt.fieldNames():
+            return ctx.lambda_vars[e.args[0].name].getField(field)
+    return None
+
+
 def _fn_id(e, ctx):
     if _is_null_lit_arg(e):
         return F.lit(None).cast("long")
+    sf = _struct_lambda_field(e, ctx, "id")
+    if sf is not None:
+        return sf
     meta = _meta_arg(e, ctx)
     if meta.kind == "value":
         return F.col(meta.col)
@@ -978,6 +1019,9 @@ def _fn_id(e, ctx):
 def _fn_labels(e, ctx):
     if _is_null_lit_arg(e):
         return F.lit(None).cast("array<string>")
+    sf = _struct_lambda_field(e, ctx, "labels")
+    if sf is not None:
+        return sf
     meta = _meta_arg(e, ctx)
     if meta.kind != "node":
         raise CypherCompileError("labels() expects a node")
@@ -987,6 +1031,9 @@ def _fn_labels(e, ctx):
 def _fn_type(e, ctx):
     if _is_null_lit_arg(e):
         return F.lit(None).cast("string")
+    sf = _struct_lambda_field(e, ctx, "type")
+    if sf is not None:
+        return sf
     meta = _meta_arg(e, ctx)
     if meta.kind != "rel":
         raise CypherCompileError("type() expects a relationship")

@@ -59,10 +59,19 @@ class EntityMeta:
     # forward-direction array<boolean> column
     path_nodes: Tuple["EntityMeta", ...] = ()
     path_rels: Tuple["EntityMeta", ...] = ()
+    # VAR-LENGTH named paths (kind='varpath'): the element list is runtime
+    # data, not plan-time metadata — these hold the traversed node-id and
+    # relationship-id array columns; `col` holds the per-hop dirs array
+    # (also the null sentinel for unmatched OPTIONAL paths)
+    vpath_nodes_col: Optional[str] = None
+    vpath_rels_col: Optional[str] = None
 
     def columns(self) -> List[str]:
         out = []
         for c in (self.id_col, self.labels_col, self.type_col, self.src_col, self.dst_col, self.col):
+            if c is not None:
+                out.append(c)
+        for c in (self.vpath_nodes_col, self.vpath_rels_col):
             if c is not None:
                 out.append(c)
         out.extend(self.prop_cols.values())

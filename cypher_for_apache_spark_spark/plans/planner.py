@@ -1021,9 +1021,28 @@ class Planner:
         An entity whose id is null (unmatched OPTIONAL MATCH) is the null
         VALUE, not a struct of nulls — Cypher's `RETURN x` for unbound x."""
         rec = self._materialize(rec)
+        # var-length path values render their runtime element arrays first
+        # (join-based; see _render_varpath_elems)
+        vpath_rendered: Dict[str, Tuple[str, str]] = {}
+        for name in [n for n, m in rec.header.items() if m.kind == "varpath"]:
+            meta = rec.header[name]
+            rec, ncol = self._render_varpath_elems(rec, meta, "nodes")
+            rec, rcol = self._render_varpath_elems(rec, meta, "rels")
+            vpath_rendered[name] = (ncol, rcol)
         cols = []
         for name, meta in rec.header.items():
-            if meta.kind == "value":
+            if name.startswith(" vp#"):
+                continue  # hidden render columns, consumed below
+            if meta.kind == "varpath":
+                ncol, rcol = vpath_rendered[name]
+                pv = F.struct(
+                    F.col(ncol).alias("nodes"),
+                    F.col(rcol).alias("rels"),
+                    F.col(meta.col).alias("dirs"),
+                    F.lit(True).alias("__path"),
+                )
+                cols.append(F.when(F.col(meta.col).isNotNull(), pv).alias(name))
+            elif meta.kind == "value":
                 cols.append(F.col(meta.col).alias(name))
             elif meta.kind == "path":
                 from cypher_for_apache_spark_spark.functions.compiler import (
@@ -1128,14 +1147,17 @@ class Planner:
         survives projections that drop the element variables. Beyond
         parity: the reference supports no path values at all
         (cypher-cypher9-features.adoc; its TCK blacklist fails every
-        named-path scenario). Fixed-length patterns only — a var-length
-        hop has no static element list."""
-        for r in part.rels:
-            if r.var_length is not None:
+        named-path scenario). A var-length hop has no static element list
+        — single-hop var-length patterns take the RUNTIME path route
+        (_plan_named_varpath, round 7); mixed fixed+var patterns stay a
+        clean error."""
+        if any(r.var_length is not None for r in part.rels):
+            if len(part.rels) != 1:
                 raise CypherPlanningError(
-                    "variable-length relationships in a named path are not "
-                    "supported"
+                    "a named path with a variable-length relationship must "
+                    "be a single-hop pattern (p = (a)-[*..n]->(b))"
                 )
+            return self._plan_named_varpath(rec, part, rel_ids)
         node_vars = [n.var or self._anon() for n in part.nodes]
         rel_vars = [r.var or self._anon() for r in part.rels]
         elements = []
@@ -1167,6 +1189,128 @@ class Planner:
             path_rels=tuple(rec.header[v] for v in rel_vars),
         )
         return Record(df, header)
+
+    def _plan_named_varpath(self, rec: Record, part: A.PatternPart, rel_ids) -> Record:
+        """``p = (a)-[r*lo..hi]->(b)``: the var-length expansion carries
+        the traversed node-id / rel-id / per-hop-direction arrays
+        alongside the slim frontier (var_length_expand path_cols), and
+        ``p`` binds as a VARPATH meta over those runtime arrays. length(p)
+        compiles to size(rels); nodes(p)/relationships(p) and the final
+        path value render by exploding the id arrays against the unified
+        scans and reassembling in order (_render_varpath_elems) — a
+        per-use join, paid only when the full elements are asked for."""
+        rel, src_pat, tgt_pat = part.rels[0], part.nodes[0], part.nodes[1]
+        rec, src_var = self.ensure_node(rec, src_pat)
+        rec = self._materialize(rec)
+        path_cols: Dict[str, str] = {}
+        rec, tgt_var = self.var_length_expand(
+            rec, src_var, rel, tgt_pat, rel_ids, path_cols=path_cols
+        )
+        header = dict(rec.header)
+        header[part.path_var] = EntityMeta(
+            kind="varpath",
+            col=path_cols["dirs"],
+            vpath_nodes_col=path_cols["nodes"],
+            vpath_rels_col=path_cols["rels"],
+        )
+        return Record(rec.df, header)
+
+    def _render_varpath_elems(
+        self, rec: Record, meta: EntityMeta, which: str
+    ) -> Tuple[Record, str]:
+        """Attach a hidden value column holding the ordered node (or
+        relationship) struct array of a var-length path: posexplode the
+        id array, join the unified scan once, reassemble sorted by
+        position. One groupBy per rendered array — paid per use, never on
+        the expansion's hot path. Struct shapes match the fixed-path
+        renderers (path_nodes_array / path_rels_array) so path values are
+        uniform downstream."""
+        rowid = f" vp#{next(self._uid)}"
+        out_col = f" vp#{next(self._uid)}#arr"
+        # freeze the row ids: two branches (explode side and join-back
+        # side) must see identical values
+        df = materialize(
+            self._materialize(rec).df.withColumn(
+                rowid, F.monotonically_increasing_id()
+            )
+        )
+        ids_col = meta.vpath_nodes_col if which == "nodes" else meta.vpath_rels_col
+        empty_rel_t = "array<struct<id:bigint,src:bigint,dst:bigint,type:string>>"
+        if which == "nodes":
+            scan_df, smeta = self.scan_node_record(f" vpn{next(self._uid)}", ())
+            st = F.struct(
+                F.col(smeta.id_col).alias("id"),
+                F.col(smeta.labels_col).alias("labels"),
+                *[F.col(c).alias(k) for k, c in sorted(smeta.prop_cols.items())],
+            )
+        else:
+            scan_df, smeta = self.scan_rel_frame(f" vpr{next(self._uid)}", ())
+            if scan_df is None:
+                # no relationships in the graph: every matched path is
+                # zero-length, its rel array renders empty
+                df = df.withColumn(
+                    out_col,
+                    F.when(
+                        F.col(meta.col).isNotNull(), F.array().cast(empty_rel_t)
+                    ),
+                ).drop(rowid)
+                header = dict(rec.header)
+                header[out_col] = EntityMeta(kind="value", col=out_col)
+                return Record(df, header), out_col
+            st = F.struct(
+                F.col(smeta.id_col).alias("id"),
+                F.col(smeta.src_col).alias("src"),
+                F.col(smeta.dst_col).alias("dst"),
+                F.col(smeta.type_col).alias("type"),
+                *[F.col(c).alias(k) for k, c in sorted(smeta.prop_cols.items())],
+            )
+        expl = df.select(F.col(rowid), F.posexplode(ids_col).alias("_pos", "_eid"))
+        joined = expl.join(scan_df, F.col("_eid") == F.col(smeta.id_col))
+        agg = joined.groupBy(rowid).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos").alias("p"), st.alias("s")))
+            ).alias("_ps")
+        )
+        arr = agg.select(
+            F.col(rowid), F.transform(F.col("_ps"), lambda x: x["s"]).alias(out_col)
+        )
+        out = df.join(arr, rowid, "left")
+        arr_t = next(f.dataType for f in out.schema.fields if f.name == out_col)
+        # zero-length paths explode no rel rows -> left-join null; render
+        # the typed empty array for matched paths, keep null for unmatched
+        out = out.withColumn(
+            out_col,
+            F.when(
+                F.col(meta.col).isNotNull(),
+                F.coalesce(F.col(out_col), F.array().cast(arr_t)),
+            ),
+        ).drop(rowid)
+        header = dict(rec.header)
+        header[out_col] = EntityMeta(kind="value", col=out_col)
+        return Record(out, header), out_col
+
+    def _replace_varpath_fns(
+        self, rec: Record, expr: A.Expr
+    ) -> Tuple[Record, A.Expr]:
+        """Lower nodes(p)/relationships(p) over a VAR-LENGTH path to a
+        pre-rendered hidden value column (plan-level join — the compiler
+        can't express it as a column)."""
+        calls = [
+            n
+            for n in expr.walk()
+            if isinstance(n, A.FuncCall)
+            and n.name in ("nodes", "relationships")
+            and len(n.args) == 1
+            and isinstance(n.args[0], A.Var)
+            and rec.header.get(n.args[0].name) is not None
+            and rec.header[n.args[0].name].kind == "varpath"
+        ]
+        for call in calls:
+            meta = rec.header[call.args[0].name]
+            which = "nodes" if call.name == "nodes" else "rels"
+            rec, col = self._render_varpath_elems(rec, meta, which)
+            expr = A.substitute(expr, [(call, A.Var(col))])
+        return rec, expr
 
     def _plan_shortest_path(self, rec: Record, part: A.PatternPart, rel_ids) -> Record:
         """``shortestPath((a)-[:T*0..k]->(b))`` / ``allShortestPaths(...)``:
@@ -2162,6 +2306,7 @@ class Planner:
         rel: A.RelPat,
         tgt: A.NodePat,
         rel_ids: List[Tuple[str, frozenset, bool]],
+        path_cols: Optional[Dict[str, str]] = None,
     ) -> Tuple[Record, str]:
         """(a)-[r*lo..hi]->(b): unrolled at plan time into ``hi`` successive
         joins with relationship-isomorphism filters, null-padded union of the
@@ -2183,7 +2328,12 @@ class Planner:
         chains; at cluster scale the per-level shuffle volume is what
         would dominate). When the oriented step scan is small, the
         fixpoint hints broadcast so the whole loop is shuffle-free on the
-        step side."""
+        step side.
+
+        ``path_cols``: when a dict is passed (named var-length paths),
+        the expansion also accumulates the traversed node-id array and
+        the per-hop forward-direction array, and fills the dict with
+        {"nodes": col, "rels": col, "dirs": col}."""
         lo, hi = rel.var_length
         if lo < 0 or (hi is not None and hi < lo):
             raise CypherPlanningError(f"bad var-length range *{lo}..{hi}")
@@ -2193,37 +2343,52 @@ class Planner:
         rel_var = rel.var or self._anon()
         src_meta = rec.header[src_var]
 
+        u = self._u(rel_var)
+        ids_col, end_col = f"{u}#ids", f"{u}#end"
+        nodes_col, dirs_col = f"{u}#vpnodes", f"{u}#vpdirs"
+        want_path = path_cols is not None
+        if want_path:
+            path_cols["nodes"] = nodes_col
+            path_cols["rels"] = ids_col
+            path_cols["dirs"] = dirs_col
+
         rdf, rmeta = self.scan_rel_frame(rel_var, rel.types)
         if rdf is None and lo > 0:
             tgt_var = tgt.var or self._anon()
             tdf, tmeta = self.scan_node_record(tgt_var, tgt.labels)
             out = self._empty_like(rec, [tmeta], {tmeta.id_col: tdf})
             out.header[tgt_var] = tmeta
-            list_col = f"{self._u(rel_var)}#ids"
-            out = Record(
-                out.df.select("*", F.lit(None).cast("array<long>").alias(list_col)),
-                out.header,
-            )
-            out.header[rel_var] = EntityMeta(kind="value", col=list_col)
+            extra = [F.lit(None).cast("array<long>").alias(ids_col)]
+            if want_path:
+                extra.append(F.lit(None).cast("array<long>").alias(nodes_col))
+                extra.append(F.lit(None).cast("array<boolean>").alias(dirs_col))
+            out = Record(out.df.select("*", *extra), out.header)
+            out.header[rel_var] = EntityMeta(kind="value", col=ids_col)
             return out, tgt_var
         if rdf is not None:
             rdf = self._prop_filter(rdf, rmeta, rel.props)
 
-        u = self._u(rel_var)
-        ids_col, end_col = f"{u}#ids", f"{u}#end"
-
-        def orient(d: DataFrame, near: str, far: str, idc: str) -> DataFrame:
-            sel = [F.col(near).alias("_near"), F.col(far).alias("_far"), F.col(idc).alias("_rid")]
+        def orient(d: DataFrame, near: str, far: str, idc: str, fwd: bool) -> DataFrame:
+            # fwd: the stored edge's src is the hop's left (near) node —
+            # the same per-hop direction bit fixed-length named paths carry
+            sel = [
+                F.col(near).alias("_near"),
+                F.col(far).alias("_far"),
+                F.col(idc).alias("_rid"),
+                F.lit(fwd).alias("_fwd"),
+            ]
             return d.select(sel)
 
         if rdf is not None:
             if rel.direction == "out":
-                step = orient(rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col)
+                step = orient(rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col, True)
             elif rel.direction == "in":
-                step = orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col)
+                step = orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col, False)
             else:
-                step = orient(rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col).unionByName(
-                    orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col)
+                step = orient(
+                    rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col, True
+                ).unionByName(
+                    orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col, False)
                 )
             if self.cache_varlength_scans and (hi is None or hi > 1):
                 # the same oriented scan is joined up to ``hi`` times —
@@ -2244,12 +2409,15 @@ class Planner:
 
         levels: List[DataFrame] = []
         if lo == 0:
-            zero = starts.select(
-                start_col,
+            zsel = [
+                F.col(start_col),
                 F.array().cast("array<long>").alias(ids_col),
                 F.col(start_col).alias(end_col),
-            )
-            levels.append(zero)
+            ]
+            if want_path:
+                zsel.append(F.array(F.col(start_col)).alias(nodes_col))
+                zsel.append(F.array().cast("array<boolean>").alias(dirs_col))
+            levels.append(starts.select(*zsel))
 
         if step is not None and (hi is None or hi >= 1):
             if hi is None:
@@ -2259,22 +2427,41 @@ class Planner:
                 # the whole loop then never shuffles the step side
                 if step.count() <= 2_000_000:
                     step = F.broadcast(step)
-            s1 = step.select(
+            s1sel = [
                 F.col("_near"),
                 F.array(F.col("_rid")).alias(ids_col),
                 F.col("_far").alias(end_col),
-            )
+            ]
+            if want_path:
+                s1sel.append(F.array(F.col("_near"), F.col("_far")).alias(nodes_col))
+                s1sel.append(F.array(F.col("_fwd")).alias(dirs_col))
+            s1 = step.select(*s1sel)
             cur = starts.join(s1, F.col(start_col) == F.col("_near")).drop("_near")
+            grown = (ids_col, end_col) + (
+                (nodes_col, dirs_col) if want_path else ()
+            )
 
             def extend(cur: DataFrame) -> DataFrame:
                 nxt = cur.join(step, F.col(end_col) == F.col("_near")).filter(
                     ~F.array_contains(F.col(ids_col), F.col("_rid"))
                 )
-                return nxt.select(
-                    *[c for c in cur.columns if c not in (ids_col, end_col)],
-                    F.concat(F.col(ids_col), F.array(F.col("_rid"))).alias(ids_col),
-                    F.col("_far").alias(end_col),
+                sel = [c for c in cur.columns if c not in grown]
+                sel.append(
+                    F.concat(F.col(ids_col), F.array(F.col("_rid"))).alias(ids_col)
                 )
+                sel.append(F.col("_far").alias(end_col))
+                if want_path:
+                    sel.append(
+                        F.concat(F.col(nodes_col), F.array(F.col("_far"))).alias(
+                            nodes_col
+                        )
+                    )
+                    sel.append(
+                        F.concat(F.col(dirs_col), F.array(F.col("_fwd"))).alias(
+                            dirs_col
+                        )
+                    )
+                return nxt.select(*sel)
 
             if lo <= 1:
                 levels.append(cur)
@@ -2868,6 +3055,14 @@ class Planner:
             for e, alias in items:
                 rec, e = self._replace_pattern_comps(rec, e)
                 rec, e = self._replace_pattern_preds(rec, e)
+                lowered.append((e, alias))
+            items = lowered
+        # nodes(p)/relationships(p) over VAR-LENGTH paths pre-render via a
+        # plan-level join (the compiler can't express it as a column)
+        if any(m.kind == "varpath" for m in rec.header.values()):
+            lowered = []
+            for e, alias in items:
+                rec, e = self._replace_varpath_fns(rec, e)
                 lowered.append((e, alias))
             items = lowered
         if any(A.contains_aggregate(e) for e, _ in items):

@@ -4,7 +4,8 @@ Feature: NamedPaths
   # fails every named-path scenario in MatchAcceptance2 /
   # OptionalMatchAcceptance / PathEquality); fixed-length named paths
   # with length()/nodes()/relationships() are a beyond-parity capability
-  # here. Variable-length named paths stay rejected with a clean error.
+  # here. Single-hop VAR-LENGTH named paths are supported since round 7
+  # (varlength_named_paths.feature).
 
   Background:
     Given an empty graph
@@ -116,10 +117,15 @@ Feature: NamedPaths
       | ['ham', 'kie'] |
     And no side effects
 
-  Scenario: Variable-length named paths are rejected cleanly
+  Scenario: Variable-length named paths bind runtime lengths
+    # supported since round 7 — see varlength_named_paths.feature
     When executing query:
       """
       MATCH p = (a)-[:ROAD*1..2]->(b) RETURN length(p) AS l
       """
-    Then a SyntaxError should be raised at compile time: VarLengthNamedPath
+    Then the result should be, in any order:
+      | l |
+      | 1 |
+      | 1 |
+      | 2 |
     And no side effects

@@ -33,9 +33,9 @@ BLACKLISTED = [
     # unbounded [*] / [*n..] is SUPPORTED since round 7 (fixpoint expand,
     # beyond reference parity — see tests/tck/varlength_unbounded.feature);
     # only the shortestPath variants below still gate.
-    # variable-length named paths (fixed-length path values ARE
-    # supported — beyond the reference; see tests/tck/named_paths.feature)
-    "MATCH p = (a)-[:KNOWS*1..2]->(b) RETURN p",
+    # single-hop var-length named paths ARE supported since round 7
+    # (tck/varlength_named_paths.feature); mixed fixed+var patterns gate
+    "MATCH p = (a)-[:KNOWS]->()-[:KNOWS*1..2]->(b) RETURN p",
     # shortestPath / allShortestPaths: the BOUNDED form IS supported
     # (planner._plan_shortest_path) — these unsupported variants must
     # still fail cleanly
