@@ -1317,7 +1317,10 @@ class Planner:
         level-synchronous BFS, unrolled at plan time into ``k`` join
         rounds with frontier pruning — each round anti-joins the visited
         (source, node) set, so only pairs reached for the FIRST time are
-        expanded. Every prefix of a shortest path is a shortest path to
+        expanded. UNBOUNDED ``[*]`` / ``[*1..]`` (round 7) runs the same
+        rounds driver-paced until the frontier drains — visited pruning
+        bounds it at diameter+1 rounds, and a small step side broadcasts
+        for the whole loop. Every prefix of a shortest path is a shortest path to
         its intermediate node, so pruned frontiers lose nothing; on dense
         graphs the per-source work collapses from the full var-length
         expansion's O(all paths) to O(shortest paths). Beyond reference
@@ -1342,10 +1345,6 @@ class Planner:
                 f"{fname} requires a var-length relationship pattern"
             )
         lo, hi = rel.var_length
-        if hi is None:
-            raise CypherPlanningError(
-                f"unbounded {fname} (*..) is not supported; give an upper bound"
-            )
         if lo not in (0, 1):
             raise CypherPlanningError(f"{fname} minimum length must be 0 or 1")
         single = part.shortest == "single"
@@ -1378,14 +1377,19 @@ class Planner:
                 step = rdf.select(back)
             else:
                 step = rdf.select(trip).unionByName(rdf.select(back))
-            if hi > 1:
+            if hi is None or hi > 1:
                 # joined once per BFS round — materialize or Spark rescans
                 step = materialize(step)
+            if hi is None and step.count() <= 2_000_000:
+                # unbounded: the loop's join strategy is decided once —
+                # broadcast a small step side (checkpointed scans are
+                # opaque to AQE's stats), as in var_length_expand
+                step = F.broadcast(step)
         else:
             step = None
 
         srcs = rec.df.select(F.col(src_meta.id_col).alias(src_c)).distinct()
-        if hi > 1:
+        if hi is None or hi > 1:
             srcs = materialize(srcs)
         zero = srcs.select(
             src_c,
@@ -1406,7 +1410,11 @@ class Planner:
                 F.array(F.col("_rid")).alias(ids_col),
                 F.col("_far").alias(end_c),
             )
-            for depth in range(1, hi + 1):
+            depth = 0
+            while True:
+                depth += 1
+                if hi is not None and depth > hi:
+                    break
                 if depth > 1:
                     # trail filter: a shortest path never repeats a node,
                     # but an undirected step could reuse the SAME edge
@@ -1429,10 +1437,17 @@ class Planner:
                     cur = cur.groupBy(src_c, end_c).agg(F.min(ids_col).alias(ids_col))
                 if lo == 0 or depth > 1:
                     cur = cur.join(visited, [src_c, end_c], "left_anti")
-                if depth < hi:
+                more = hi is None or depth < hi
+                if more:
                     cur = materialize(cur)
+                if hi is None and cur.isEmpty():
+                    # unbounded (*..): the visited-pruned frontier only
+                    # shrinks once reachability saturates — at most
+                    # diameter+1 rounds, each O(frontier), never the trail
+                    # explosion of plain var-length
+                    break
                 levels.append(cur)
-                if depth < hi:
+                if more:
                     new_pairs = cur.select(src_c, end_c)
                     if not single:
                         # 'all' keeps one row per shortest path; the visited

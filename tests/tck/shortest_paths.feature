@@ -159,12 +159,43 @@ Feature: ShortestPaths
       | 3 | 1 |
     And no side effects
 
-  Scenario: Unbounded shortestPath is rejected
+  Scenario: Unbounded shortestPath walks to the fixpoint
+    # supported since round 7: driver-paced BFS rounds until the pruned
+    # frontier drains (at most diameter+1 rounds)
     When executing query:
       """
-      MATCH p = shortestPath((a)-[:E*]->(b)) RETURN length(p)
+      MATCH p = shortestPath((a:X {name: 'a'})-[:E*]->(d:X {name: 'd'}))
+      RETURN length(p) AS l
       """
-    Then a SyntaxError should be raised
+    Then the result should be, in any order:
+      | l |
+      | 2 |
+    And no side effects
+
+  Scenario: Unbounded allShortestPaths finds every minimal path
+    When executing query:
+      """
+      MATCH p = allShortestPaths((a:X {name: 'a'})-[:E*]->(d:X {name: 'd'}))
+      RETURN length(p) AS l
+      """
+    Then the result should be, in any order:
+      | l |
+      | 2 |
+      | 2 |
+    And no side effects
+
+  Scenario: Unbounded shortestPath with zero minimum includes the start
+    When executing query:
+      """
+      MATCH p = shortestPath((a:X {name: 'a'})-[:E*0..]->(x))
+      WHERE x.name IN ['a', 'd']
+      RETURN x.name AS n, length(p) AS l
+      """
+    Then the result should be, in any order:
+      | n   | l |
+      | 'a' | 0 |
+      | 'd' | 2 |
+    And no side effects
 
   Scenario: shortestPath with minimum length above one is rejected
     When executing query:

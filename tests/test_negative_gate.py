@@ -36,11 +36,9 @@ BLACKLISTED = [
     # single-hop var-length named paths ARE supported since round 7
     # (tck/varlength_named_paths.feature); mixed fixed+var patterns gate
     "MATCH p = (a)-[:KNOWS]->()-[:KNOWS*1..2]->(b) RETURN p",
-    # shortestPath / allShortestPaths: the BOUNDED form IS supported
-    # (planner._plan_shortest_path) — these unsupported variants must
-    # still fail cleanly
-    "MATCH shortestPath((a)-[*]->(b)) RETURN a",
-    "MATCH shortestPath((a)-[*1..]->(b)) RETURN a",
+    # shortestPath / allShortestPaths: bounded AND unbounded forms are
+    # supported (planner._plan_shortest_path) — these unsupported
+    # variants must still fail cleanly
     "MATCH shortestPath((a)-[*2..3]->(b)) RETURN a",
     "MATCH shortestPath((a)-[:KNOWS]->(b)) RETURN a",
     "MATCH allShortestPaths((a)-[*2..4]->(b)) RETURN a",

@@ -249,8 +249,8 @@ def test_all_shortest_brute_force_cross_check(g):
 @pytest.mark.parametrize(
     "q",
     [
-        "MATCH shortestPath((a)-[*]->(b)) RETURN a",
-        "MATCH shortestPath((a)-[*1..]->(b)) RETURN a",
+        # unbounded [*] / [*1..] shortestPath IS supported since round 7
+        # (driver-paced BFS fixpoint) — only these forms still gate
         "MATCH shortestPath((a)-[*2..3]->(b)) RETURN a",
         "MATCH shortestPath((a)-[:E]->(b)) RETURN a",
         "MATCH shortestPath((a)-[*1..2]->()-[*1..2]->(b)) RETURN a",
@@ -259,3 +259,29 @@ def test_all_shortest_brute_force_cross_check(g):
 def test_unsupported_forms_fail_cleanly(g, q):
     with pytest.raises(CypherPlanningError):
         g.cypher(q)
+
+
+def test_unbounded_shortest_matches_bounded(g):
+    """[*] shortestPath must agree with a bounded run whose cap exceeds
+    the graph's diameter."""
+    bounded = g.cypher(
+        "MATCH p = shortestPath((a:N)-[:E*1..6]->(b:N)) "
+        "RETURN a.name AS a, b.name AS b, length(p) AS hops"
+    ).df.collect()
+    unbounded = g.cypher(
+        "MATCH p = shortestPath((a:N)-[:E*]->(b:N)) "
+        "RETURN a.name AS a, b.name AS b, length(p) AS hops"
+    ).df.collect()
+    assert sorted(map(tuple, bounded)) == sorted(map(tuple, unbounded))
+
+
+def test_unbounded_all_shortest_matches_bounded(g):
+    bounded = g.cypher(
+        "MATCH allShortestPaths((a:N)-[:E*1..6]->(b:N)) "
+        "RETURN a.name AS a, b.name AS b, count(*) AS paths"
+    ).df.collect()
+    unbounded = g.cypher(
+        "MATCH allShortestPaths((a:N)-[:E*]->(b:N)) "
+        "RETURN a.name AS a, b.name AS b, count(*) AS paths"
+    ).df.collect()
+    assert sorted(map(tuple, bounded)) == sorted(map(tuple, unbounded))
