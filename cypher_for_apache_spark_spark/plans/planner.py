@@ -3031,8 +3031,19 @@ class Planner:
     # ----------------------------------------------------------------- UNWIND
     def plan_unwind(self, rec: Record, clause: A.UnwindClause) -> Record:
         rec = self._materialize(rec)
+        expr = clause.expr
+        # UNWIND [(p)-[:T]->(q) | q.x] AS v: lower pattern comprehensions /
+        # predicates and varpath renders exactly as projection items do
+        if any(
+            isinstance(n, (A.PatternComprehension, A.PatternPredicate))
+            for n in expr.walk()
+        ):
+            rec, expr = self._replace_pattern_comps(rec, expr)
+            rec, expr = self._replace_pattern_preds(rec, expr)
+        if any(m.kind == "varpath" for m in rec.header.values()):
+            rec, expr = self._replace_varpath_fns(rec, expr)
         ctx = self._ctx(rec)
-        col = compile_expr(clause.expr, ctx)
+        col = compile_expr(expr, ctx)
         out_col = f"{self._u(clause.var)}#val"
         from cypher_for_apache_spark_spark.functions.compiler import _dtype, _is
 
