@@ -1216,7 +1216,11 @@ class Planner:
         return Record(rec.df, header)
 
     def _render_varpath_elems(
-        self, rec: Record, meta: EntityMeta, which: str
+        self,
+        rec: Record,
+        meta: EntityMeta,
+        which: str,
+        keys: Optional[frozenset] = None,
     ) -> Tuple[Record, str]:
         """Attach a hidden value column holding the ordered node (or
         relationship) struct array of a var-length path: posexplode the
@@ -1224,7 +1228,10 @@ class Planner:
         position. One groupBy per rendered array — paid per use, never on
         the expansion's hot path. Struct shapes match the fixed-path
         renderers (path_nodes_array / path_rels_array) so path values are
-        uniform downstream."""
+        uniform downstream. ``keys``: restrict the rendered property
+        fields to these (from _varpath_needed_keys); None renders all —
+        pruning keeps the explode-join-collect proportional to what the
+        query reads, and lets Catalyst prune the scan columns too."""
         rowid = f" vp#{next(self._uid)}"
         out_col = f" vp#{next(self._uid)}#arr"
         # freeze the row ids: two branches (explode side and join-back
@@ -1236,12 +1243,19 @@ class Planner:
         )
         ids_col = meta.vpath_nodes_col if which == "nodes" else meta.vpath_rels_col
         empty_rel_t = "array<struct<id:bigint,src:bigint,dst:bigint,type:string>>"
+        def want(k: str) -> bool:
+            return keys is None or k in keys
+
         if which == "nodes":
             scan_df, smeta = self.scan_node_record(f" vpn{next(self._uid)}", ())
             st = F.struct(
                 F.col(smeta.id_col).alias("id"),
                 F.col(smeta.labels_col).alias("labels"),
-                *[F.col(c).alias(k) for k, c in sorted(smeta.prop_cols.items())],
+                *[
+                    F.col(c).alias(k)
+                    for k, c in sorted(smeta.prop_cols.items())
+                    if want(k)
+                ],
             )
         else:
             scan_df, smeta = self.scan_rel_frame(f" vpr{next(self._uid)}", ())
@@ -1262,7 +1276,11 @@ class Planner:
                 F.col(smeta.src_col).alias("src"),
                 F.col(smeta.dst_col).alias("dst"),
                 F.col(smeta.type_col).alias("type"),
-                *[F.col(c).alias(k) for k, c in sorted(smeta.prop_cols.items())],
+                *[
+                    F.col(c).alias(k)
+                    for k, c in sorted(smeta.prop_cols.items())
+                    if want(k)
+                ],
             )
         expl = df.select(F.col(rowid), F.posexplode(ids_col).alias("_pos", "_eid"))
         joined = expl.join(scan_df, F.col("_eid") == F.col(smeta.id_col))
@@ -1289,12 +1307,70 @@ class Planner:
         header[out_col] = EntityMeta(kind="value", col=out_col)
         return Record(out, header), out_col
 
+    @staticmethod
+    def _varpath_needed_keys(expr: A.Expr, call: A.Expr) -> Optional[frozenset]:
+        """Property keys of the rendered entities that ``expr`` actually
+        reads, when EVERY use of ``call`` (a nodes()/relationships() over
+        a varpath) is as a higher-order-function source whose lambda
+        variable is only property-accessed (or passed to id/labels/type).
+        None = some use needs the full struct (returned whole, UNWINDed,
+        compared) — render every property. Pruning here is what keeps a
+        ``reduce(.., x IN nodes(p) | acc + x.totalprice)`` from dragging
+        every node property of millions of paths through the render's
+        explode-join-collect (measured 16x-super-linear at sf1 without)."""
+        needed: set = set()
+
+        def lam_uses(body: A.Expr, var: str) -> bool:
+            """Collect prop keys; True if the lambda var escapes whole."""
+            if isinstance(body, A.Prop) and isinstance(body.subject, A.Var) and body.subject.name == var:
+                needed.add(body.key)
+                return False
+            if (
+                isinstance(body, A.FuncCall)
+                and body.name in ("id", "labels", "type")
+                and len(body.args) == 1
+                and isinstance(body.args[0], A.Var)
+                and body.args[0].name == var
+            ):
+                return False  # served by the non-property struct fields
+            if isinstance(body, A.Var) and body.name == var:
+                return True
+            return any(lam_uses(c, var) for c in body.children())
+
+        def visit(n: A.Expr) -> bool:
+            """True if some use of ``call`` requires the full struct."""
+            if n == call:
+                return True  # reached outside a recognized HOF-source slot
+            if isinstance(n, (A.ListComp, A.Quantified)) and n.source == call:
+                bodies = [
+                    b
+                    for b in (getattr(n, "projection", None), getattr(n, "where", None))
+                    if b is not None
+                ]
+                return any(lam_uses(b, n.var) for b in bodies) or any(
+                    visit(b) for b in bodies
+                )
+            if isinstance(n, A.Reduce) and n.source == call:
+                return (
+                    lam_uses(n.expr, n.var) or visit(n.expr) or visit(n.init)
+                )
+            if isinstance(n, A.FuncCall) and n.name in ("size", "length") and (
+                len(n.args) == 1 and n.args[0] == call
+            ):
+                return False  # size(nodes(p)) needs no fields at all
+            return any(visit(c) for c in n.children())
+
+        if visit(expr):
+            return None
+        return frozenset(needed)
+
     def _replace_varpath_fns(
         self, rec: Record, expr: A.Expr
     ) -> Tuple[Record, A.Expr]:
         """Lower nodes(p)/relationships(p) over a VAR-LENGTH path to a
         pre-rendered hidden value column (plan-level join — the compiler
-        can't express it as a column)."""
+        can't express it as a column). The rendered struct carries only
+        the property keys the expression reads (see _varpath_needed_keys)."""
         calls = [
             n
             for n in expr.walk()
@@ -1305,10 +1381,15 @@ class Planner:
             and rec.header.get(n.args[0].name) is not None
             and rec.header[n.args[0].name].kind == "varpath"
         ]
-        for call in calls:
+        unique = []
+        for c in calls:
+            if c not in unique:
+                unique.append(c)
+        for call in unique:
             meta = rec.header[call.args[0].name]
             which = "nodes" if call.name == "nodes" else "rels"
-            rec, col = self._render_varpath_elems(rec, meta, which)
+            keys = self._varpath_needed_keys(expr, call)
+            rec, col = self._render_varpath_elems(rec, meta, which, keys)
             expr = A.substitute(expr, [(call, A.Var(col))])
         return rec, expr
 
