@@ -1231,18 +1231,19 @@ class Planner:
         uniform downstream. ``keys``: restrict the rendered property
         fields to these (from _varpath_needed_keys); None renders all —
         pruning keeps the explode-join-collect proportional to what the
-        query reads, and lets Catalyst prune the scan columns too."""
-        rowid = f" vp#{next(self._uid)}"
+        query reads, and lets Catalyst prune the scan columns too.
+
+        Join-back identity: a path IS its (rel-id array, node-id array)
+        pair, so the rendered array rejoins on those columns directly —
+        no generated row id and therefore no eager checkpoint of the
+        full-width record (which dominated the query at sf1), and paths
+        shared by many record rows render once."""
         out_col = f" vp#{next(self._uid)}#arr"
-        # freeze the row ids: two branches (explode side and join-back
-        # side) must see identical values
-        df = materialize(
-            self._materialize(rec).df.withColumn(
-                rowid, F.monotonically_increasing_id()
-            )
-        )
+        df = self._materialize(rec).df
         ids_col = meta.vpath_nodes_col if which == "nodes" else meta.vpath_rels_col
+        key_cols = [meta.vpath_rels_col, meta.vpath_nodes_col]
         empty_rel_t = "array<struct<id:bigint,src:bigint,dst:bigint,type:string>>"
+
         def want(k: str) -> bool:
             return keys is None or k in keys
 
@@ -1250,7 +1251,7 @@ class Planner:
             scan_df, smeta = self.scan_node_record(f" vpn{next(self._uid)}", ())
             st = F.struct(
                 F.col(smeta.id_col).alias("id"),
-                F.col(smeta.labels_col).alias("labels"),
+                *([F.col(smeta.labels_col).alias("labels")] if want("labels") else []),
                 *[
                     F.col(c).alias(k)
                     for k, c in sorted(smeta.prop_cols.items())
@@ -1267,7 +1268,7 @@ class Planner:
                     F.when(
                         F.col(meta.col).isNotNull(), F.array().cast(empty_rel_t)
                     ),
-                ).drop(rowid)
+                )
                 header = dict(rec.header)
                 header[out_col] = EntityMeta(kind="value", col=out_col)
                 return Record(df, header), out_col
@@ -1275,24 +1276,29 @@ class Planner:
                 F.col(smeta.id_col).alias("id"),
                 F.col(smeta.src_col).alias("src"),
                 F.col(smeta.dst_col).alias("dst"),
-                F.col(smeta.type_col).alias("type"),
+                *([F.col(smeta.type_col).alias("type")] if want("type") else []),
                 *[
                     F.col(c).alias(k)
                     for k, c in sorted(smeta.prop_cols.items())
                     if want(k)
                 ],
             )
-        expl = df.select(F.col(rowid), F.posexplode(ids_col).alias("_pos", "_eid"))
+        uniq = (
+            df.select(*key_cols)
+            .where(F.col(ids_col).isNotNull())
+            .dropDuplicates(key_cols)
+        )
+        expl = uniq.select(*key_cols, F.posexplode(ids_col).alias("_pos", "_eid"))
         joined = expl.join(scan_df, F.col("_eid") == F.col(smeta.id_col))
-        agg = joined.groupBy(rowid).agg(
+        agg = joined.groupBy(*key_cols).agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("_pos").alias("p"), st.alias("s")))
             ).alias("_ps")
         )
         arr = agg.select(
-            F.col(rowid), F.transform(F.col("_ps"), lambda x: x["s"]).alias(out_col)
+            *key_cols, F.transform(F.col("_ps"), lambda x: x["s"]).alias(out_col)
         )
-        out = df.join(arr, rowid, "left")
+        out = df.join(arr, key_cols, "left")
         arr_t = next(f.dataType for f in out.schema.fields if f.name == out_col)
         # zero-length paths explode no rel rows -> left-join null; render
         # the typed empty array for matched paths, keep null for unmatched
@@ -1302,7 +1308,7 @@ class Planner:
                 F.col(meta.col).isNotNull(),
                 F.coalesce(F.col(out_col), F.array().cast(arr_t)),
             ),
-        ).drop(rowid)
+        )
         header = dict(rec.header)
         header[out_col] = EntityMeta(kind="value", col=out_col)
         return Record(out, header), out_col
@@ -1332,7 +1338,10 @@ class Planner:
                 and isinstance(body.args[0], A.Var)
                 and body.args[0].name == var
             ):
-                return False  # served by the non-property struct fields
+                # served by the non-property struct fields; labels/type
+                # are only rendered when recorded here (id always is)
+                needed.add(body.name)
+                return False
             if isinstance(body, A.Var) and body.name == var:
                 return True
             return any(lam_uses(c, var) for c in body.children())
