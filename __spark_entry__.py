@@ -3599,6 +3599,24 @@ SELECT vec_id, sim_micro FROM scored ORDER BY sim_micro DESC, vec_id LIMIT 10"""
     ),
 }
 
+# CALL ... YIELD procedure surface (procedures.py, beyond reference parity —
+# the reference has no procedures): the same distributed algorithms invoked
+# THROUGH the Cypher parser/planner, checked against the algorithm entries'
+# own oracles. A hash match here proves the whole procedure path (argument
+# evaluation, YIELD projection, composition with RETURN) end-to-end.
+_CYPHER_QUERIES["call_pagerank_next"] = (
+    """CALL algo.pageRank(3, 0.85, ['NEXT']) YIELD id, rank
+       RETURN id, round(rank, 6) AS rank
+       ORDER BY rank DESC, id LIMIT 100""",
+    _PIPELINE_QUERIES["pagerank_next"][1],
+)
+_CYPHER_QUERIES["call_bfs_region"] = (
+    """CALL algo.bfs([0], 3, ['IN_REGION', 'IN_NATION', 'PLACED'], true)
+       YIELD id, dist
+       RETURN id, dist""",
+    _PIPELINE_QUERIES["bfs_region_reach"][1],
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

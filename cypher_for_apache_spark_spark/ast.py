@@ -366,6 +366,19 @@ class CallSubquery:
 
 
 @dataclass
+class CallProcedure:
+    """CALL name(args) [YIELD col [AS alias], ... [WHERE pred]]: invoke a
+    registered procedure (procedures.py). ``yields`` is None for a
+    standalone call (terminal clause — yields every declared column as the
+    query result)."""
+
+    name: str
+    args: List[Expr]
+    yields: Optional[List[Tuple[str, str]]]  # (column, alias)
+    where: Optional[Expr] = None
+
+
+@dataclass
 class SingleQuery:
     clauses: list  # MatchClause | UnwindClause | ProjectionClause | FromGraph...
 

@@ -21,7 +21,13 @@ from cypher_for_apache_spark_spark.materialize import materialize as _checkpoint
 def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> DataFrame:
     e = graph.scan_rels(rel_types, out_id="_eid", out_src="src", out_dst="dst")
     if e is None:
-        raise ValueError("graph has no relationship tables")
+        # no relationship tables (or none of the requested types): the
+        # empty edge set, not an error — same semantics as a Cypher scan
+        # of a nonexistent type (degrees all zero, singleton components)
+        spark = _vertices(graph).sparkSession
+        return spark.range(0).select(
+            F.col("id").alias("src"), F.col("id").alias("dst")
+        )
     e = e.select("src", "dst")
     if undirected:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -415,7 +421,13 @@ def sssp(
     """
     e = graph.scan_rels(rel_types, out_id="_eid", out_src="src", out_dst="dst")
     if e is None:
-        raise ValueError("graph has no relationship tables")
+        # empty edge set (see _edges): sources are reachable at 0.0,
+        # nothing else is
+        e = (
+            _vertices(graph)
+            .sparkSession.range(0)
+            .select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
     if weight_prop is not None and weight_prop in e.columns:
         w = F.coalesce(F.col(weight_prop).cast("double"), F.lit(1.0))
     else:

@@ -240,13 +240,19 @@ class Parser:
                 self.advance()
                 clauses.append(self.parse_projection(is_return=False))
             elif self.tok.kind == "ident" and self.tok.value.lower() == "call":
-                # CALL { subquery }; procedure CALLs (CALL db.x() YIELD ..)
-                # stay unsupported and fail on the missing brace
+                # CALL { subquery } | CALL proc.name(args) [YIELD ...]
                 self.advance()
-                self.expect("{")
-                inner = self.parse_query_until_brace()
-                self.expect("}")
-                clauses.append(A.CallSubquery(inner))
+                if self.eat("{"):
+                    inner = self.parse_query_until_brace()
+                    self.expect("}")
+                    clauses.append(A.CallSubquery(inner))
+                else:
+                    call = self.parse_call_procedure()
+                    clauses.append(call)
+                    if call.yields is None:
+                        # standalone CALL: terminal clause, implicit
+                        # YIELD-all result (Neo4j's standalone call form)
+                        break
             elif self.at_kw("from"):
                 self.advance()
                 self.eat_kw("graph")
@@ -267,6 +273,32 @@ class Parser:
         if not clauses:
             raise CypherSyntaxError(f"expected clause at {self.tok!r}")
         return A.SingleQuery(clauses)
+
+    def parse_call_procedure(self) -> "A.CallProcedure":
+        """``proc.name(arg, ...) [YIELD col [AS alias], ... [WHERE pred]]``
+        (the CALL keyword is already consumed)."""
+        name = self.qualified_name()
+        args: List[A.Expr] = []
+        self.expect("(")
+        if not self.at(")"):
+            args.append(self.parse_expr())
+            while self.eat(","):
+                args.append(self.parse_expr())
+        self.expect(")")
+        yields = None
+        where = None
+        if self.tok.kind == "ident" and self.tok.value.lower() == "yield":
+            self.advance()
+            yields = []
+            while True:
+                col = self.name()
+                alias = self.name() if self.eat_kw("as") else col
+                yields.append((col, alias))
+                if not self.eat(","):
+                    break
+            if self.eat_kw("where"):
+                where = self.parse_expr()
+        return A.CallProcedure(name, args, yields, where)
 
     def qualified_name(self) -> str:
         n = self.name()

@@ -66,6 +66,7 @@ class Planner:
         graph_params: Optional[dict] = None,
         expand_salt_factor: int = 0,
         expand_salt_auto_min_bytes: int = 64 << 20,
+        procedures=None,
     ):
         self.spark = spark
         self.graph = graph
@@ -77,7 +78,16 @@ class Planner:
         self.graph_params = graph_params or {}
         self.expand_salt_factor = expand_salt_factor
         self.expand_salt_auto_min_bytes = expand_salt_auto_min_bytes
+        self._procedures = procedures
         self._uid = itertools.count()
+
+    @property
+    def procedures(self):
+        if self._procedures is None:
+            from cypher_for_apache_spark_spark.procedures import ProcedureRegistry
+
+            self._procedures = ProcedureRegistry()
+        return self._procedures
 
     # ------------------------------------------------------------------ utils
     def _u(self, var: str) -> str:
@@ -208,6 +218,12 @@ class Planner:
                 rec = self.plan_unwind(rec, clause)
             elif isinstance(clause, A.CallSubquery):
                 rec = self.plan_call_subquery(rec, clause)
+            elif isinstance(clause, A.CallProcedure):
+                rec = self.plan_call_procedure(rec, clause)
+                if clause.yields is None:
+                    # standalone CALL: the procedure's declared columns ARE
+                    # the query result (Neo4j's standalone call form)
+                    final = PlanResult(df=self.finalize(rec))
             elif isinstance(clause, A.FromGraphClause):
                 self.graph = self._resolve_graph_ref(clause)
             elif isinstance(clause, A.ConstructClause):
@@ -375,6 +391,83 @@ class Planner:
             out = self.plan_where(out, clause.where)
         return out
 
+    # ---------------------------------------------------- CALL proc() YIELD
+    def _const_value(self, e: A.Expr, what: str):
+        """Driver-side value of a constant expression (literals, parameters,
+        list/map literals over them, negation). Procedure arguments are
+        plan-time constants — a procedure runs ONCE per query, never per
+        input row (per-row semantics belong to CALL { } subqueries)."""
+        if isinstance(e, A.Lit):
+            return e.value
+        if isinstance(e, A.Param):
+            if e.name not in self.params:
+                raise CypherPlanningError(f"missing parameter ${e.name}")
+            return self.params[e.name]
+        if isinstance(e, A.ListLit):
+            return [self._const_value(x, what) for x in e.items]
+        if isinstance(e, A.MapLit):
+            return {k: self._const_value(v, what) for k, v in e.items}
+        if isinstance(e, A.Neg):
+            return -self._const_value(e.expr, what)
+        raise CypherPlanningError(
+            f"{what} must be a literal or parameter (procedures are not "
+            "correlated per input row — use a CALL { } subquery for that)"
+        )
+
+    def plan_call_procedure(self, rec: Record, clause: A.CallProcedure) -> Record:
+        """``CALL proc(args) YIELD cols [WHERE pred]`` (beyond reference
+        parity; the reference has no procedures —
+        documentation/asciidoc/cypher-cypher9-features.adoc:57-76). The
+        procedure body (procedures.py registry) returns a DataFrame with a
+        declared column contract; YIELD selects/renames its columns into
+        fresh value variables and the result composes with the incoming
+        rows exactly like an uncorrelated CALL subquery: a cross join,
+        which Catalyst collapses to an equi-join when a later WHERE
+        equates a yielded column with an outer one, and broadcasts small
+        procedure outputs."""
+        from cypher_for_apache_spark_spark.procedures import (
+            ProcContext,
+            ProcedureError,
+        )
+
+        try:
+            proc = self.procedures.lookup(clause.name)
+            vals = [
+                self._const_value(a, f"procedure {clause.name} argument")
+                for a in clause.args
+            ]
+            out = proc.invoke(
+                ProcContext(self.spark, self.graph, self.catalog), vals
+            )
+        except ProcedureError as exc:
+            raise CypherPlanningError(str(exc)) from exc
+        yields = clause.yields
+        if yields is None:
+            yields = [(c, c) for c in proc.returns]
+        header = dict(rec.header)
+        sel = []
+        seen_aliases = set()
+        for col, alias in yields:
+            if col not in proc.returns:
+                raise CypherPlanningError(
+                    f"procedure {proc.name} has no output column `{col}` "
+                    f"(declares: {', '.join(proc.returns)})"
+                )
+            if alias in header or alias in seen_aliases:
+                raise CypherPlanningError(
+                    f"CALL ... YIELD `{alias}` collides with an existing variable"
+                )
+            seen_aliases.add(alias)
+            phys = fresh(alias)
+            sel.append(F.col(col).alias(phys))
+            header[alias] = EntityMeta(kind="value", col=phys)
+        odf = out.select(*sel)
+        df = odf if rec.df is None else rec.df.crossJoin(odf)
+        result = Record(df, header)
+        if clause.where is not None:
+            result = self.plan_where(result, clause.where)
+        return result
+
     def plan_call_subquery(self, rec: Record, clause: A.CallSubquery) -> Record:
         """``CALL { [WITH a, b] ... RETURN ... }`` (beyond reference parity;
         the reference has no subqueries). Set-based lowering of Neo4j's
@@ -461,6 +554,8 @@ class Planner:
                 inner = self.plan_unwind(inner, c)
             elif isinstance(c, A.CallSubquery):
                 inner = self.plan_call_subquery(inner, c)
+            elif isinstance(c, A.CallProcedure):
+                inner = self.plan_call_procedure(inner, c)
             elif isinstance(c, A.ProjectionClause):
                 if correlated:
                     # thread the imports through every intermediate WITH:

@@ -94,6 +94,16 @@ class CypherSession:
         self.views: Dict[str, tuple] = {}  # name -> (params, query AST)
         self.expand_salt_factor = expand_salt_factor
         self.expand_salt_auto_min_bytes = expand_salt_auto_min_bytes
+        from cypher_for_apache_spark_spark.procedures import ProcedureRegistry
+
+        self.procedures = ProcedureRegistry()
+
+    def register_procedure(self, name: str, fn, returns) -> None:
+        """Register a user procedure for ``CALL name(args) YIELD cols``:
+        ``fn(ctx, *args) -> DataFrame`` producing at least the ``returns``
+        columns (procedures.py — the GDS-style extension point the
+        reference lacks)."""
+        self.procedures.register(name, fn, returns)
 
     # -- graph ingestion ----------------------------------------------------
     def read_from(
@@ -192,6 +202,7 @@ class CypherSession:
             views=self.views,
             expand_salt_factor=self.expand_salt_factor,
             expand_salt_auto_min_bytes=self.expand_salt_auto_min_bytes,
+            procedures=self.procedures,
         )
         result = planner.plan(ast)
         if result.graph is not None:
