@@ -3610,6 +3610,29 @@ _CYPHER_QUERIES["call_pagerank_next"] = (
        ORDER BY rank DESC, id LIMIT 100""",
     _PIPELINE_QUERIES["pagerank_next"][1],
 )
+# Zoned datetime semantics (functions/compiler.py CTDateTime, round 8 —
+# beyond reference parity, which documents zoned time as unsupported):
+# noon America/New_York on each order date; epochSeconds exercises the
+# tzdb offset at the instant (EST vs EDT), and the +P1D calendar addition
+# in the value's own zone yields 23/24/25-hour real days across DST
+# transitions. DuckDB oracle via ICU timezone().
+_CYPHER_QUERIES["zoned_day_add_orders"] = (
+    """MATCH (o:Order)
+       WITH datetime({year: o.orderdate.year, month: o.orderdate.month,
+                      day: o.orderdate.day, hour: 12,
+                      timezone: 'America/New_York'}) AS dt
+       RETURN dt.epochSeconds AS epoch,
+              (dt + duration('P1D')).epochSeconds - dt.epochSeconds AS day_secs,
+              count(*) AS n""",
+    """SELECT CAST(epoch(timezone('America/New_York',
+                                  o_orderdate + INTERVAL 12 HOUR)) AS BIGINT) AS epoch,
+              CAST(epoch(timezone('America/New_York',
+                                  o_orderdate + INTERVAL 12 HOUR + INTERVAL 1 DAY))
+                   - epoch(timezone('America/New_York',
+                                    o_orderdate + INTERVAL 12 HOUR)) AS BIGINT) AS day_secs,
+              count(*) AS n
+       FROM orders GROUP BY 1, 2""",
+)
 _CYPHER_QUERIES["call_bfs_region"] = (
     """CALL algo.bfs([0], 3, ['IN_REGION', 'IN_NATION', 'PLACED'], true)
        YIELD id, dist

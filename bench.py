@@ -17,6 +17,16 @@ Modes:
                                   inside each; immune to cross-query JIT /
                                   codecache / GC contamination — use for
                                   SCALE.md growth curves
+  python bench.py --isolate --reps N
+                                  min over N whole-JVM repetitions per
+                                  query (default 3). Round-7 judge reruns
+                                  showed single-rep isolated records carry
+                                  up to 1.6x host noise (scc_parts: 6.18s
+                                  recorded, 3.86s min-of-3) — reps>=3 is
+                                  the default since round 8. NOTE: records
+                                  with "reps": 3 are NOT comparable to the
+                                  pre-r8 single-rep BENCH_local_iso_* files;
+                                  both SFs were re-baselined in r8.
   python bench.py --one NAME      (internal) time a single query in this
                                   process; prints {"name", "sec"}
 
@@ -165,10 +175,14 @@ def _run_one(name: str, sf_dir: str, cpus: str) -> None:
         pass
 
 
-def _run_isolated(sf_dir: str, cpus: str, sf: float) -> None:
+def _run_isolated(sf_dir: str, cpus: str, sf: float, reps: int = 3) -> None:
     """Fresh JVM per query via subprocess — removes cross-query JIT/
     codecache/GC contamination (measured 2x swings in both directions in
-    the shared-session sf1 record; see SCALE.md). Slower wall-clock, only
+    the shared-session sf1 record; see SCALE.md). Each query runs in
+    ``reps`` independent JVMs and the MIN wall is recorded: whole-run host
+    noise (CPU steal, page cache pressure from neighbors) hits any single
+    JVM run with up to 1.6x inflation (round-7 judge reruns), and min-of-N
+    drives the noise probability to its Nth power. Slower wall-clock, only
     used for scale studies, never the driver bench."""
     import subprocess
 
@@ -180,31 +194,34 @@ def _run_isolated(sf_dir: str, cpus: str, sf: float) -> None:
         env = dict(os.environ)
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
         env["SPARK_GRAFT_CPUS"] = cpus
-        try:
-            proc = subprocess.run(
-                [sys.executable, me, "--one", name],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=1800,
-            )
-            line = proc.stdout.strip().rsplit("\n", 1)[-1]
-            rec = json.loads(line)
-        except Exception as ex:
-            print(f"# isolate error in {name}: {ex}", file=sys.stderr)
-            failed.append(name)
-            continue
-        if rec.get("sec") is None:
+        best: float | None = None
+        for rep in range(max(1, reps)):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, me, "--one", name],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=1800,
+                )
+                line = proc.stdout.strip().rsplit("\n", 1)[-1]
+                rec = json.loads(line)
+            except Exception as ex:
+                print(f"# isolate error in {name} rep {rep}: {ex}", file=sys.stderr)
+                continue
+            if rec.get("sec") is not None:
+                best = rec["sec"] if best is None else min(best, rec["sec"])
+        if best is None:
             print(f"# isolate: {name} failed", file=sys.stderr)
             failed.append(name)
             continue
-        timings[name] = rec["sec"]
-        total += rec["sec"]
-        print(f"# {name}: {rec['sec']}s", file=sys.stderr)
+        timings[name] = best
+        total += best
+        print(f"# {name}: {best}s (min of {reps})", file=sys.stderr)
     # failed names travel with the record: two isolated records are only
     # total-comparable over the same query set, and scale_report refuses
     # to ratio totals when the sets differ (ADVICE r6)
-    _emit(total, timings, {}, sf, isolated=True, failed=failed)
+    _emit(total, timings, {}, sf, isolated=True, failed=failed, reps=reps)
 
 
 def _emit(
@@ -214,6 +231,7 @@ def _emit(
     sf: float,
     isolated: bool = False,
     failed: list[str] | None = None,
+    reps: int | None = None,
 ) -> None:
     # Final stdout line is TOTALS-ONLY (~100 bytes): the driver's tail
     # capture is ~2 KB and rounds 3-5 lost the record to truncation when
@@ -229,18 +247,21 @@ def _emit(
     if failed:
         compact_rec["failed"] = len(failed)
     compact = json.dumps(compact_rec, separators=(",", ":"))
-    full = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "isolated": isolated,
-            "jvm": jvm_stats,
-            "failed": failed or [],
-        }
-    )
+    full_rec = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "isolated": isolated,
+        "jvm": jvm_stats,
+        "failed": failed or [],
+    }
+    if reps is not None:
+        # reps >= 3 records (round 8+) are NOT comparable to the single-rep
+        # isolated files from earlier rounds
+        full_rec["reps"] = reps
+    full = json.dumps(full_rec)
     fname = "BENCH_local_isolated.json" if isolated else "BENCH_local_latest.json"
     try:
         with open(
@@ -264,7 +285,10 @@ def main() -> None:
         _run_one(sys.argv[sys.argv.index("--one") + 1], sf_dir, cpus)
         return
     if "--isolate" in sys.argv:
-        _run_isolated(sf_dir, cpus, sf)
+        reps = 3
+        if "--reps" in sys.argv:
+            reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        _run_isolated(sf_dir, cpus, sf, reps=reps)
         return
 
     spark = _build_session(cpus)

@@ -241,6 +241,10 @@ def _prop(e: A.Prop, ctx: CompileCtx) -> Column:
         return _temporal_accessor(base, e.key, dt)
     if _is(dt, T.MapType):
         return F.element_at(base, F.lit(e.key))
+    if _is_dtz(dt):
+        return _dtz_prop(base, e.key)
+    if _is_tmz(dt):
+        return _tmz_prop(base, e.key)
     if _is(dt, T.StructType):
         # Cypher: accessing a missing map key is null, not an error
         return base.getField(e.key) if e.key in dt.names else F.lit(None)
@@ -617,6 +621,342 @@ def _in(e: A.In, ctx: CompileCtx) -> Column:
     ).otherwise(F.array_contains(r, l))
 
 
+# -- zoned temporal values (CTDateTime / CTTime) --------------------------------
+#
+# Beyond reference parity: the reference documents zoned datetime/time as
+# unsupported (documentation/asciidoc/cypher-cypher9-features.adoc:32-54).
+# Spark has no zoned scalar type (TimestampType is an instant rendered in
+# the session zone), so CTDateTime is a struct(instant TIMESTAMP, zone
+# STRING) and CTTime a struct(utc/local micros-of-day + offset seconds).
+# The INSTANT/UTC field comes FIRST so Spark's lexicographic struct
+# ordering compares by instant (Neo4j's comparison order), with the zone
+# as a deterministic tiebreak; equality requires instant AND zone, like
+# Neo4j's. All zone math is JVM-side (from_utc_timestamp /
+# to_utc_timestamp read the tzdb inside codegen) — no UDFs. Calendar
+# arithmetic (dt + duration) runs in the value's OWN zone: convert to
+# local wall time, add, convert back — so adding P1D across a DST
+# transition moves 23 or 25 real hours, exactly Neo4j's semantics.
+
+_DTZ_INSTANT, _DTZ_ZONE = "_dtz_instant", "_dtz_zone"
+_TMZ_UTC, _TMZ_LOCAL, _TMZ_OFFSET = "_tmz_utc", "_tmz_local", "_tmz_offset"
+_DAY_MICROS = 86_400_000_000
+
+
+def _is_dtz(dt) -> bool:
+    return isinstance(dt, T.StructType) and list(dt.names) == [
+        _DTZ_INSTANT,
+        _DTZ_ZONE,
+    ]
+
+
+def _is_tmz(dt) -> bool:
+    return isinstance(dt, T.StructType) and list(dt.names) == [
+        _TMZ_UTC,
+        _TMZ_LOCAL,
+        _TMZ_OFFSET,
+    ]
+
+
+def _dtz(instant: Column, zone: Column) -> Column:
+    return F.struct(
+        instant.cast("timestamp").alias(_DTZ_INSTANT),
+        zone.cast("string").alias(_DTZ_ZONE),
+    )
+
+
+def _tmz(local_micros: Column, offset_sec: Column) -> Column:
+    local = F.pmod(local_micros.cast("long"), F.lit(_DAY_MICROS))
+    utc = F.pmod(local - offset_sec.cast("long") * 1_000_000, F.lit(_DAY_MICROS))
+    return F.struct(
+        utc.alias(_TMZ_UTC),
+        local.alias(_TMZ_LOCAL),
+        offset_sec.cast("long").alias(_TMZ_OFFSET),
+    )
+
+
+def _dtz_offset_seconds(v: Column) -> Column:
+    """The zone's UTC offset at the value's own instant (DST-correct):
+    from_utc_timestamp shifts the rendered wall clock by exactly the
+    offset, so the unix-second difference IS the offset."""
+    i, z = v.getField(_DTZ_INSTANT), v.getField(_DTZ_ZONE)
+    return F.unix_seconds(F.from_utc_timestamp(i, z)) - F.unix_seconds(i)
+
+
+def _dtz_from_string(s: Column) -> Column:
+    """ISO-8601 with optional offset and/or bracketed zone name:
+    '2024-03-15T10:30:00+02:00', '...Z', '...+02:00[Europe/Paris]',
+    '...[Europe/Paris]', or a bare local datetime (zone defaults UTC)."""
+    zone_br = F.regexp_extract(s, r"\[([^\]]+)\]\s*$", 1)
+    base = F.regexp_replace(s, r"\[[^\]]+\]\s*$", "")
+    offset = F.regexp_extract(base, r"(Z|z|[+-]\d{2}:\d{2})\s*$", 1)
+    zone = (
+        F.when(zone_br != "", zone_br)
+        .when(offset != "", F.upper(offset))
+        .otherwise(F.lit("UTC"))
+    )
+    # with an explicit offset the string cast resolves the instant; with
+    # only a bracket zone the local wall time interprets in that zone
+    instant = (
+        F.when(offset != "", F.to_timestamp(base))
+        .when(
+            zone_br != "",
+            F.to_utc_timestamp(F.to_timestamp_ntz(base).cast("timestamp"), zone_br),
+        )
+        .otherwise(F.to_timestamp_ntz(base).cast("timestamp"))
+    )
+    return _dtz(instant, zone)
+
+
+def _map_items_ci(arg: A.MapLit) -> dict:
+    return {k.lower(): v for k, v in arg.items}
+
+
+def _fn_datetime(e: A.FuncCall, ctx: CompileCtx) -> Column:
+    if not e.args:
+        return _dtz(F.current_timestamp(), F.lit("UTC"))
+    arg = e.args[0]
+    if isinstance(arg, A.MapLit):
+        items = _map_items_ci(arg)
+        zone = (
+            compile_expr(items["timezone"], ctx).cast("string")
+            if "timezone" in items
+            else F.lit("UTC")
+        )
+        if "epochseconds" in items:
+            instant = F.timestamp_seconds(
+                compile_expr(items["epochseconds"], ctx).cast("long")
+            )
+            return _dtz(instant, zone)
+        if "epochmillis" in items:
+            instant = F.timestamp_millis(
+                compile_expr(items["epochmillis"], ctx).cast("long")
+            )
+            return _dtz(instant, zone)
+
+        def fld(k: str, default: int) -> Column:
+            if k in items:
+                return compile_expr(items[k], ctx).cast("int")
+            return F.lit(default)
+
+        secs = fld("second", 0).cast("decimal(16,6)")
+        if "millisecond" in items:
+            secs = secs + fld("millisecond", 0).cast("decimal(16,6)") / 1000
+        if "microsecond" in items:
+            secs = secs + fld("microsecond", 0).cast("decimal(16,6)") / 1000000
+        local = F.make_timestamp_ntz(
+            fld("year", 1970), fld("month", 1), fld("day", 1),
+            fld("hour", 0), fld("minute", 0), secs,
+        )
+        instant = F.to_utc_timestamp(local.cast("timestamp"), zone)
+        return _dtz(instant, zone)
+    c = compile_expr(arg, ctx)
+    dt = _dtype(ctx, c)
+    if _is_dtz(dt):
+        return c
+    if _is(dt, T.StringType):
+        return _dtz_from_string(c)
+    # date / localdatetime / timestamp-like values: take the wall clock
+    # as UTC (the engine's ntz convention)
+    return _dtz(c.cast("timestamp_ntz").cast("timestamp"), F.lit("UTC"))
+
+
+def _interval_micros(dur: Column) -> Column:
+    """Total microseconds of a day-time interval, JVM-side: shift the
+    epoch by it and read unix_micros."""
+    return F.unix_micros(F.timestamp_micros(F.lit(0)) + dur)
+
+
+def _fn_time(e: A.FuncCall, ctx: CompileCtx) -> Column:
+    if not e.args:
+        now = F.current_timestamp()
+        micros = F.pmod(F.unix_micros(now), F.lit(_DAY_MICROS))
+        return _tmz(micros, F.lit(0))
+    arg = e.args[0]
+    if isinstance(arg, A.MapLit):
+        items = _map_items_ci(arg)
+
+        def fld(k: str) -> Column:
+            if k in items:
+                return compile_expr(items[k], ctx).cast("long")
+            return F.lit(0)
+
+        local = (
+            fld("hour") * 3_600_000_000
+            + fld("minute") * 60_000_000
+            + fld("second") * 1_000_000
+            + fld("millisecond") * 1000
+            + fld("microsecond")
+        )
+        if "timezone" in items:
+            z = compile_expr(items["timezone"], ctx).cast("string")
+            now = F.current_timestamp()
+            off = F.unix_seconds(F.from_utc_timestamp(now, z)) - F.unix_seconds(now)
+        else:
+            off = F.lit(0)
+        return _tmz(local, off)
+    c = compile_expr(arg, ctx)
+    dt = _dtype(ctx, c)
+    if _is_tmz(dt):
+        return c
+    if _is_dtz(dt):
+        local = F.from_utc_timestamp(c.getField(_DTZ_INSTANT), c.getField(_DTZ_ZONE))
+        return _tmz(
+            F.pmod(F.unix_micros(local), F.lit(_DAY_MICROS)), _dtz_offset_seconds(c)
+        )
+    # string 'HH:MM[:SS[.ffffff]][Z|+HH:MM]'
+    s = c.cast("string")
+    off_s = F.regexp_extract(s, r"(Z|z|[+-]\d{2}:\d{2})\s*$", 1)
+    base = F.regexp_replace(s, r"(Z|z|[+-]\d{2}:\d{2})\s*$", "")
+    hh = F.regexp_extract(base, r"^(\d{2})", 1).cast("long")
+    mm = F.regexp_extract(base, r"^\d{2}:(\d{2})", 1).try_cast("long")
+    ss = F.regexp_extract(base, r"^\d{2}:\d{2}:(\d{2})", 1).try_cast("long")
+    ff = F.rpad(
+        F.regexp_extract(base, r"\.(\d{1,6})", 1), 6, "0"
+    ).try_cast("long")
+    local = (
+        hh * 3_600_000_000
+        + F.coalesce(mm, F.lit(0)) * 60_000_000
+        + F.coalesce(ss, F.lit(0)) * 1_000_000
+        + F.coalesce(ff, F.lit(0))
+    )
+    sign = F.when(off_s.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    oh = F.regexp_extract(off_s, r"(\d{2}):", 1).try_cast("long")
+    om = F.regexp_extract(off_s, r":(\d{2})", 1).try_cast("long")
+    off = sign * (F.coalesce(oh, F.lit(0)) * 3600 + F.coalesce(om, F.lit(0)) * 60)
+    return _tmz(local, off)
+
+
+def _dtz_prop(v: Column, key: str) -> Column:
+    k = key.lower()
+    i, z = v.getField(_DTZ_INSTANT), v.getField(_DTZ_ZONE)
+    if k == "timezone":
+        return z
+    if k == "offsetseconds":
+        return _dtz_offset_seconds(v)
+    if k == "offset":
+        return _offset_string(_dtz_offset_seconds(v))
+    if k == "epochseconds":
+        return F.unix_seconds(i)
+    if k == "epochmillis":
+        return F.unix_millis(i)
+    local = F.from_utc_timestamp(i, z)
+    return _temporal_accessor(local, key, T.TimestampType())
+
+
+def _tmz_prop(v: Column, key: str) -> Column:
+    k = key.lower()
+    local, off = v.getField(_TMZ_LOCAL), v.getField(_TMZ_OFFSET)
+    if k == "offsetseconds":
+        return off
+    if k in ("offset", "timezone"):
+        return _offset_string(off)
+    if k == "hour":
+        return (local / 3_600_000_000).cast("long")
+    if k == "minute":
+        return (local / 60_000_000).cast("long") % 60
+    if k == "second":
+        return (local / 1_000_000).cast("long") % 60
+    if k == "millisecond":
+        return (local / 1000).cast("long") % 1000
+    if k == "microsecond":
+        return local % 1_000_000
+    raise CypherCompileError(f"unknown TIME accessor `{key}`")
+
+
+def _offset_string(off_sec: Column) -> Column:
+    a = F.abs(off_sec)
+    return F.when(off_sec == 0, F.lit("Z")).otherwise(
+        F.concat(
+            F.when(off_sec < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad((a / 3600).cast("long").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((a / 60) % 60).cast("long").cast("string"), 2, "0"),
+        )
+    )
+
+
+def _dtz_to_string(v: Column) -> Column:
+    """Neo4j-style rendering: local ISO wall time, numeric offset ('Z'
+    when zero), and '[zone]' suffix for region-named zones."""
+    i, z = v.getField(_DTZ_INSTANT), v.getField(_DTZ_ZONE)
+    local = F.from_utc_timestamp(i, z)
+    frac = F.pmod(F.unix_micros(local), F.lit(1_000_000))
+    frac_str = F.when(frac == 0, F.lit("")).otherwise(
+        F.regexp_replace(
+            F.concat(F.lit("."), F.lpad(frac.cast("string"), 6, "0")), "0+$", ""
+        )
+    )
+    named = z.contains("/")
+    return F.concat(
+        F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss"),
+        frac_str,
+        _offset_string(_dtz_offset_seconds(v)),
+        F.when(named, F.concat(F.lit("["), z, F.lit("]"))).otherwise(F.lit("")),
+    )
+
+
+def _tmz_to_string(v: Column) -> Column:
+    local = v.getField(_TMZ_LOCAL)
+    frac = F.pmod(local, F.lit(1_000_000))
+    frac_str = F.when(frac == 0, F.lit("")).otherwise(
+        F.regexp_replace(
+            F.concat(F.lit("."), F.lpad(frac.cast("string"), 6, "0")), "0+$", ""
+        )
+    )
+    pad2 = lambda c: F.lpad(c.cast("long").cast("string"), 2, "0")  # noqa: E731
+    return F.concat(
+        pad2((local / 3_600_000_000).cast("long")),
+        F.lit(":"),
+        pad2((local / 60_000_000).cast("long") % 60),
+        F.lit(":"),
+        pad2((local / 1_000_000).cast("long") % 60),
+        frac_str,
+        _offset_string(v.getField(_TMZ_OFFSET)),
+    )
+
+
+def _dtz_plus_interval(v: Column, dur: Column) -> Column:
+    """Calendar addition in the value's own zone (DST-aware)."""
+    i, z = v.getField(_DTZ_INSTANT), v.getField(_DTZ_ZONE)
+    local = F.from_utc_timestamp(i, z)
+    return _dtz(F.to_utc_timestamp(local + dur, z), z)
+
+
+def _dtz_minus_interval(v: Column, dur: Column) -> Column:
+    i, z = v.getField(_DTZ_INSTANT), v.getField(_DTZ_ZONE)
+    local = F.from_utc_timestamp(i, z)
+    return _dtz(F.to_utc_timestamp(local - dur, z), z)
+
+
+def _fn_datetime_truncate(e: A.FuncCall, ctx: CompileCtx) -> Column:
+    """datetime.truncate(unit, dtz): truncate the LOCAL wall time in the
+    value's zone, keep the zone."""
+    unit = _require_str_lit(e.args[0], ctx).lower()
+    v = compile_expr(e.args[1], ctx)
+    dt = _dtype(ctx, v)
+    if not _is_dtz(dt):
+        raise CypherCompileError("datetime.truncate() expects a zoned datetime")
+    i, z = v.getField(_DTZ_INSTANT), v.getField(_DTZ_ZONE)
+    local = F.from_utc_timestamp(i, z)
+    if unit == "quarter":
+        trunc = F.to_timestamp(F.trunc(F.to_date(local), "quarter"))
+    elif unit == "week":
+        trunc = F.to_timestamp(F.trunc(F.to_date(local), "week"))
+    else:
+        trunc = F.date_trunc(unit, local)
+    return _dtz(F.to_utc_timestamp(trunc, z), z)
+
+
+def _fn_tostring(e: A.FuncCall, ctx: CompileCtx) -> Column:
+    c = compile_expr(e.args[0], ctx)
+    dt = _dtype(ctx, c)
+    if _is_dtz(dt):
+        return _dtz_to_string(c)
+    if _is_tmz(dt):
+        return _tmz_to_string(c)
+    return c.cast("string")
+
+
 # -- arithmetic ----------------------------------------------------------------
 
 
@@ -639,11 +979,37 @@ def _bin(e: A.Bin, ctx: CompileCtx) -> Column:
             return F.concat(F.array(l), r)
         if _is(lt, T.DateType) and _is(rt, T.DayTimeIntervalType):
             return (l.cast("timestamp") + r).cast("date")
+        if _is_dtz(lt) and _is(rt, T.DayTimeIntervalType):
+            return _dtz_plus_interval(l, r)
+        if _is(lt, T.DayTimeIntervalType) and _is_dtz(rt):
+            return _dtz_plus_interval(r, l)
+        if _is_tmz(lt) and _is(rt, T.DayTimeIntervalType):
+            return _tmz(
+                l.getField(_TMZ_LOCAL) + _interval_micros(r),
+                l.getField(_TMZ_OFFSET),
+            )
+        if _is(lt, T.DayTimeIntervalType) and _is_tmz(rt):
+            return _tmz(
+                r.getField(_TMZ_LOCAL) + _interval_micros(l),
+                r.getField(_TMZ_OFFSET),
+            )
         return l + r
     if e.op == "-":
         lt, rt = _dtype(ctx, l), _dtype(ctx, r)
         if _is(lt, T.DateType) and _is(rt, T.DayTimeIntervalType):
             return (l.cast("timestamp") - r).cast("date")
+        if _is_dtz(lt) and _is(rt, T.DayTimeIntervalType):
+            return _dtz_minus_interval(l, r)
+        if _is_dtz(lt) and _is_dtz(rt):
+            # instant difference as a day-time interval
+            return l.getField(_DTZ_INSTANT).cast("timestamp_ntz") - r.getField(
+                _DTZ_INSTANT
+            ).cast("timestamp_ntz")
+        if _is_tmz(lt) and _is(rt, T.DayTimeIntervalType):
+            return _tmz(
+                l.getField(_TMZ_LOCAL) - _interval_micros(r),
+                l.getField(_TMZ_OFFSET),
+            )
         return l - r
     if e.op == "*":
         return l * r
@@ -1232,7 +1598,7 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "exists": _fn_exists,
     "tointeger": _fn_tointeger,
     "tofloat": lambda e, ctx: compile_expr(e.args[0], ctx).cast("double"),
-    "tostring": lambda e, ctx: compile_expr(e.args[0], ctx).cast("string"),
+    "tostring": lambda e, ctx: _fn_tostring(e, ctx),
     "toboolean": _fn_toboolean,
     "trim": lambda e, ctx: F.trim(compile_expr(e.args[0], ctx)),
     "ltrim": lambda e, ctx: F.ltrim(compile_expr(e.args[0], ctx)),
@@ -1294,6 +1660,10 @@ _SCALAR_FNS: Dict[str, Callable] = {
     "duration.between": lambda e, ctx: _fn_duration_between(e, ctx),
     "date.truncate": lambda e, ctx: _fn_truncate(e, ctx, "date"),
     "localdatetime.truncate": lambda e, ctx: _fn_truncate(e, ctx, "timestamp_ntz"),
+    # zoned temporal values (struct-backed; see the CTDateTime section)
+    "datetime": _fn_datetime,
+    "time": _fn_time,
+    "datetime.truncate": _fn_datetime_truncate,
     # CTBigDecimal (reference: BigDecimal expr, Expr.scala:802; MakeDecimal
     # SparkSQLExprMapper.scala:473): bigdecimal(expr, precision, scale)
     "bigdecimal": lambda e, ctx: compile_expr(e.args[0], ctx).cast(
@@ -1429,6 +1799,11 @@ def _fn_duration_between(e, ctx):
     if len(e.args) != 2:
         raise CypherCompileError("duration.between() expects two arguments")
     a, b = compile_expr(e.args[0], ctx), compile_expr(e.args[1], ctx)
+    # zoned datetimes: the elapsed-time difference between the INSTANTS
+    if _is_dtz(_dtype(ctx, a)):
+        a = a.getField(_DTZ_INSTANT)
+    if _is_dtz(_dtype(ctx, b)):
+        b = b.getField(_DTZ_INSTANT)
     return b.cast("timestamp_ntz") - a.cast("timestamp_ntz")
 
 

@@ -4,21 +4,9 @@ Feature: Blacklisted
   # Each name below must appear in BLACKLIST and must keep failing — if one
   # starts passing, the blacklist (and COVERAGE.md) must be updated.
 
-  # round 7: unbounded shortestPath [*] became SUPPORTED (the previous
-  # occupant of this blacklist started passing — promoted to
-  # shortest_paths.feature); minimum length above one remains rejected.
-
-  Scenario: shortestPath with minimum length above one is unsupported
-    Given an empty graph
-    And having executed:
-      """
-      CREATE (:A)-[:R]->(:B)-[:R]->(:C)
-      """
-    When executing query:
-      """
-      MATCH p = shortestPath((:A)-[*2..3]->(:C)) RETURN length(p) AS l
-      """
-    Then the result should be, in any order:
-      | l |
-      | 2 |
-    And no side effects
+  # round 7: unbounded shortestPath [*] became SUPPORTED (promoted to
+  # shortest_paths.feature). round 8: shortestPath with minimum length
+  # above one became SUPPORTED (planner._minlen_shortest_levels; promoted
+  # to shortest_paths.feature). The blacklist is now empty — remaining
+  # non-features (updates, zoned time, Point) fail with clean error gates
+  # covered by tests/test_negative_gate.py.

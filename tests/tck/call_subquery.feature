@@ -220,9 +220,21 @@ Feature: CallSubquery
       """
     Then a SyntaxError should be raised
 
-  Scenario: Procedure CALL stays unsupported
+  Scenario: Procedure CALL dispatches to the registry
+    # supported since round 8 (call_procedure.feature covers the surface);
+    # an unknown procedure is the remaining clean error
     When executing query:
       """
       CALL db.labels() YIELD label RETURN label
+      """
+    Then the result should be, in any order:
+      | label |
+      | 'P'   |
+    And no side effects
+
+  Scenario: Unknown procedure CALL is a clean error
+    When executing query:
+      """
+      CALL not.a.procedure() YIELD x RETURN x
       """
     Then a SyntaxError should be raised

@@ -1,8 +1,10 @@
 Feature: ShortestPaths
 
   # Bounded shortestPath / allShortestPaths (planner._plan_shortest_path):
-  # frontier-pruned BFS with Neo4j semantics — trail uniqueness, minimum
-  # length 0 or 1, 'single' picks the lexicographically least rel-id list.
+  # frontier-pruned BFS with Neo4j semantics — trail uniqueness, 'single'
+  # picks the lexicographically least rel-id list. Minimum length >= 2
+  # (which Neo4j itself rejects) finds the shortest trail of length >= lo
+  # per pair (planner._minlen_shortest_levels, round 8).
   # Beyond reference parity: the reference's TCK blacklist fails the
   # whole ShortestPath family. The path value of a var-length path has no
   # static element list, so p binds the traversed rel-id list: length(p)
@@ -197,12 +199,67 @@ Feature: ShortestPaths
       | 'd' | 2 |
     And no side effects
 
-  Scenario: shortestPath with minimum length above one is rejected
+  Scenario: Minimum length two skips a direct neighbor
     When executing query:
       """
-      MATCH p = shortestPath((a)-[:E*2..4]->(b)) RETURN length(p)
+      MATCH p = shortestPath((a:X {name: 'a'})-[:E*2..4]->(g:X {name: 'g'}))
+      RETURN length(p) AS l
       """
-    Then a SyntaxError should be raised
+    Then the result should be, in any order:
+      | l |
+      | 3 |
+    And no side effects
+
+  Scenario: Minimum length above the plain shortest distance detours
+    When executing query:
+      """
+      MATCH p = shortestPath((a:X {name: 'a'})-[:E*3..]->(d:X {name: 'd'}))
+      RETURN length(p) AS l
+      """
+    Then the result should be, in any order:
+      | l |
+      | 3 |
+    And no side effects
+
+  Scenario: allShortestPaths with a minimum keeps every minimal valid trail
+    When executing query:
+      """
+      MATCH p = allShortestPaths((a:X {name: 'a'})-[:E*3..]->(d:X {name: 'd'}))
+      RETURN length(p) AS l
+      """
+    Then the result should be, in any order:
+      | l |
+      | 3 |
+    And no side effects
+
+  Scenario: Minimum length with no valid trail yields no rows
+    When executing query:
+      """
+      MATCH p = shortestPath((a:X {name: 'a'})-[:E*3..4]->(b:X {name: 'b'}))
+      RETURN length(p) AS l
+      """
+    Then the result should be empty
+
+  Scenario: Undirected minimum length cannot reuse the only edge
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:Y {name: 'u'})-[:E]->(:Y {name: 'v'})
+      """
+    When executing query:
+      """
+      MATCH p = shortestPath((u:Y {name: 'u'})-[:E*2..]-(v:Y {name: 'v'}))
+      RETURN length(p) AS l
+      """
+    Then the result should be empty
+
+  Scenario: Minimum above maximum yields no rows
+    When executing query:
+      """
+      MATCH p = shortestPath((a:X {name: 'a'})-[:E*3..2]->(d:X {name: 'd'}))
+      RETURN length(p) AS l
+      """
+    Then the result should be empty
 
   Scenario: shortestPath over a fixed-length pattern is rejected
     When executing query:

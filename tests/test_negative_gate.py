@@ -36,12 +36,11 @@ BLACKLISTED = [
     # single-hop var-length named paths ARE supported since round 7
     # (tck/varlength_named_paths.feature); mixed fixed+var patterns gate
     "MATCH p = (a)-[:KNOWS]->()-[:KNOWS*1..2]->(b) RETURN p",
-    # shortestPath / allShortestPaths: bounded AND unbounded forms are
-    # supported (planner._plan_shortest_path) — these unsupported
-    # variants must still fail cleanly
-    "MATCH shortestPath((a)-[*2..3]->(b)) RETURN a",
+    # shortestPath / allShortestPaths: bounded, unbounded AND minimum
+    # length >= 2 forms are all supported since round 8
+    # (planner._plan_shortest_path / _minlen_shortest_levels) — only these
+    # structurally unsupported variants must still fail cleanly
     "MATCH shortestPath((a)-[:KNOWS]->(b)) RETURN a",
-    "MATCH allShortestPaths((a)-[*2..4]->(b)) RETURN a",
     "MATCH shortestPath((a)-[*1..2]->()-[*1..2]->(b)) RETURN a",
     # update clauses (graph construction is CONSTRUCT-only)
     "CREATE (n:Person {name: 'X'}) RETURN n",
@@ -49,8 +48,10 @@ BLACKLISTED = [
     "MATCH (a) DELETE a",
     "MERGE (n:Person {name: 'Z'}) RETURN n",
     "MATCH (a) REMOVE a.name RETURN a",
-    # CALL ... YIELD procedures
-    "CALL db.labels() YIELD label RETURN label",
+    # CALL ... YIELD procedures are SUPPORTED since round 8
+    # (plans/planner.plan_call_procedure; tests/test_call_procedure.py) —
+    # an unknown procedure still fails cleanly
+    "CALL does.not.exist() YIELD x RETURN x",
 ]
 
 

@@ -250,8 +250,8 @@ def test_all_shortest_brute_force_cross_check(g):
     "q",
     [
         # unbounded [*] / [*1..] shortestPath IS supported since round 7
-        # (driver-paced BFS fixpoint) — only these forms still gate
-        "MATCH shortestPath((a)-[*2..3]->(b)) RETURN a",
+        # (driver-paced BFS fixpoint) and minimum length >= 2 since round 8
+        # (_minlen_shortest_levels) — only these forms still gate
         "MATCH shortestPath((a)-[:E]->(b)) RETURN a",
         "MATCH shortestPath((a)-[*1..2]->()-[*1..2]->(b)) RETURN a",
     ],
@@ -259,6 +259,79 @@ def test_all_shortest_brute_force_cross_check(g):
 def test_unsupported_forms_fail_cleanly(g, q):
     with pytest.raises(CypherPlanningError):
         g.cypher(q)
+
+
+# -- minimum length >= 2 (round 8, planner._minlen_shortest_levels) ---------
+
+
+def test_min_length_skips_shorter_hits(g):
+    # d(n0, n3) = 1 via :F and 2 via :E; a floor of 3 forces the detour
+    out = rows(
+        g,
+        "MATCH p = shortestPath((a:N {name:'n0'})-[:E*3..]->(b:N {name:'n3'})) "
+        "RETURN length(p) AS hops",
+    )
+    assert out == [(3,)]  # 0 -> 4 -> 5 -> 3
+
+
+def test_min_length_all_shortest_counts(g):
+    out = rows(
+        g,
+        "MATCH allShortestPaths((a:N {name:'n0'})-[:E*2..2]->(b:N {name:'n3'})) "
+        "RETURN count(*) AS paths",
+    )
+    assert out == [(2,)]  # 0-1-3 and 0-2-3
+
+
+def test_min_length_self_loop_cannot_reuse_edge(g):
+    # node 6's only edge is its self-loop; a length-2 trail would reuse it
+    out = rows(
+        g,
+        "MATCH p = shortestPath((a:N {name:'n6'})-[:E*2..]->(b:N {name:'n6'})) "
+        "RETURN length(p) AS hops",
+    )
+    assert out == []
+
+
+def test_min_length_brute_force_cross_check(g):
+    """shortest trail of length >= 2 == min over the full [*2..4] trail
+    expansion, per endpoint pair."""
+    brute = g.cypher(
+        "MATCH (a:N)-[r:E*2..4]->(b:N) "
+        "RETURN a.name AS a, b.name AS b, min(size(r)) AS hops"
+    ).df.collect()
+    fast = g.cypher(
+        "MATCH p = shortestPath((a:N)-[:E*2..4]->(b:N)) "
+        "RETURN a.name AS a, b.name AS b, length(p) AS hops"
+    ).df.collect()
+    assert sorted(map(tuple, brute)) == sorted(map(tuple, fast))
+    assert brute  # fixture sanity: the floor actually bites somewhere
+
+
+def test_min_length_all_shortest_brute_force_cross_check(g):
+    brute = g.cypher(
+        "MATCH (a:N)-[r:E*2..4]->(b:N) "
+        "WITH a, b, min(size(r)) AS m "
+        "MATCH (a)-[r2:E*2..4]->(b) WHERE size(r2) = m "
+        "RETURN a.name AS a, b.name AS b, count(*) AS paths"
+    ).df.collect()
+    fast = g.cypher(
+        "MATCH allShortestPaths((a:N)-[:E*2..4]->(b:N)) "
+        "RETURN a.name AS a, b.name AS b, count(*) AS paths"
+    ).df.collect()
+    assert sorted(map(tuple, brute)) == sorted(map(tuple, fast))
+
+
+def test_min_length_undirected_brute_force_cross_check(g):
+    brute = g.cypher(
+        "MATCH (a:N)-[r:E*2..3]-(b:N) "
+        "RETURN a.name AS a, b.name AS b, min(size(r)) AS hops"
+    ).df.collect()
+    fast = g.cypher(
+        "MATCH p = shortestPath((a:N)-[:E*2..3]-(b:N)) "
+        "RETURN a.name AS a, b.name AS b, length(p) AS hops"
+    ).df.collect()
+    assert sorted(map(tuple, brute)) == sorted(map(tuple, fast))
 
 
 def test_unbounded_shortest_matches_bounded(g):

@@ -67,7 +67,11 @@ def test_tck_scenario(tck_session, spark, scenario):
     run_scenario(tck_session, spark, scenario, tck_root=OFFICIAL_DIR)
 
 
-@pytest.mark.parametrize("scenario", BLACKLISTED, ids=lambda s: s.key)
+# ids via getattr: with an EMPTY blacklist pytest probes the id function
+# on its internal empty-set sentinel, which has no .key
+@pytest.mark.parametrize(
+    "scenario", BLACKLISTED, ids=lambda s: getattr(s, "key", "empty")
+)
 def test_tck_blacklisted_still_fails(tck_session, spark, scenario):
     with pytest.raises(Exception):
         run_scenario(tck_session, spark, scenario, tck_root=OFFICIAL_DIR)
