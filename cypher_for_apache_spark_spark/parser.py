@@ -289,13 +289,17 @@ class Parser:
         where = None
         if self.tok.kind == "ident" and self.tok.value.lower() == "yield":
             self.advance()
-            yields = []
-            while True:
-                col = self.name()
-                alias = self.name() if self.eat_kw("as") else col
-                yields.append((col, alias))
-                if not self.eat(","):
-                    break
+            if self.eat("*"):
+                # YIELD *: all declared columns, composition allowed
+                yields = [("*", "*")]
+            else:
+                yields = []
+                while True:
+                    col = self.name()
+                    alias = self.name() if self.eat_kw("as") else col
+                    yields.append((col, alias))
+                    if not self.eat(","):
+                        break
             if self.eat_kw("where"):
                 where = self.parse_expr()
         return A.CallProcedure(name, args, yields, where)

@@ -442,7 +442,7 @@ class Planner:
         except ProcedureError as exc:
             raise CypherPlanningError(str(exc)) from exc
         yields = clause.yields
-        if yields is None:
+        if yields is None or yields == [("*", "*")]:
             yields = [(c, c) for c in proc.returns]
         header = dict(rec.header)
         sel = []

@@ -17,9 +17,11 @@ Supported steps:
 - ``Given an empty graph`` / ``Given any graph``
 - ``Given the <name> graph`` — named TCK fixture graph (resolved from the
   corpus's graphs/ directory when running the official artifact)
-- ``And having executed:`` / ``And having defined kernel procedure ...``
-  (the latter is rejected: procedures are out of scope, like the
-  reference)
+- ``And having executed:``
+- ``And there exists a procedure <sig>:`` + table — registers an ad-hoc
+  lookup-table procedure on the session (the official corpus's
+  ProcedureCallAcceptance mechanism; supported since round 8 via the
+  engine's CALL ... YIELD surface)
 - ``And parameters are:`` — name/value table of query parameters
 - ``When executing query:`` + docstring
 - ``Then the result should be, in any order:`` (optionally
@@ -63,6 +65,8 @@ class Scenario:
     named_graph: Optional[str] = None
     parameters: Dict[str, object] = field(default_factory=dict)
     query: Optional[str] = None
+    # official-TCK ad-hoc procedures: (signature text, split table rows)
+    procedures: List[Tuple[str, List[List[str]]]] = field(default_factory=list)
     expect_rows: Optional[List[dict]] = None
     ordered: bool = False
     list_order_insensitive: bool = False
@@ -202,6 +206,15 @@ def parse_feature(text: str, feature_name: str = "") -> List[Scenario]:
         ):
             stmt, i = docstring(i + 1)
             record(("init", stmt))
+        elif ln.startswith("And there exists a procedure"):
+            # official TCK ad-hoc procedure definition:
+            #   And there exists a procedure test.proc(in :: INTEGER?) ::
+            #     (out :: INTEGER?):
+            #   | in | out |
+            #   | 1  | 2   |
+            sig = ln[len("And there exists a procedure") :].strip().rstrip(":")
+            rows, i = table(i + 1)
+            record(("proc", (sig, [split_row(r) for r in rows])))
         elif ln.startswith("And parameters are:"):
             rows, i = table(i + 1)
             params = {}
@@ -258,6 +271,8 @@ def apply_step(sc: Scenario, step: Tuple[str, object]) -> None:
         sc.parameters.update(payload)
     elif kind == "query":
         sc.query = payload
+    elif kind == "proc":
+        sc.procedures.append(payload)
     elif kind == "rows":
         sc.expect_rows, sc.ordered, sc.list_order_insensitive = payload
     elif kind == "empty":
@@ -281,6 +296,7 @@ def _expand_outline(outline: Scenario, subs: Dict[str, str], n: int) -> Scenario
         feature=outline.feature,
         init=[sub(s) for s in outline.init],
         named_graph=outline.named_graph,
+        procedures=list(outline.procedures),
         parameters=dict(outline.parameters),
         query=sub(outline.query) if outline.query else None,
         ordered=outline.ordered,
@@ -350,6 +366,71 @@ def _rows_of(df) -> List[dict]:
     return [row.asDict(recursive=True) for row in df.collect()]
 
 
+_TCK_TYPES = {
+    "INTEGER": "long",
+    "FLOAT": "double",
+    "NUMBER": "double",
+    "STRING": "string",
+    "BOOLEAN": "boolean",
+    "ANY": "string",
+}
+
+
+def _tck_type_to_spark(t: str) -> str:
+    t = t.strip().rstrip("?").strip()
+    if t.upper().startswith("LIST OF "):
+        return f"array<{_tck_type_to_spark(t[8:])}>"
+    out = _TCK_TYPES.get(t.upper())
+    if out is None:
+        raise ValueError(f"unsupported TCK procedure type {t!r}")
+    return out
+
+
+def parse_procedure_signature(sig: str):
+    """``test.my.proc(in :: INTEGER?) :: (out :: STRING?)`` ->
+    (name, [(arg, spark_type)], [(out, spark_type)])."""
+    m = re.match(r"\s*([\w.]+)\s*\((.*?)\)\s*::\s*\((.*)\)\s*$", sig)
+    if m is None:
+        raise ValueError(f"unsupported TCK procedure signature {sig!r}")
+
+    def fields(s: str):
+        out = []
+        for part in [p.strip() for p in s.split(",") if p.strip()]:
+            fname, ftype = part.split("::", 1)
+            out.append((fname.strip(), _tck_type_to_spark(ftype)))
+        return out
+
+    return m.group(1), fields(m.group(2)), fields(m.group(3))
+
+
+def register_tck_procedure(session, sig: str, rows: List[List[str]]) -> None:
+    """Register an ad-hoc TCK test procedure on the session: a pure lookup
+    table mapping input-argument tuples to output rows (the official
+    corpus's semantics for 'there exists a procedure')."""
+    name, in_fields, out_fields = parse_procedure_signature(sig)
+    header = rows[0] if rows else [n for n, _ in in_fields + out_fields]
+    data = [[parse_plain_value(c) for c in r] for r in rows[1:]]
+    idx_in = [header.index(n) for n, _ in in_fields]
+    idx_out = [header.index(n) for n, _ in out_fields]
+    schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+
+    def fn(ctx, *args):
+        match = [
+            tuple(r[i] for i in idx_out)
+            for r in data
+            if all(r[j] == a for j, a in zip(idx_in, args))
+        ]
+        return ctx.spark.createDataFrame(match, schema)
+
+    session.procedures.register(
+        name,
+        fn,
+        [n for n, _ in out_fields],
+        min_args=len(in_fields),
+        max_args=len(in_fields),
+    )
+
+
 def run_scenario(session, spark, scenario: Scenario, tck_root: Optional[str] = None) -> None:
     """Execute one scenario; raises AssertionError (or the engine error)
     on mismatch."""
@@ -357,6 +438,8 @@ def run_scenario(session, spark, scenario: Scenario, tck_root: Optional[str] = N
         raise AssertionError(
             f"{scenario.key}: expects graph side effects (read-only engine)"
         )
+    for sig, rows in scenario.procedures:
+        register_tck_procedure(session, sig, rows)
     init = list(scenario.init)
     if scenario.named_graph:
         init.insert(0, named_graph_statements(scenario.named_graph, tck_root))
