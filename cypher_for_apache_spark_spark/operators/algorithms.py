@@ -39,6 +39,80 @@ def _vertices(graph: PropertyGraph) -> DataFrame:
     return v.select("id")
 
 
+def _static_loop_frame(
+    df: DataFrame, key: str, rows_per_part: int = 2_000_000, multiplier: int = 1
+):
+    """Materialize a frame that an iterative loop joins on ``key`` every
+    round, re-keyed into a scale-adaptive number of hash partitions.
+
+    Every round of the frontier/delta loops joins the SAME static frame
+    (edges, adjacency, ranked out-edges) on the same key, but a
+    checkpointed frame reports UnknownPartitioning, so Catalyst plans an
+    Exchange over the static side in every round — the largest frame in
+    the loop, re-shuffled rounds× (guide §2.4: operations keyed the same
+    way should share one exchange). Fix: compute the frame once
+    (materialize), then cache it hash-partitioned on the join key —
+    InMemoryRelation preserves outputPartitioning (AQE leaves cached-plan
+    partitioning alone by default), so EnsureRequirements drops the
+    static-side Exchange in every round and only the small per-round
+    state frame moves.
+
+    The partition count is derived from the frame's measured row count
+    (guide §2: make partitioning scale-adaptive, size partitions in the
+    ~100 MB range), capped at the session's configured shuffle
+    parallelism — at bench scale a 150k-row graph collapses to one
+    partition (removing per-round task fan-out entirely, measured ~25%
+    on pagerank), at cluster scale the cap keeps the configured width.
+    An explicit partition count is required: without one the cached
+    RepartitionByExpression is AQE-coalescible and the recorded
+    partitioning would not match the physical layout.
+
+    Returns (frame, rows, unpersist) — callers must arrange that the
+    RETURNED plan of their algorithm does not reference the frame after
+    calling unpersist() (per-round state is checkpointed, so in the
+    frontier loops it never does)."""
+    m = _checkpoint(df)
+    rows = m.count()
+    spark = df.sparkSession
+    try:
+        cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        cap = 200
+    # ``multiplier`` sizes for the per-round JOIN OUTPUT, not just the
+    # static frame: a multi-source loop (landmark BFS, Brandes waves)
+    # expands each static row once per live source, so single-partition
+    # joins would serialize |sources| x |frontier| compute even when the
+    # static frame itself is tiny; capped so a full-vertex source set
+    # does not pin the loop at cluster width on a sparse chain graph
+    parts = int(
+        max(1, min(cap, (rows * max(1, multiplier) + rows_per_part - 1) // rows_per_part))
+    )
+    if parts >= cap:
+        # big-data regime: the checkpoint is already the right shape and
+        # an extra cached copy would double storage for no width change
+        return m, rows, (lambda blocking=False: None)
+    # sortWithinPartitions: the cache also records outputOrdering, so a
+    # sort-merge join against this side skips BOTH its exchange and its
+    # per-round sort — one sort at build time instead of one per round
+    p = m.repartition(parts, key).sortWithinPartitions(key).persist()
+    return p, rows, p.unpersist
+
+
+def _maybe_broadcast(df: DataFrame, rows: Optional[int], limit: int = 1_000_000):
+    """Broadcast-hint a per-round delta frame when its MEASURED row count
+    is small. Checkpointed frames carry no usable stats, so Catalyst plans
+    sort-merge joins whose per-round cost is a full merge scan of the
+    static side; with the delta broadcast, the static side is probed in
+    place — no exchange, no sort, parallel over its cached partitions.
+    The gate is the actual count (already computed by the loops'
+    termination probes), never an estimate, so an adversarial graph whose
+    wave is O(V) falls back to the shuffle join instead of OOMing the
+    driver — the same measured-size discipline AQE applies."""
+    if rows is not None and rows <= limit:
+        return F.broadcast(df)
+    return df
+
+
 def pagerank(
     graph: PropertyGraph,
     iterations: int = 10,
@@ -50,11 +124,13 @@ def pagerank(
     Dangling nodes' mass is redistributed uniformly each step, so ranks sum
     to |V| throughout (matching the classic formulation).
     """
-    v = _vertices(graph).persist()
-    n = v.count()
-    e = _edges(graph, rel_types).persist()
+    e = _edges(graph, rel_types)
     out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    links = e.join(out_deg, "src").persist()
+    # statics joined every iteration: links on src, v/sinks on id — cached
+    # hash-partitioned at scale-adaptive width so each round's joins only
+    # exchange the (small) changing rank frame (see _static_loop_frame)
+    links, _, drop_links = _static_loop_frame(e.join(out_deg, "src"), "src")
+    v, n, drop_v = _static_loop_frame(_vertices(graph), "id")
 
     # referenced every iteration for the dangling-mass term
     sinks = v.join(out_deg, v.id == out_deg.src, "left_anti").select("id").persist()
@@ -88,9 +164,8 @@ def pagerank(
         # join-multiplied sizeInBytes estimate from compounding across
         # iterations (see _reset_stats)
         ranks = _checkpoint(ranks)
-    links.unpersist()
-    v.unpersist()
-    e.unpersist()
+    drop_links()
+    drop_v()
     sinks.unpersist()
     return ranks
 
@@ -236,28 +311,36 @@ def bfs_distances(
     is a union of checkpointed frontiers, so its plan stays flat.
     """
     spark = graph.spark if hasattr(graph, "spark") else _vertices(graph).sparkSession
-    e = _edges(graph, rel_types, undirected=undirected).persist()
+    e, _, drop_e = _static_loop_frame(
+        _edges(graph, rel_types, undirected=undirected), "src"
+    )
     frontier = spark.createDataFrame(
         [(int(s),) for s in source_ids], "id long"
     ).dropDuplicates()
+    n_frontier = len(set(source_ids))
     visited = frontier.select("id", F.lit(0).cast("long").alias("dist"))
     dist = 0
     while max_hops is None or dist < max_hops:
         dist += 1
         nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            e.join(
+                _maybe_broadcast(frontier.withColumnRenamed("id", "src"), n_frontier),
+                "src",
+            )
             .select(F.col("dst").alias("id"))
             .dropDuplicates()
             .join(visited, "id", "left_anti")
         )
         nxt = _checkpoint(nxt)
-        if nxt.isEmpty():  # termination probe on the (small) frontier only
+        # termination probe doubles as the broadcast gate for next round
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         frontier = nxt
         visited = visited.unionByName(
             nxt.select("id", F.lit(dist).cast("long").alias("dist"))
         )
-    e.unpersist()
+    drop_e()
     return visited
 
 
@@ -321,12 +404,27 @@ def k_core(
     if k < 1:
         raise ValueError("k must be >= 1")
     e0 = _edges(graph, rel_types)
-    cur_e = _checkpoint(
+    canon = (
         e0.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
+    )
+    # adjacency (both orientations of the canonical edge set) instead of
+    # the canonical frame itself: the per-round "neighbours of the wave"
+    # lookup becomes ONE equi-join on a single key instead of a src-branch
+    # + dst-branch pair. The peel runs MANY rounds, so the static side is
+    # cached at parallelism width (~250k rows/partition) and each round's
+    # wave joins it broadcast (see _maybe_broadcast): the adjacency is
+    # probed in place every round — no exchange, no sort, parallel probe —
+    # instead of a full sort-merge pass per round
+    adj, _, drop_adj = _static_loop_frame(
+        canon.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
+            canon.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        ),
+        "id",
+        rows_per_part=250_000,
     )
     # delta-only iteration: degrees are aggregated ONCE; every later round
     # materializes nothing but the (tiny) per-round wave, the cumulative
@@ -342,10 +440,7 @@ def k_core(
     # sizes are wave-bounded, so they broadcast when small without pinning
     # a driver-side collect on graphs that peel in huge waves.
     deg0 = _checkpoint(
-        cur_e.select(F.col("src").alias("id"))
-        .unionByName(cur_e.select(F.col("dst").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("degree"))
+        adj.groupBy("id").agg(F.count("*").alias("degree"))
     )
     dead_all = None
     cum = None  # (id, _cum) — total decrements so far
@@ -363,7 +458,8 @@ def k_core(
         if dead_all is not None:
             below = below.join(dead_all, "id", "left_anti")
         newly = _checkpoint(below)
-        if newly.count() == 0:
+        n_newly = newly.count()
+        if n_newly == 0:
             break
         dead_all = (
             newly
@@ -371,16 +467,11 @@ def k_core(
             else _checkpoint(dead_all.unionByName(newly))
         )
         # surviving neighbours of this round's wave (each canonical edge
-        # contributes from exactly the side its dead endpoint occupies;
-        # both-endpoints-dead edges drop via the dead_all anti-join)
-        touched = (
-            cur_e.join(newly.select(F.col("id").alias("src")), "src")
-            .select(F.col("dst").alias("id"))
-            .unionByName(
-                cur_e.join(
-                    newly.select(F.col("id").alias("dst")), "dst"
-                ).select(F.col("src").alias("id"))
-            )
+        # contributes from exactly the side its dead endpoint occupies —
+        # i.e. the wave's adjacency rows; both-endpoints-dead edges drop
+        # via the dead_all anti-join)
+        touched = adj.join(_maybe_broadcast(newly, n_newly), "id").select(
+            F.col("nbr").alias("id")
         )
         dec = (
             touched.join(dead_all, "id", "left_anti")
@@ -395,6 +486,7 @@ def k_core(
                 .groupBy("id")
                 .agg(F.sum("_cum").alias("_cum"))
             )
+    drop_adj()
     out = _cur_deg().filter(F.col("degree") >= k)
     if dead_all is not None:
         out = out.join(dead_all, "id", "left_anti")
@@ -432,14 +524,16 @@ def sssp(
         w = F.coalesce(F.col(weight_prop).cast("double"), F.lit(1.0))
     else:
         w = F.lit(1.0)
-    edges = _checkpoint(e.select("src", "dst", w.alias("w")))
+    edges, _, drop_edges = _static_loop_frame(e.select("src", "dst", w.alias("w")), "src")
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(s), 0.0) for s in sources], "id long, d double")
     dist = _checkpoint(dist.groupBy("id").agg(F.min("d").alias("d")))
     frontier = dist
+    n_frontier = len(set(sources))
     for _ in range(max_iterations):
         cand = (
-            frontier.join(edges, frontier["id"] == edges["src"])
+            _maybe_broadcast(frontier, n_frontier)
+            .join(edges, frontier["id"] == edges["src"])
             .select(F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("_nd"))
             .groupBy("id")
             .agg(F.min("_nd").alias("_nd"))
@@ -449,12 +543,15 @@ def sssp(
             .filter(F.col("d").isNull() | (F.col("_nd") < F.col("d")))
             .select("id", F.col("_nd").alias("d"))
         )
-        if not improved.take(1):
+        # termination probe doubles as the broadcast gate for next round
+        n_frontier = improved.count()
+        if n_frontier == 0:
             break
         dist = _checkpoint(
             dist.unionByName(improved).groupBy("id").agg(F.min("d").alias("d"))
         )
         frontier = improved
+    drop_edges()
     return dist.select("id", F.col("d").alias("dist"))
 
 
@@ -536,10 +633,13 @@ def label_propagation_edges(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .dropDuplicates()
     )
     e = _checkpoint(canon)
-    adj = (
-        e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
-        .unionAll(e.select(F.col("dst").alias("id"), F.col("src").alias("nbr")))
-        .persist()
+    # the adjacency is equi-joined on nbr every round — cache it
+    # hash-partitioned on that key (see _static_loop_frame)
+    adj, _, drop_adj = _static_loop_frame(
+        e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionAll(
+            e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        ),
+        "nbr",
     )
     labels = adj.select("id").dropDuplicates().select(
         "id", F.col("id").alias("label")
@@ -555,7 +655,7 @@ def label_propagation_edges(edges: DataFrame, iterations: int = 3) -> DataFrame:
             F.max(F.struct(F.col("_c"), (-F.col("_lbl")).alias("_neg"))).alias("_m")
         )
         labels = _checkpoint(new.select("id", (-F.col("_m._neg")).alias("label")))
-    adj.unpersist()
+    drop_adj()
     return labels
 
 
@@ -589,10 +689,17 @@ def random_walks(
         .dropDuplicates()
     )
     w = Window.partitionBy("src").orderBy("dst")
-    ranked = _checkpoint(e.withColumn("rk", F.row_number().over(w)))
+    # both statics are equi-joined on src every step — cached hash-
+    # partitioned on that key (see _static_loop_frame); previously each
+    # step re-exchanged the full ranked edge set
+    ranked, _, drop_ranked = _static_loop_frame(
+        e.withColumn("rk", F.row_number().over(w)), "src"
+    )
     # materialized once: otherwise every step re-runs this aggregation
     # over the full edge set (3 extra shuffles for a 3-step walk)
-    deg = _checkpoint(ranked.groupBy("src").agg(F.max("rk").alias("deg")))
+    deg, _, drop_deg = _static_loop_frame(
+        ranked.groupBy("src").agg(F.max("rk").alias("deg")), "src"
+    )
     state = (
         starts.select(F.col(starts.columns[0]).alias("start"))
         .dropDuplicates()
@@ -638,6 +745,8 @@ def random_walks(
                 F.col("cur").alias("node"),
             )
         )
+    drop_ranked()
+    drop_deg()
     return out
 
 
@@ -846,27 +955,41 @@ def landmark_distances(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = _checkpoint(e.dropDuplicates())
-    frontier = landmarks.select(
-        F.col(landmarks.columns[0]).alias("lm")
-    ).dropDuplicates().select("lm", F.col("lm").alias("id"))
+    # per-round join output is |live sources| x frontier expansions, so the
+    # static width must scale with the landmark count (capped) — a single
+    # partition would serialize the whole multi-source expansion
+    lms0 = _checkpoint(
+        landmarks.select(F.col(landmarks.columns[0]).alias("lm")).dropDuplicates()
+    )
+    n_lms = lms0.count()
+    e, _, drop_e = _static_loop_frame(
+        e.dropDuplicates(), "src", multiplier=min(n_lms, 64)
+    )
+    frontier = lms0.select("lm", F.col("lm").alias("id"))
     visited = frontier.select("lm", "id", F.lit(0).cast("long").alias("dist"))
     dist = 0
+    n_frontier = n_lms
     while max_hops is None or dist < max_hops:
         dist += 1
         nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            e.join(
+                _maybe_broadcast(frontier.withColumnRenamed("id", "src"), n_frontier),
+                "src",
+            )
             .select("lm", F.col("dst").alias("id"))
             .dropDuplicates()
             .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
         )
         nxt = _checkpoint(nxt)
-        if nxt.isEmpty():
+        # termination probe doubles as the broadcast gate for next round
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         frontier = nxt
         visited = visited.unionByName(
             nxt.select("lm", "id", F.lit(dist).cast("long").alias("dist"))
         )
+    drop_e()
     return visited
 
 
@@ -910,9 +1033,16 @@ def betweenness(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = _checkpoint(e.dropDuplicates())
-
-    lms = sources.select(F.col(sources.columns[0]).alias("lm")).dropDuplicates()
+    # both sweeps equi-join e on src every level of every wave — cache it
+    # hash-partitioned on that key (see _static_loop_frame); width scales
+    # with the (capped) source count like landmark_distances
+    lms = _checkpoint(
+        sources.select(F.col(sources.columns[0]).alias("lm")).dropDuplicates()
+    )
+    n_lms = lms.count()
+    e, _, drop_e = _static_loop_frame(
+        e.dropDuplicates(), "src", multiplier=min(n_lms, 64)
+    )
     if source_batches <= 1:
         waves = [lms]
     else:
@@ -925,6 +1055,7 @@ def betweenness(
         d = _brandes_wave(e, wave, max_hops)
         if d is not None:
             parts.append(d)
+    drop_e()
     if not parts:
         return lms.select(
             F.col("lm").alias("id"), F.lit(0.0).alias("betweenness")
@@ -955,20 +1086,30 @@ def _brandes_wave(
     )
     levels: List[DataFrame] = [_checkpoint(frontier)]
     visited = levels[0].select("lm", "id")
+    n_frontier = levels[0].count()
+    level_counts: List[int] = [n_frontier]
     depth = 0
     while max_hops is None or depth < max_hops:
         depth += 1
         nxt = (
-            e.join(levels[-1].withColumnRenamed("id", "src"), "src")
+            e.join(
+                _maybe_broadcast(
+                    levels[-1].withColumnRenamed("id", "src"), n_frontier
+                ),
+                "src",
+            )
             .select("lm", F.col("dst").alias("id"), "sigma")
             .join(visited, ["lm", "id"], "left_anti")
             .groupBy("lm", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
         nxt = _checkpoint(nxt)
-        if nxt.isEmpty():
+        # termination probe doubles as the broadcast gate for next round
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         levels.append(nxt)
+        level_counts.append(n_frontier)
         visited = visited.unionByName(nxt.select("lm", "id"))
 
     if len(levels) == 1:
@@ -977,7 +1118,7 @@ def _brandes_wave(
     # reverse sweep: delta over the BFS DAG, deepest level first
     delta = levels[-1].select("lm", "id", "sigma", F.lit(0.0).alias("delta"))
     per_level: List[DataFrame] = []
-    for lvl in reversed(levels[:-1]):
+    for lvl, n_lvl in zip(reversed(levels[:-1]), reversed(level_counts[:-1])):
         succ = delta.select(
             "lm",
             F.col("id").alias("dst"),
@@ -985,7 +1126,12 @@ def _brandes_wave(
             F.col("delta").alias("_dw"),
         )
         contrib = (
-            lvl.select("lm", F.col("id").alias("src"), F.col("sigma").alias("_sv"))
+            _maybe_broadcast(
+                lvl.select(
+                    "lm", F.col("id").alias("src"), F.col("sigma").alias("_sv")
+                ),
+                n_lvl,
+            )
             .join(e, "src")
             .join(succ, ["lm", "dst"])
             .groupBy("lm", F.col("src").alias("id"))
@@ -1090,7 +1236,12 @@ def personalized_pagerank(
         )
     sd = seeds.select(F.col(seeds.columns[0]).alias("id")).dropDuplicates()
     k = sd.agg(F.count(F.lit(1)).alias("_k"))
-    v = _checkpoint(
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # statics joined every iteration — cached hash-partitioned at
+    # scale-adaptive width (see _static_loop_frame): links on src, the
+    # seed-annotated vertex frame on id
+    links, _, drop_links = _static_loop_frame(e.join(deg, "src"), "src")
+    v, _, drop_v = _static_loop_frame(
         vertices.select("id")
         .join(sd.withColumn("_is_seed", F.lit(True)), "id", "left_outer")
         .crossJoin(F.broadcast(k))
@@ -1099,10 +1250,9 @@ def personalized_pagerank(
             F.when(F.col("_is_seed"), 1.0 / F.col("_k"))
             .otherwise(F.lit(0.0))
             .alias("s"),
-        )
-    ).persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    links = e.join(deg, "src").persist()
+        ),
+        "id",
+    )
     sinks = v.join(deg, v["id"] == deg["src"], "left_anti").select("id").persist()
     ranks = v.select("id", "s", F.col("s").alias("rank"))
     for _ in range(iterations):
@@ -1133,7 +1283,7 @@ def personalized_pagerank(
             )
         )
         ranks = _checkpoint(ranks)
-    links.unpersist()
+    drop_links()
     sinks.unpersist()
-    v.unpersist()
+    drop_v()
     return ranks.select("id", "rank")
