@@ -60,3 +60,71 @@ def materialize(df: DataFrame) -> DataFrame:
     """Eagerly compute ``df`` once and return a lineage-truncated frame whose
     storage is released automatically when the result goes out of scope."""
     return _reset_stats(df.localCheckpoint())
+
+
+def static_loop_frame(df: DataFrame, key: str, rows_per_part: int = 2_000_000,
+                      multiplier: int = 1):
+    """Materialize a frame that an iterative loop equi-joins on ``key``
+    every round, re-keyed into a scale-adaptive number of hash partitions.
+
+    A checkpointed frame reports UnknownPartitioning, so Catalyst plans an
+    Exchange (and a sort, for sort-merge) over the static side in every
+    round (guide: operations keyed the same way should share one
+    exchange). Fix: compute the frame once, then cache it hash-partitioned
+    AND sorted on the join key — InMemoryRelation preserves
+    outputPartitioning/outputOrdering (AQE leaves cached-plan partitioning
+    alone by default), so EnsureRequirements drops the static-side
+    exchange and sort in every round; only the small per-round state frame
+    moves.
+
+    The partition count is derived from the frame's measured row count
+    (scale-adaptive: ~2M long-key rows per partition), capped at the
+    session's configured shuffle parallelism — at bench scale a 150k-row
+    graph collapses to one partition (removing per-round task fan-out,
+    measured ~25% on pagerank), at cluster scale the cap keeps the
+    configured width. ``multiplier`` (capped by callers) scales the width
+    for loops whose per-round join OUTPUT is |sources| x frontier, where a
+    single partition would serialize the expansion. An explicit partition
+    count is required: without one the cached RepartitionByExpression is
+    AQE-coalescible and the recorded partitioning would not match the
+    physical layout.
+
+    Returns (frame, rows, unpersist) — callers must arrange that the
+    RETURNED plan of their operator does not reference the frame after
+    calling unpersist() (per-round state is checkpointed, so in the
+    frontier loops it never does)."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity import)
+
+    m = materialize(df)
+    rows = m.count()
+    spark = df.sparkSession
+    try:
+        cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        cap = 200
+    parts = int(
+        max(1, min(cap, (rows * max(1, multiplier) + rows_per_part - 1) // rows_per_part))
+    )
+    if parts >= cap:
+        # big-data regime: the checkpoint is already the right shape and
+        # an extra cached copy would double storage for no width change
+        return m, rows, (lambda blocking=False: None)
+    p = m.repartition(parts, key).sortWithinPartitions(key).persist()
+    return p, rows, p.unpersist
+
+
+def maybe_broadcast(df: DataFrame, rows, limit: int = 1_000_000):
+    """Broadcast-hint a per-round delta frame when its MEASURED row count
+    is small. Checkpointed frames carry no usable stats, so Catalyst plans
+    sort-merge joins whose per-round cost is a full merge scan of the
+    static side; with the delta broadcast, the static side is probed in
+    place — no exchange, no sort, parallel over its cached partitions.
+    The gate is an actual count (the loops' termination probes), never an
+    estimate, so an adversarial graph whose wave is O(V) falls back to the
+    shuffle join instead of OOMing the driver — the same measured-size
+    discipline AQE applies."""
+    from pyspark.sql import functions as F
+
+    if rows is not None and rows <= limit:
+        return F.broadcast(df)
+    return df

@@ -15,7 +15,11 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window, functions as F
 
 from cypher_for_apache_spark_spark.graph import PropertyGraph
-from cypher_for_apache_spark_spark.materialize import materialize as _checkpoint
+from cypher_for_apache_spark_spark.materialize import (
+    materialize as _checkpoint,
+    maybe_broadcast as _maybe_broadcast,
+    static_loop_frame as _static_loop_frame,
+)
 
 
 def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> DataFrame:
@@ -37,80 +41,6 @@ def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> Data
 def _vertices(graph: PropertyGraph) -> DataFrame:
     v = graph.scan_nodes(out_id="id", out_labels="_labels")
     return v.select("id")
-
-
-def _static_loop_frame(
-    df: DataFrame, key: str, rows_per_part: int = 2_000_000, multiplier: int = 1
-):
-    """Materialize a frame that an iterative loop joins on ``key`` every
-    round, re-keyed into a scale-adaptive number of hash partitions.
-
-    Every round of the frontier/delta loops joins the SAME static frame
-    (edges, adjacency, ranked out-edges) on the same key, but a
-    checkpointed frame reports UnknownPartitioning, so Catalyst plans an
-    Exchange over the static side in every round — the largest frame in
-    the loop, re-shuffled rounds× (guide §2.4: operations keyed the same
-    way should share one exchange). Fix: compute the frame once
-    (materialize), then cache it hash-partitioned on the join key —
-    InMemoryRelation preserves outputPartitioning (AQE leaves cached-plan
-    partitioning alone by default), so EnsureRequirements drops the
-    static-side Exchange in every round and only the small per-round
-    state frame moves.
-
-    The partition count is derived from the frame's measured row count
-    (guide §2: make partitioning scale-adaptive, size partitions in the
-    ~100 MB range), capped at the session's configured shuffle
-    parallelism — at bench scale a 150k-row graph collapses to one
-    partition (removing per-round task fan-out entirely, measured ~25%
-    on pagerank), at cluster scale the cap keeps the configured width.
-    An explicit partition count is required: without one the cached
-    RepartitionByExpression is AQE-coalescible and the recorded
-    partitioning would not match the physical layout.
-
-    Returns (frame, rows, unpersist) — callers must arrange that the
-    RETURNED plan of their algorithm does not reference the frame after
-    calling unpersist() (per-round state is checkpointed, so in the
-    frontier loops it never does)."""
-    m = _checkpoint(df)
-    rows = m.count()
-    spark = df.sparkSession
-    try:
-        cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    except Exception:
-        cap = 200
-    # ``multiplier`` sizes for the per-round JOIN OUTPUT, not just the
-    # static frame: a multi-source loop (landmark BFS, Brandes waves)
-    # expands each static row once per live source, so single-partition
-    # joins would serialize |sources| x |frontier| compute even when the
-    # static frame itself is tiny; capped so a full-vertex source set
-    # does not pin the loop at cluster width on a sparse chain graph
-    parts = int(
-        max(1, min(cap, (rows * max(1, multiplier) + rows_per_part - 1) // rows_per_part))
-    )
-    if parts >= cap:
-        # big-data regime: the checkpoint is already the right shape and
-        # an extra cached copy would double storage for no width change
-        return m, rows, (lambda blocking=False: None)
-    # sortWithinPartitions: the cache also records outputOrdering, so a
-    # sort-merge join against this side skips BOTH its exchange and its
-    # per-round sort — one sort at build time instead of one per round
-    p = m.repartition(parts, key).sortWithinPartitions(key).persist()
-    return p, rows, p.unpersist
-
-
-def _maybe_broadcast(df: DataFrame, rows: Optional[int], limit: int = 1_000_000):
-    """Broadcast-hint a per-round delta frame when its MEASURED row count
-    is small. Checkpointed frames carry no usable stats, so Catalyst plans
-    sort-merge joins whose per-round cost is a full merge scan of the
-    static side; with the delta broadcast, the static side is probed in
-    place — no exchange, no sort, parallel over its cached partitions.
-    The gate is the actual count (already computed by the loops'
-    termination probes), never an estimate, so an adversarial graph whose
-    wave is O(V) falls back to the shuffle join instead of OOMing the
-    driver — the same measured-size discipline AQE applies."""
-    if rows is not None and rows <= limit:
-        return F.broadcast(df)
-    return df
 
 
 def pagerank(
@@ -239,9 +169,18 @@ def connected_components_edges(
     )
     # per-round contraction maps, composed once at the end — a per-round
     # compose would cost a |V|-sized join + checkpoint every round, while
-    # the maps shrink geometrically and AQE broadcasts the late ones
+    # the maps shrink geometrically and the late ones broadcast
     round_maps: List[DataFrame] = []
+    map_bounds: List[int] = []
+    # the termination probe is a count so it doubles as the broadcast
+    # gate: the round's label map has at most 2 * |edges| rows, so when
+    # that bound is measurably small every jump/rewrite join this round
+    # probes in place (no exchange of either lbl side or cur_e)
+    n_e = cur_e.count()
     for _ in range(max_iterations):
+        if n_e == 0:
+            break
+        v_bound = 2 * n_e
         und = cur_e.unionByName(
             cur_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -254,16 +193,16 @@ def connected_components_edges(
         # pointer jumping compresses label chains before the rewrite
         for _ in range(jumps_per_round):
             jump = lbl.select(F.col("id").alias("_jid"), F.col("comp").alias("_jcomp"))
-            lbl = lbl.join(jump, lbl.comp == jump._jid, "left_outer").select(
-                "id", F.coalesce("_jcomp", "comp").alias("comp")
-            )
+            lbl = lbl.join(
+                _maybe_broadcast(jump, v_bound), lbl.comp == jump._jid, "left_outer"
+            ).select("id", F.coalesce("_jcomp", "comp").alias("comp"))
         lbl = _checkpoint(lbl)
         # rewrite edges on the contracted graph
         m_src = lbl.select(F.col("id").alias("src"), F.col("comp").alias("_nsrc"))
         m_dst = lbl.select(F.col("id").alias("dst"), F.col("comp").alias("_ndst"))
         cur_e = _checkpoint(
-            cur_e.join(m_src, "src")
-            .join(m_dst, "dst")
+            cur_e.join(_maybe_broadcast(m_src, v_bound), "src")
+            .join(_maybe_broadcast(m_dst, v_bound), "dst")
             .select(
                 F.least("_nsrc", "_ndst").alias("src"),
                 F.greatest("_nsrc", "_ndst").alias("dst"),
@@ -272,8 +211,8 @@ def connected_components_edges(
             .dropDuplicates()
         )
         round_maps.append(lbl)
-        if not cur_e.take(1):  # no edges left: fully contracted
-            break
+        map_bounds.append(v_bound)
+        n_e = cur_e.count()  # no edges left: fully contracted
     # compose original vertex -> final super-vertex through every round;
     # round 1's map over the incident vertices IS the first composition
     total = incident.select("id", F.col("id").alias("component"))
@@ -282,9 +221,11 @@ def connected_components_edges(
             total = lbl.select("id", F.col("comp").alias("component"))
             continue
         jmp = lbl.select(F.col("id").alias("_lid"), F.col("comp").alias("_lcomp"))
-        total = total.join(jmp, total.component == jmp._lid, "left_outer").select(
-            "id", F.coalesce("_lcomp", "component").alias("component")
-        )
+        total = total.join(
+            _maybe_broadcast(jmp, map_bounds[i]),
+            total.component == jmp._lid,
+            "left_outer",
+        ).select("id", F.coalesce("_lcomp", "component").alias("component"))
     if vertices is not None:
         isolated = vertices.join(incident, "id", "left_anti").select(
             "id", F.col("id").alias("component")
@@ -914,8 +855,12 @@ def scc_functional(edges: DataFrame) -> DataFrame:
             F.col("p").alias("_bp"), F.col("f").alias("_bf"),
             F.col("m").alias("_bm"),
         )
+        # the doubling self-join composes d with itself on different keys
+        # (f vs p), so both sides would exchange every round; when the
+        # frame is measurably small, broadcast the build side instead —
+        # the round becomes an in-place parallel probe of the checkpoint
         d = _checkpoint(
-            d.join(b, d["f"] == b["_bp"]).select(
+            d.join(_maybe_broadcast(b, n), d["f"] == b["_bp"]).select(
                 "p", F.col("_bf").alias("f"), F.least("m", "_bm").alias("m")
             )
         )

@@ -1624,11 +1624,14 @@ class Planner:
             if hi is None or hi > 1:
                 # joined once per BFS round — materialize or Spark rescans
                 step = materialize(step)
-            if hi is None and step.count() <= 2_000_000:
-                # unbounded: the loop's join strategy is decided once —
-                # broadcast a small step side (checkpointed scans are
-                # opaque to AQE's stats), as in var_length_expand
-                step = F.broadcast(step)
+                if step.count() <= 2_000_000:
+                    # the loop's join strategy is decided once — broadcast
+                    # a small step side (checkpointed scans are opaque to
+                    # AQE's stats), as in var_length_expand; r8: applied
+                    # to bounded hi too, which previously re-exchanged and
+                    # re-sorted the step frame in every one of its hi
+                    # rounds (plan-verified: 2 exchanges/round -> 0)
+                    step = F.broadcast(step)
         else:
             step = None
 
@@ -2740,6 +2743,12 @@ class Planner:
                 # unlike the round-2 persist() that accumulated CacheManager
                 # entries across queries in a long-lived session.
                 step = materialize(step)
+                if hi is not None and step.count() <= 2_000_000:
+                    # r8: small step sides broadcast in the BOUNDED unroll
+                    # too (the unbounded fixpoint already did) — each of
+                    # the hi chained joins previously re-exchanged and
+                    # re-sorted the step frame
+                    step = F.broadcast(step)
         else:
             step = None
 
@@ -2815,28 +2824,42 @@ class Planner:
                 # fixpoint: iterate until the frontier drains. At high
                 # depths the cost is driver round trips (checkpoint job +
                 # emptiness probe per level), not data — so extend K
-                # levels per round trip: one chunk = K chained joins, one
-                # checkpoint, one probe. Intermediate levels re-derive
-                # from the chunk's base checkpoint at union time (1..K-1
-                # cheap joins, broadcast on the step side); extends past
-                # the drain point are empty frames in the union. Lineage
-                # stays flat (every K levels), termination unchanged.
+                # levels per round trip: one chunk = K chained joins whose
+                # UNION is materialized in one checkpoint job, one probe.
+                # Each chunk level is computed exactly once (the r7 shape
+                # re-derived 1..K-1 intermediate levels from the chunk
+                # base at union time — K(K-1)/2 redundant joins per chunk
+                # and a 40-branch final union on deep chains); the next
+                # chunk's frontier is the checkpoint filtered to the
+                # chunk's deepest rel-list length. Lineage stays flat
+                # (every K levels), termination unchanged.
                 K = 4
                 cur = materialize(cur)
                 depth = 1
                 while not cur.isEmpty():
-                    appended_last = False
+                    base = depth
+                    chunk: List[DataFrame] = []
                     for _ in range(K):
                         depth += 1
                         cur = extend(cur)
-                        if depth >= lo:
-                            levels.append(cur)
-                            appended_last = True
-                    cur = materialize(cur)
-                    if appended_last:
-                        # the chunk's last level reads the checkpoint
-                        # directly, not the re-derived K-join plan
-                        levels[-1] = cur
+                        chunk.append(cur)
+                    u = chunk[0]
+                    for c in chunk[1:]:
+                        u = u.unionByName(c)
+                    # union SUMS its branches' partition counts and the
+                    # checkpoint preserves them, so without this narrow
+                    # coalesce the loop width multiplies by K per chunk
+                    # (measured: 1024 -> 4096 -> 5460 tasks by chunk 3)
+                    base_parts = max(1, cur.rdd.getNumPartitions() // K)
+                    u = materialize(u.coalesce(base_parts * K))
+                    if depth >= lo:
+                        # this chunk's output rows: depths max(lo, base+1)..depth
+                        levels.append(
+                            u.filter(F.size(F.col(ids_col)) >= F.lit(max(lo, base + 1)))
+                            if lo > base + 1
+                            else u
+                        )
+                    cur = u.filter(F.size(F.col(ids_col)) == F.lit(depth))
 
         if not levels:
             if step is not None:
