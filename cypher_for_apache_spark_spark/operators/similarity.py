@@ -458,6 +458,58 @@ def sim_micro(va: Column, vb: Column, na2: Column, nb2: Column) -> Column:
     return F.when((na2 > 0) & (nb2 > 0), F.floor(s * F.lit(1e6)).cast("long"))
 
 
+def sim_micro_columns(va: Column, vb: Column, na2: Column, nb2: Column) -> Column:
+    """``sim_micro`` via an Arrow-batched numpy kernel when pandas/pyarrow
+    are available, falling back to the pure-JVM expression.
+
+    The JVM path's ``zip_with``+``aggregate`` higher-order functions are
+    CodegenFallback: every candidate pair walks a 64-element fold through
+    the interpreter (measured ~17 us/pair — the dominant cost of the LSH
+    re-rank, guide §4.2). The numpy kernel computes the same integers —
+    int64 row-wise dot (exact), then the IDENTICAL double sequence
+    (dot -> double, /, sqrt of the long product cast to double, * 1e6,
+    floor), so results are bit-equal (pinned by
+    tests/test_portable_ann.py::test_sim_micro_batch_bit_equal) and every
+    DuckDB oracle is unaffected."""
+    try:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+    except ImportError:
+        return sim_micro(va, vb, na2, nb2)
+
+    @pandas_udf("long")
+    def _sim(a, b, n2a, n2b):
+        import numpy as np
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        d = np.einsum("ij,ij->i", A, B)  # int64, exact
+        n2a = n2a.to_numpy()
+        n2b = n2b.to_numpy()
+        # same double-op sequence as the JVM expression: (double)dot /
+        # sqrt((double)(na2 * nb2)), * 1e6, floor
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.floor(
+                (d.astype(np.float64) / np.sqrt((n2a * n2b).astype(np.float64)))
+                * 1e6
+            )
+        ok = (n2a > 0) & (n2b > 0)
+        out = pd.array(np.where(ok, s, 0.0).astype(np.int64), dtype="Int64")
+        out[~ok] = pd.NA
+        return pd.Series(out)
+
+    # the callers filter on this column (NOT NULL / >= threshold), and the
+    # optimizer pushes that filter below the projection, duplicating the
+    # Python evaluation (two ArrowEvalPython nodes, plan-verified — guide
+    # §4.4); non-deterministic marking forbids the copy, yielding a single
+    # evaluation. The function is pure, so results are unchanged.
+    return _sim.asNondeterministic()(va, vb, na2, nb2)
+
+
 def lsh_candidates_portable(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -561,9 +613,9 @@ def knn_join_lsh_portable(
         .select(
             F.col("_ida").alias(id_col),
             F.col("_idb").alias("neighbor"),
-            sim_micro(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")).alias(
-                "sim_micro"
-            ),
+            sim_micro_columns(
+                F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")
+            ).alias("sim_micro"),
         )
         .filter(F.col("sim_micro").isNotNull())
     )
@@ -599,9 +651,9 @@ def cosine_dup_pairs_lsh_portable(
         .select(
             F.col("_ida").alias("id_a"),
             F.col("_idb").alias("id_b"),
-            sim_micro(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")).alias(
-                "sim_micro"
-            ),
+            sim_micro_columns(
+                F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")
+            ).alias("sim_micro"),
         )
         .filter(F.col("sim_micro") >= threshold_micro)
     )
@@ -701,7 +753,7 @@ def ivf_search_portable(
     assigned = assign_int(base, centroids).filter(F.col("_centroid").isin(probes))
     scored = assigned.select(
         F.col(id_col),
-        sim_micro(
+        sim_micro_columns(
             F.col("_qv"), qlit, q_dot(F.col("_qv"), F.col("_qv")), F.lit(qn2).cast("long")
         ).alias("sim_micro"),
     ).filter(F.col("sim_micro").isNotNull())
@@ -879,7 +931,7 @@ def semantic_dedup_portable(
         .filter(F.col("_ida") < F.col("_idb"))
         .withColumn(
             "_sm",
-            sim_micro(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")),
+            sim_micro_columns(F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")),
         )
         .filter(F.col("_sm") >= threshold_micro)
     )

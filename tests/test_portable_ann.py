@@ -283,3 +283,25 @@ def test_pq_measured_recall_floor(clustered):
     window = _mean_recall(df, queries, lambda q: sim.pq_search(df, q, cbs, k=20))
     assert direct >= 0.3, f"PQ direct recall@5 = {direct:.3f}"
     assert window >= 0.9, f"PQ recall@5-in-top20 = {window:.3f}"
+
+
+def test_sim_micro_batch_bit_equal(vecs):
+    """The Arrow/numpy sim_micro kernel must be bit-identical to the JVM
+    expression on every pair shape: positive/negative cosines, the exact
+    dup (cos = 1), and zero-norm vectors (NULL)."""
+    a, b = sim._quantized_sides(vecs, "embedding", "vec_id", 1000)
+    pairs = a.crossJoin(b).filter(F.col("_ida") <= F.col("_idb"))
+    both = pairs.select(
+        "_ida",
+        "_idb",
+        sim.sim_micro(
+            F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")
+        ).alias("jvm"),
+        sim.sim_micro_columns(
+            F.col("_va"), F.col("_vb"), F.col("_na2"), F.col("_nb2")
+        ).alias("batch"),
+    ).collect()
+    assert len(both) > 1000
+    assert any(r.jvm is None for r in both)  # zero vector exercised
+    for r in both:
+        assert r.jvm == r.batch, (r._ida, r._idb, r.jvm, r.batch)
