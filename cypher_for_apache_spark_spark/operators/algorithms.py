@@ -306,22 +306,28 @@ def triangle_count(graph: PropertyGraph, rel_types=()) -> DataFrame:
 
 
 def degrees(graph: PropertyGraph, rel_types=()) -> DataFrame:
-    """(id, out_degree, in_degree, degree) for every node."""
+    """(id, out_degree, in_degree, degree) for every node.
+
+    One aggregation over the endpoint union instead of separate src/dst
+    groupBys: the edge scan is read once, the partial (map-side) aggregate
+    carries two counters per id, and the vertex frame joins a single
+    degree table (r8: 2 scans + 2 joins -> 1 scan + 1 join; results
+    identical — both shapes count the same multiset)."""
     e = _edges(graph, rel_types)
-    out_d = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
-    in_d = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+    both = e.select(
+        F.col("src").alias("id"), F.lit(1).alias("_o"), F.lit(0).alias("_i")
+    ).unionAll(e.select(F.col("dst").alias("id"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
+    d = both.groupBy("id").agg(
+        F.sum("_o").alias("out_degree"), F.sum("_i").alias("in_degree")
+    )
     v = _vertices(graph)
-    return (
-        v.join(out_d, "id", "left_outer")
-        .join(in_d, "id", "left_outer")
-        .select(
-            "id",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias(
-                "degree"
-            ),
-        )
+    return v.join(d, "id", "left_outer").select(
+        "id",
+        F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0)))
+        .cast("long")
+        .alias("degree"),
     )
 
 
