@@ -62,6 +62,31 @@ def materialize(df: DataFrame) -> DataFrame:
     return _reset_stats(df.localCheckpoint())
 
 
+def materialize_count(df: DataFrame):
+    """``materialize`` + row count in ONE Spark job instead of two.
+
+    Every frontier/fixpoint loop in this repo pairs a per-round checkpoint
+    with a count probe (termination test + measured broadcast gate). An
+    eager ``localCheckpoint`` already runs a full JVM-side ``RDD.count()``
+    to materialize the blocks — it just discards the number, so callers
+    paid a second (SQL) count job per round for a value Spark had already
+    computed. Here the checkpoint is marked lazily and materialized by an
+    explicit JVM-side count over the same internal RDD (no Python row
+    traffic, no AQE re-planning), capturing the number the eager path
+    throws away. Returns ``(frame, row_count)``."""
+    try:
+        ckpt = df.localCheckpoint(eager=False)
+        # toRdd() is the lazily-checkpointed internal RDD's scan; counting
+        # it computes + persists the checkpoint blocks (lineage truncates
+        # on first computation) and is the same single job the eager path
+        # runs internally.
+        n = int(ckpt._jdf.queryExecution().toRdd().count())
+        return _reset_stats(ckpt), n
+    except Exception:
+        m = materialize(df)
+        return m, m.count()
+
+
 def static_loop_frame(df: DataFrame, key: str, rows_per_part: int = 2_000_000,
                       multiplier: int = 1):
     """Materialize a frame that an iterative loop equi-joins on ``key``
@@ -95,8 +120,7 @@ def static_loop_frame(df: DataFrame, key: str, rows_per_part: int = 2_000_000,
     frontier loops it never does)."""
     from pyspark.sql import functions as F  # noqa: F401  (parity import)
 
-    m = materialize(df)
-    rows = m.count()
+    m, rows = materialize_count(df)
     spark = df.sparkSession
     try:
         cap = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from cypher_for_apache_spark_spark.graph import PropertyGraph
 from cypher_for_apache_spark_spark.materialize import (
     materialize as _checkpoint,
+    materialize_count as _checkpoint_count,
     maybe_broadcast as _maybe_broadcast,
     static_loop_frame as _static_loop_frame,
 )
@@ -154,7 +155,9 @@ def connected_components_edges(
       late-round tiny label maps into broadcast joins at runtime.
     """
     # canonical undirected edge set: src < dst, no self-loops, deduped
-    cur_e = _checkpoint(
+    # (checkpoint + termination probe fused into one job — see
+    # materialize_count)
+    cur_e, n_e = _checkpoint_count(
         edges.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
@@ -176,7 +179,6 @@ def connected_components_edges(
     # gate: the round's label map has at most 2 * |edges| rows, so when
     # that bound is measurably small every jump/rewrite join this round
     # probes in place (no exchange of either lbl side or cur_e)
-    n_e = cur_e.count()
     for _ in range(max_iterations):
         if n_e == 0:
             break
@@ -200,7 +202,7 @@ def connected_components_edges(
         # rewrite edges on the contracted graph
         m_src = lbl.select(F.col("id").alias("src"), F.col("comp").alias("_nsrc"))
         m_dst = lbl.select(F.col("id").alias("dst"), F.col("comp").alias("_ndst"))
-        cur_e = _checkpoint(
+        cur_e, n_e = _checkpoint_count(  # no edges left: fully contracted
             cur_e.join(_maybe_broadcast(m_src, v_bound), "src")
             .join(_maybe_broadcast(m_dst, v_bound), "dst")
             .select(
@@ -212,7 +214,6 @@ def connected_components_edges(
         )
         round_maps.append(lbl)
         map_bounds.append(v_bound)
-        n_e = cur_e.count()  # no edges left: fully contracted
     # compose original vertex -> final super-vertex through every round;
     # round 1's map over the incident vertices IS the first composition
     total = incident.select("id", F.col("id").alias("component"))
@@ -272,9 +273,9 @@ def bfs_distances(
             .dropDuplicates()
             .join(visited, "id", "left_anti")
         )
-        nxt = _checkpoint(nxt)
-        # termination probe doubles as the broadcast gate for next round
-        n_frontier = nxt.count()
+        # checkpoint + termination probe (doubles as next round's
+        # broadcast gate) in one job
+        nxt, n_frontier = _checkpoint_count(nxt)
         if n_frontier == 0:
             break
         frontier = nxt
@@ -404,8 +405,7 @@ def k_core(
         below = _cur_deg().filter(F.col("degree") < k).select("id")
         if dead_all is not None:
             below = below.join(dead_all, "id", "left_anti")
-        newly = _checkpoint(below)
-        n_newly = newly.count()
+        newly, n_newly = _checkpoint_count(below)
         if n_newly == 0:
             break
         dead_all = (
@@ -485,13 +485,13 @@ def sssp(
             .groupBy("id")
             .agg(F.min("_nd").alias("_nd"))
         )
-        improved = _checkpoint(
+        # checkpoint + termination probe (doubles as next round's
+        # broadcast gate) in one job
+        improved, n_frontier = _checkpoint_count(
             cand.join(dist, "id", "left_outer")
             .filter(F.col("d").isNull() | (F.col("_nd") < F.col("d")))
             .select("id", F.col("_nd").alias("d"))
         )
-        # termination probe doubles as the broadcast gate for next round
-        n_frontier = improved.count()
         if n_frontier == 0:
             break
         dist = _checkpoint(
@@ -722,14 +722,16 @@ def strongly_connected_components(
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
     )
-    nodes = _checkpoint(
+    # every per-round frame below fuses its checkpoint with the emptiness
+    # probe (one job instead of two — see materialize_count)
+    nodes, n_nodes = _checkpoint_count(
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates()
     )
     out_parts: List[DataFrame] = []
     for _ in range(max_rounds):
-        if nodes.isEmpty():
+        if n_nodes == 0:
             break
         # ---- trim: peel nodes with no in- or no out-edge (iterated) ----
         # such nodes cannot lie on a cycle, so they are singleton SCCs;
@@ -746,16 +748,16 @@ def strongly_connected_components(
                 )
                 .select(F.col("src").alias("id"))
             )
-            dead = _checkpoint(nodes.join(live, "id", "left_anti"))
-            if dead.isEmpty():
+            dead, n_dead = _checkpoint_count(nodes.join(live, "id", "left_anti"))
+            if n_dead == 0:
                 break
             out_parts.append(dead.select("id", F.col("id").alias("component")))
-            nodes = _checkpoint(nodes.join(dead, "id", "left_anti"))
+            nodes, n_nodes = _checkpoint_count(nodes.join(dead, "id", "left_anti"))
             e = _checkpoint(
                 e.join(dead.select(F.col("id").alias("src")), "src", "left_anti")
                 .join(dead.select(F.col("id").alias("dst")), "dst", "left_anti")
             )
-        if nodes.isEmpty():
+        if n_nodes == 0:
             break
         # ---- forward min-label to fixpoint (delta iteration) ----
         labels = nodes.select("id", F.col("id").alias("c"))
@@ -766,12 +768,12 @@ def strongly_connected_components(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("c").alias("_nc"))
             )
-            improved = _checkpoint(
+            improved, n_improved = _checkpoint_count(
                 cand.join(labels, "id")
                 .filter(F.col("_nc") < F.col("c"))
                 .select("id", F.col("_nc").alias("c"))
             )
-            if improved.isEmpty():
+            if n_improved == 0:
                 break
             labels = _checkpoint(
                 labels.join(improved.withColumnRenamed("c", "_u"), "id", "left_outer")
@@ -800,15 +802,17 @@ def strongly_connected_components(
                 .select(F.col("src").alias("id"), "c")
                 .dropDuplicates()
             )
-            nxt = _checkpoint(step.join(confirmed, "id", "left_anti"))
-            if nxt.isEmpty():
+            nxt, n_nxt = _checkpoint_count(step.join(confirmed, "id", "left_anti"))
+            if n_nxt == 0:
                 break
             confirmed = confirmed.unionByName(nxt)
             bfrontier = nxt
         scc = _checkpoint(confirmed.select("id", F.col("c").alias("component")))
         out_parts.append(scc)
         # ---- peel: drop settled nodes and their edges ----
-        nodes = _checkpoint(nodes.join(scc.select("id"), "id", "left_anti"))
+        nodes, n_nodes = _checkpoint_count(
+            nodes.join(scc.select("id"), "id", "left_anti")
+        )
         e = _checkpoint(
             e.join(scc.select(F.col("id").alias("src")), "src", "left_anti")
             .join(scc.select(F.col("id").alias("dst")), "dst", "left_anti")
@@ -816,7 +820,7 @@ def strongly_connected_components(
     # convergence = every node settled, regardless of which round did it
     # (the old for/else raised even when the final permitted round
     # finished the graph)
-    if not nodes.isEmpty():
+    if n_nodes != 0:
         raise RuntimeError(
             f"SCC did not converge within {max_rounds} peeling rounds"
         )
@@ -848,13 +852,12 @@ def scc_functional(edges: DataFrame) -> DataFrame:
     over its first 2^rounds path nodes = the min of its cycle. Acyclic
     nodes are trivial singleton SCCs. Returns (id, component).
     """
-    d = _checkpoint(
+    d, n = _checkpoint_count(
         edges.select(
             F.col("src").alias("p"), F.col("dst").alias("f"),
             F.col("src").alias("m"),
         ).dropDuplicates(["p"])
     )
-    n = d.count()
     rounds = max(1, (n - 1).bit_length())  # 2^rounds >= n
     for _ in range(rounds):
         b = d.select(
@@ -909,10 +912,9 @@ def landmark_distances(
     # per-round join output is |live sources| x frontier expansions, so the
     # static width must scale with the landmark count (capped) — a single
     # partition would serialize the whole multi-source expansion
-    lms0 = _checkpoint(
+    lms0, n_lms = _checkpoint_count(
         landmarks.select(F.col(landmarks.columns[0]).alias("lm")).dropDuplicates()
     )
-    n_lms = lms0.count()
     e, _, drop_e = _static_loop_frame(
         e.dropDuplicates(), "src", multiplier=min(n_lms, 64)
     )
@@ -931,9 +933,9 @@ def landmark_distances(
             .dropDuplicates()
             .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
         )
-        nxt = _checkpoint(nxt)
-        # termination probe doubles as the broadcast gate for next round
-        n_frontier = nxt.count()
+        # checkpoint + termination probe (doubles as next round's
+        # broadcast gate) in one job
+        nxt, n_frontier = _checkpoint_count(nxt)
         if n_frontier == 0:
             break
         frontier = nxt
@@ -987,10 +989,9 @@ def betweenness(
     # both sweeps equi-join e on src every level of every wave — cache it
     # hash-partitioned on that key (see _static_loop_frame); width scales
     # with the (capped) source count like landmark_distances
-    lms = _checkpoint(
+    lms, n_lms = _checkpoint_count(
         sources.select(F.col(sources.columns[0]).alias("lm")).dropDuplicates()
     )
-    n_lms = lms.count()
     e, _, drop_e = _static_loop_frame(
         e.dropDuplicates(), "src", multiplier=min(n_lms, 64)
     )
@@ -1035,9 +1036,9 @@ def _brandes_wave(
     frontier = lms.select(
         "lm", F.col("lm").alias("id"), F.lit(1.0).alias("sigma")
     )
-    levels: List[DataFrame] = [_checkpoint(frontier)]
-    visited = levels[0].select("lm", "id")
-    n_frontier = levels[0].count()
+    lvl0, n_frontier = _checkpoint_count(frontier)
+    levels: List[DataFrame] = [lvl0]
+    visited = lvl0.select("lm", "id")
     level_counts: List[int] = [n_frontier]
     depth = 0
     while max_hops is None or depth < max_hops:
@@ -1054,9 +1055,9 @@ def _brandes_wave(
             .groupBy("lm", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        nxt = _checkpoint(nxt)
-        # termination probe doubles as the broadcast gate for next round
-        n_frontier = nxt.count()
+        # checkpoint + termination probe (doubles as next round's
+        # broadcast gate) in one job
+        nxt, n_frontier = _checkpoint_count(nxt)
         if n_frontier == 0:
             break
         levels.append(nxt)

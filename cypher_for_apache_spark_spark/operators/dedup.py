@@ -320,8 +320,26 @@ def lsh_candidate_pairs(
     )
 
 
-def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
-    """MinHash Jaccard estimate = fraction of equal signature positions."""
+def signature_jaccard(
+    sig_a: Column, sig_b: Column, width: Optional[int] = None
+) -> Column:
+    """MinHash Jaccard estimate = fraction of equal signature positions.
+
+    With ``width`` (the signature length, known statically to every
+    caller) the position-equality sum is unrolled into ``width`` plain
+    integer terms, which stay inside whole-stage codegen; the generic
+    ``zip_with`` + ``aggregate`` fallback is CodegenFallback in Spark
+    4.x — an interpreted per-element fold evaluated once per CANDIDATE
+    PAIR, the hottest multiplier in the minhash dedup family. Identical
+    integers either way (same equality count, same division), so the
+    estimate is bit-equal."""
+    if width is not None:
+        total: Column = F.lit(0)
+        for i in range(width):
+            total = total + F.when(
+                F.element_at(sig_a, i + 1) == F.element_at(sig_b, i + 1), 1
+            ).otherwise(0)
+        return total / F.size(sig_a)
     eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
     return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig_a)
 
@@ -358,7 +376,10 @@ def minhash_duplicate_pairs(
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard_est", signature_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .withColumn(
+            "jaccard_est",
+            signature_jaccard(F.col("sig_a"), F.col("sig_b"), width=num_hashes),
+        )
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
@@ -411,7 +432,10 @@ def minhash_dedup(
     rep_losers = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(signature_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+        .filter(
+            signature_jaccard(F.col("sig_a"), F.col("sig_b"), width=num_hashes)
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
     )
     losers = (
@@ -478,7 +502,10 @@ def minhash_dedup_cc(
     verified = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(signature_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+        .filter(
+            signature_jaccard(F.col("sig_a"), F.col("sig_b"), width=num_hashes)
+            >= threshold
+        )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     edges = verified.unionByName(
@@ -918,7 +945,9 @@ def minhash_dedup_incremental(
     losers = (
         cand.join(sn, "id_new")
         .join(so, "id_other")
-        .withColumn("_je", signature_jaccard(F.col("_sa"), F.col("_sb")))
+        .withColumn(
+            "_je", signature_jaccard(F.col("_sa"), F.col("_sb"), width=num_hashes)
+        )
         .filter(F.col("_je") >= threshold)
         .select(F.col("id_new").alias(id_col))
         .dropDuplicates()

@@ -36,7 +36,7 @@ from cypher_for_apache_spark_spark.functions.compiler import (
 )
 from cypher_for_apache_spark_spark.graph import PropertyGraph
 from cypher_for_apache_spark_spark.header import EntityMeta, Header, fresh
-from cypher_for_apache_spark_spark.materialize import materialize
+from cypher_for_apache_spark_spark.materialize import materialize, materialize_count
 from cypher_for_apache_spark_spark.plans.record import Record
 
 
@@ -1623,8 +1623,9 @@ class Planner:
                 step = rdf.select(trip).unionByName(rdf.select(back))
             if hi is None or hi > 1:
                 # joined once per BFS round — materialize or Spark rescans
-                step = materialize(step)
-                if step.count() <= 2_000_000:
+                # (checkpoint + size probe fused into one job)
+                step, n_step = materialize_count(step)
+                if n_step <= 2_000_000:
                     # the loop's join strategy is decided once — broadcast
                     # a small step side (checkpointed scans are opaque to
                     # AQE's stats), as in var_length_expand; r8: applied
@@ -1689,9 +1690,11 @@ class Planner:
                 if lo == 0 or depth > 1:
                     cur = cur.join(visited, [src_c, end_c], "left_anti")
                 more = hi is None or depth < hi
+                n_cur = None
                 if more:
-                    cur = materialize(cur)
-                if hi is None and cur.isEmpty():
+                    # checkpoint + emptiness probe in one job
+                    cur, n_cur = materialize_count(cur)
+                if hi is None and n_cur == 0:
                     # unbounded (*..): the visited-pruned frontier only
                     # shrinks once reachability saturates — at most
                     # diameter+1 rounds, each O(frontier), never the trail
@@ -1818,8 +1821,9 @@ class Planner:
                     .agg(F.min(ids_col).alias(ids_col))
                     .select(src_c, ids_col, end_c)
                 )
-            cur = materialize(cur)
-            if cur.isEmpty():
+            # checkpoint + emptiness probe in one job
+            cur, n_cur = materialize_count(cur)
+            if n_cur == 0:
                 break
             depth += 1
         # the frontier can drain before the first valid depth
@@ -1982,7 +1986,14 @@ class Planner:
             else:
                 step = rdf.select(trip).unionByName(rdf.select(back))
             if hi > 1:
-                step = materialize(step)
+                # joined once per depth — materialize (checkpoint + size
+                # probe in one job) and broadcast-gate the step side like
+                # the other var-length paths: the checkpointed scan is
+                # opaque to AQE's stats, so without the hint every depth
+                # re-exchanges and re-sorts it for a sort-merge join
+                step, n_step = materialize_count(step)
+                if n_step <= 2_000_000:
+                    step = F.broadcast(step)
         else:
             step = None
 
@@ -2723,6 +2734,7 @@ class Planner:
             ]
             return d.select(sel)
 
+        n_step = None
         if rdf is not None:
             if rel.direction == "out":
                 step = orient(rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col, True)
@@ -2742,8 +2754,8 @@ class Planner:
                 # freed automatically when the query's frames are dropped,
                 # unlike the round-2 persist() that accumulated CacheManager
                 # entries across queries in a long-lived session.
-                step = materialize(step)
-                if hi is not None and step.count() <= 2_000_000:
+                step, n_step = materialize_count(step)
+                if hi is not None and n_step <= 2_000_000:
                     # r8: small step sides broadcast in the BOUNDED unroll
                     # too (the unbounded fixpoint already did) — each of
                     # the hi chained joins previously re-exchanged and
@@ -2771,11 +2783,13 @@ class Planner:
 
         if step is not None and (hi is None or hi >= 1):
             if hi is None:
-                # one count job decides the fixpoint's join strategy: the
-                # step scan is checkpointed (opaque to AQE's stats), so
-                # hint broadcast explicitly when it's comfortably small —
-                # the whole loop then never shuffles the step side
-                if step.count() <= 2_000_000:
+                # the fixpoint's join strategy is decided once: the step
+                # scan is checkpointed (opaque to AQE's stats), so hint
+                # broadcast explicitly when it's comfortably small — the
+                # whole loop then never shuffles the step side. The size
+                # comes free from the fused materialize_count above when
+                # the scan was cached; only the uncached path counts here.
+                if (n_step if n_step is not None else step.count()) <= 2_000_000:
                     step = F.broadcast(step)
             s1sel = [
                 F.col("_near"),
@@ -2834,9 +2848,10 @@ class Planner:
                 # chunk's deepest rel-list length. Lineage stays flat
                 # (every K levels), termination unchanged.
                 K = 4
-                cur = materialize(cur)
+                # entry checkpoint + emptiness probe in one job
+                cur, n_cur = materialize_count(cur)
                 depth = 1
-                while not cur.isEmpty():
+                while n_cur != 0:
                     base = depth
                     chunk: List[DataFrame] = []
                     for _ in range(K):
@@ -2851,7 +2866,7 @@ class Planner:
                     # coalesce the loop width multiplies by K per chunk
                     # (measured: 1024 -> 4096 -> 5460 tasks by chunk 3)
                     base_parts = max(1, cur.rdd.getNumPartitions() // K)
-                    u = materialize(u.coalesce(base_parts * K))
+                    u, n_u = materialize_count(u.coalesce(base_parts * K))
                     if depth >= lo:
                         # this chunk's output rows: depths max(lo, base+1)..depth
                         levels.append(
@@ -2860,6 +2875,11 @@ class Planner:
                             else u
                         )
                     cur = u.filter(F.size(F.col(ids_col)) == F.lit(depth))
+                    # the chunk count comes free with its checkpoint: an
+                    # empty chunk means a drained frontier (skip the
+                    # probe); otherwise one cheap scan of the cached chunk
+                    # decides whether the deepest level still has rows
+                    n_cur = 0 if n_u == 0 else (0 if cur.isEmpty() else 1)
 
         if not levels:
             if step is not None:
