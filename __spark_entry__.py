@@ -1875,8 +1875,21 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.algorithms import connected_components
     from cypher_for_apache_spark_spark.sources.tpch import ORDER, S
 
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        _edges, connected_components_edges,
+    )
+
     g = _graph(spark, sf_dir)
-    cc = connected_components(g, max_iterations=64, rel_types=["NEXT"])
+    # NEXT only ever connects Order nodes, and the query keeps only Order
+    # rows — feed CC the Order vertex scan instead of the full 6-class
+    # node union (identical output: incident vertices are all orders,
+    # isolated orders still appear as their own components; the range
+    # filter below stays as the defensive guarantee). r8: the all-class
+    # union cost five parquet scans whose rows the filter threw away.
+    verts = g.scan_nodes(labels=["Order"], out_id="id").select("id")
+    cc = connected_components_edges(
+        _edges(g, rel_types=["NEXT"]), vertices=verts, max_iterations=64
+    )
     # restrict to Order nodes (CC assigns every isolated node its own id;
     # the oracle covers the order chains)
     return cc.filter((F.col("id") >= ORDER) & (F.col("id") < ORDER + S))

@@ -66,21 +66,25 @@ def pagerank(
     # referenced every iteration for the dangling-mass term
     sinks = v.join(out_deg, v.id == out_deg.src, "left_anti").select("id").persist()
 
+    # every per-round frame is bounded by |V| (ranks/contribs: one row per
+    # vertex; sinks: a subset) — when that MEASURED count is small the
+    # round's joins probe the cached statics in place instead of
+    # exchanging the changing side every iteration (see maybe_broadcast)
     ranks = v.select("id", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            links.join(ranks, links.src == ranks.id)
+            links.join(_maybe_broadcast(ranks, n), links.src == ranks.id)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("received"))
         )
         # dangling (sink) mass as a broadcast 1-row frame — no driver action
         dangling = (
-            ranks.join(sinks, "id", "left_semi")
+            ranks.join(_maybe_broadcast(sinks, n), "id", "left_semi")
             .agg((F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("_dangling"))
         )
         ranks = (
-            v.join(contribs, "id", "left_outer")
+            v.join(_maybe_broadcast(contribs, n), "id", "left_outer")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
@@ -164,12 +168,19 @@ def connected_components_edges(
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()
     )
-    incident = (
-        cur_e.select(F.col("src").alias("id"))
-        .unionByName(cur_e.select(F.col("dst").alias("id")))
-        .dropDuplicates()
-        .persist()
-    )
+    # the incident-vertex set is only materialized on the edgeless path:
+    # round 1's label map already carries EVERY incident vertex (the
+    # min-adopt groupBy runs over both orientations), so when at least one
+    # contraction round ran, round_maps[0] doubles as the incident set and
+    # the separate union+dedup pass (two scans + an exchange) never runs
+    e0 = cur_e
+
+    def _incident() -> DataFrame:
+        return (
+            e0.select(F.col("src").alias("id"))
+            .unionByName(e0.select(F.col("dst").alias("id")))
+            .dropDuplicates()
+        )
     # per-round contraction maps, composed once at the end — a per-round
     # compose would cost a |V|-sized join + checkpoint every round, while
     # the maps shrink geometrically and the late ones broadcast
@@ -199,15 +210,18 @@ def connected_components_edges(
                 _maybe_broadcast(jump, v_bound), lbl.comp == jump._jid, "left_outer"
             ).select("id", F.coalesce("_jcomp", "comp").alias("comp"))
         lbl = _checkpoint(lbl)
-        # rewrite edges on the contracted graph
-        m_src = lbl.select(F.col("id").alias("src"), F.col("comp").alias("_nsrc"))
-        m_dst = lbl.select(F.col("id").alias("dst"), F.col("comp").alias("_ndst"))
+        # rewrite edges on the contracted graph. Both endpoint lookups
+        # join the SAME checkpointed label map — alias it twice instead of
+        # projecting two renamed copies, so the two broadcast exchanges
+        # canonicalize identically and ReuseExchange builds the relation
+        # once per round instead of twice.
+        la, lb = lbl.alias("_cca"), lbl.alias("_ccb")
         cur_e, n_e = _checkpoint_count(  # no edges left: fully contracted
-            cur_e.join(_maybe_broadcast(m_src, v_bound), "src")
-            .join(_maybe_broadcast(m_dst, v_bound), "dst")
+            cur_e.join(_maybe_broadcast(la, v_bound), F.col("src") == F.col("_cca.id"))
+            .join(_maybe_broadcast(lb, v_bound), F.col("dst") == F.col("_ccb.id"))
             .select(
-                F.least("_nsrc", "_ndst").alias("src"),
-                F.greatest("_nsrc", "_ndst").alias("dst"),
+                F.least(F.col("_cca.comp"), F.col("_ccb.comp")).alias("src"),
+                F.greatest(F.col("_cca.comp"), F.col("_ccb.comp")).alias("dst"),
             )
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates()
@@ -216,10 +230,14 @@ def connected_components_edges(
         map_bounds.append(v_bound)
     # compose original vertex -> final super-vertex through every round;
     # round 1's map over the incident vertices IS the first composition
-    total = incident.select("id", F.col("id").alias("component"))
+    if round_maps:
+        total = round_maps[0].select("id", F.col("comp").alias("component"))
+        member_ids = round_maps[0].select("id")
+    else:
+        total = _incident().select("id", F.col("id").alias("component"))
+        member_ids = total.select("id")
     for i, lbl in enumerate(round_maps):
         if i == 0:
-            total = lbl.select("id", F.col("comp").alias("component"))
             continue
         jmp = lbl.select(F.col("id").alias("_lid"), F.col("comp").alias("_lcomp"))
         total = total.join(
@@ -228,11 +246,10 @@ def connected_components_edges(
             "left_outer",
         ).select("id", F.coalesce("_lcomp", "component").alias("component"))
     if vertices is not None:
-        isolated = vertices.join(incident, "id", "left_anti").select(
+        isolated = vertices.join(member_ids, "id", "left_anti").select(
             "id", F.col("id").alias("component")
         )
         total = total.unionByName(isolated)
-    incident.unpersist()
     return total
 
 
@@ -260,10 +277,15 @@ def bfs_distances(
         [(int(s),) for s in source_ids], "id long"
     ).dropDuplicates()
     n_frontier = len(set(source_ids))
+    n_visited = n_frontier
     visited = frontier.select("id", F.lit(0).cast("long").alias("dist"))
     dist = 0
     while max_hops is None or dist < max_hops:
         dist += 1
+        # the visited side of the anti-join is a union of checkpointed
+        # frontiers whose total row count is already known (the sum of the
+        # termination probes) — broadcast-gate it so the settled set is
+        # probed in place instead of exchanged+sorted every round
         nxt = (
             e.join(
                 _maybe_broadcast(frontier.withColumnRenamed("id", "src"), n_frontier),
@@ -271,7 +293,7 @@ def bfs_distances(
             )
             .select(F.col("dst").alias("id"))
             .dropDuplicates()
-            .join(visited, "id", "left_anti")
+            .join(_maybe_broadcast(visited.select("id"), n_visited), "id", "left_anti")
         )
         # checkpoint + termination probe (doubles as next round's
         # broadcast gate) in one job
@@ -279,6 +301,7 @@ def bfs_distances(
         if n_frontier == 0:
             break
         frontier = nxt
+        n_visited += n_frontier
         visited = visited.unionByName(
             nxt.select("id", F.lit(dist).cast("long").alias("dist"))
         )
@@ -390,12 +413,18 @@ def k_core(
     deg0 = _checkpoint(
         adj.groupBy("id").agg(F.count("*").alias("degree"))
     )
+    # every cumulative frame is count-tracked by the loop's own probes
+    # (dead_all: sum of the wave counts; cum: bounded by the touched
+    # neighbour count of all waves so far) so their joins broadcast-gate
+    # on measured sizes — small peels probe deg0/adj in place
     dead_all = None
+    n_dead = 0
     cum = None  # (id, _cum) — total decrements so far
+    n_cum = 0
     def _cur_deg():
         if cum is None:
             return deg0
-        return deg0.join(cum, "id", "left").select(
+        return deg0.join(_maybe_broadcast(cum, n_cum), "id", "left").select(
             "id",
             (F.col("degree") - F.coalesce(F.col("_cum"), F.lit(0))).alias(
                 "degree"
@@ -404,10 +433,11 @@ def k_core(
     for _ in range(max_iterations):
         below = _cur_deg().filter(F.col("degree") < k).select("id")
         if dead_all is not None:
-            below = below.join(dead_all, "id", "left_anti")
+            below = below.join(_maybe_broadcast(dead_all, n_dead), "id", "left_anti")
         newly, n_newly = _checkpoint_count(below)
         if n_newly == 0:
             break
+        n_dead += n_newly
         dead_all = (
             newly
             if dead_all is None
@@ -421,14 +451,14 @@ def k_core(
             F.col("nbr").alias("id")
         )
         dec = (
-            touched.join(dead_all, "id", "left_anti")
+            touched.join(_maybe_broadcast(dead_all, n_dead), "id", "left_anti")
             .groupBy("id")
             .agg(F.count("*").alias("_dec"))
         )
         if cum is None:
-            cum = _checkpoint(dec.withColumnRenamed("_dec", "_cum"))
+            cum, n_cum = _checkpoint_count(dec.withColumnRenamed("_dec", "_cum"))
         else:
-            cum = _checkpoint(
+            cum, n_cum = _checkpoint_count(
                 cum.unionByName(dec.withColumnRenamed("_dec", "_cum"))
                 .groupBy("id")
                 .agg(F.sum("_cum").alias("_cum"))
@@ -436,7 +466,7 @@ def k_core(
     drop_adj()
     out = _cur_deg().filter(F.col("degree") >= k)
     if dead_all is not None:
-        out = out.join(dead_all, "id", "left_anti")
+        out = out.join(_maybe_broadcast(dead_all, n_dead), "id", "left_anti")
     return out
 
 
@@ -588,12 +618,19 @@ def label_propagation_edges(edges: DataFrame, iterations: int = 3) -> DataFrame:
         ),
         "nbr",
     )
-    labels = adj.select("id").dropDuplicates().select(
-        "id", F.col("id").alias("label")
+    # labels carries exactly one row per incident vertex in EVERY round
+    # (each id keeps a label), so one measured count up front gates the
+    # per-round broadcast: small graphs probe the cached adjacency in
+    # place instead of exchanging+sorting the label frame each round
+    labels, n_v = _checkpoint_count(
+        adj.select("id").dropDuplicates().select("id", F.col("id").alias("label"))
     )
     for _ in range(iterations):
         nl = adj.join(
-            labels.select(F.col("id").alias("nbr"), F.col("label").alias("_lbl")),
+            _maybe_broadcast(
+                labels.select(F.col("id").alias("nbr"), F.col("label").alias("_lbl")),
+                n_v,
+            ),
             "nbr",
         )
         cnt = nl.groupBy("id", "_lbl").agg(F.count(F.lit(1)).alias("_c"))
@@ -647,7 +684,12 @@ def random_walks(
     deg, _, drop_deg = _static_loop_frame(
         ranked.groupBy("src").agg(F.max("rk").alias("deg")), "src"
     )
-    state = (
+    # the walk-state frame only ever SHRINKS (dead-end walks drop out), so
+    # one measured count of the initial state gates every step's
+    # broadcasts: small walk sets probe the cached ranked/degree statics
+    # in place — zero exchanges per step — while huge walk corpora fall
+    # back to the co-partitioned join shape
+    state, n_state = _checkpoint_count(
         starts.select(F.col(starts.columns[0]).alias("start"))
         .dropDuplicates()
         .select(
@@ -661,7 +703,9 @@ def random_walks(
         F.col("cur").alias("node"),
     )
     for step in range(1, walk_length + 1):
-        pick = state.join(deg, state["cur"] == deg["src"]).select(
+        pick = _maybe_broadcast(state, n_state).join(
+            deg, state["cur"] == deg["src"]
+        ).select(
             "start",
             "walk",
             "cur",
@@ -681,7 +725,7 @@ def random_walks(
                 )
             ).alias("_idx"),
         )
-        nxt = pick.join(
+        nxt = _maybe_broadcast(pick, n_state).join(
             ranked,
             (pick["cur"] == ranked["src"]) & (pick["_idx"] == ranked["rk"]),
         ).select("start", "walk", F.col("dst").alias("cur"))
@@ -922,8 +966,11 @@ def landmark_distances(
     visited = frontier.select("lm", "id", F.lit(0).cast("long").alias("dist"))
     dist = 0
     n_frontier = n_lms
+    n_visited = n_lms
     while max_hops is None or dist < max_hops:
         dist += 1
+        # visited's row count is the running sum of the termination probes
+        # — broadcast-gate the anti-join's settled side like the frontier
         nxt = (
             e.join(
                 _maybe_broadcast(frontier.withColumnRenamed("id", "src"), n_frontier),
@@ -931,7 +978,11 @@ def landmark_distances(
             )
             .select("lm", F.col("dst").alias("id"))
             .dropDuplicates()
-            .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
+            .join(
+                _maybe_broadcast(visited.select("lm", "id"), n_visited),
+                ["lm", "id"],
+                "left_anti",
+            )
         )
         # checkpoint + termination probe (doubles as next round's
         # broadcast gate) in one job
@@ -939,6 +990,7 @@ def landmark_distances(
         if n_frontier == 0:
             break
         frontier = nxt
+        n_visited += n_frontier
         visited = visited.unionByName(
             nxt.select("lm", "id", F.lit(dist).cast("long").alias("dist"))
         )
@@ -1040,9 +1092,12 @@ def _brandes_wave(
     levels: List[DataFrame] = [lvl0]
     visited = lvl0.select("lm", "id")
     level_counts: List[int] = [n_frontier]
+    n_visited = n_frontier
     depth = 0
     while max_hops is None or depth < max_hops:
         depth += 1
+        # visited's row count is the running sum of the level probes —
+        # broadcast-gate the anti-join's settled side like the frontier
         nxt = (
             e.join(
                 _maybe_broadcast(
@@ -1051,7 +1106,7 @@ def _brandes_wave(
                 "src",
             )
             .select("lm", F.col("dst").alias("id"), "sigma")
-            .join(visited, ["lm", "id"], "left_anti")
+            .join(_maybe_broadcast(visited, n_visited), ["lm", "id"], "left_anti")
             .groupBy("lm", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
@@ -1062,13 +1117,19 @@ def _brandes_wave(
             break
         levels.append(nxt)
         level_counts.append(n_frontier)
+        n_visited += n_frontier
         visited = visited.unionByName(nxt.select("lm", "id"))
 
     if len(levels) == 1:
         return None
 
-    # reverse sweep: delta over the BFS DAG, deepest level first
+    # reverse sweep: delta over the BFS DAG, deepest level first. delta
+    # always carries exactly the rows of the level it was last rebuilt
+    # from, so the level probes double as broadcast gates here too: both
+    # join inputs of a reverse step probe the static edge cache in place
+    # when measurably small.
     delta = levels[-1].select("lm", "id", "sigma", F.lit(0.0).alias("delta"))
+    n_delta = level_counts[-1]
     per_level: List[DataFrame] = []
     for lvl, n_lvl in zip(reversed(levels[:-1]), reversed(level_counts[:-1])):
         succ = delta.select(
@@ -1085,7 +1146,7 @@ def _brandes_wave(
                 n_lvl,
             )
             .join(e, "src")
-            .join(succ, ["lm", "dst"])
+            .join(_maybe_broadcast(succ, n_delta), ["lm", "dst"])
             .groupBy("lm", F.col("src").alias("id"))
             .agg(
                 F.sum(F.col("_sv") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))).alias(
@@ -1093,14 +1154,17 @@ def _brandes_wave(
                 )
             )
         )
+        # contrib is grouped by this level's (lm, id), so its row count is
+        # bounded by the level's probe — same gate
         delta = _checkpoint(
-            lvl.join(contrib, ["lm", "id"], "left").select(
+            lvl.join(_maybe_broadcast(contrib, n_lvl), ["lm", "id"], "left").select(
                 "lm",
                 "id",
                 "sigma",
                 F.coalesce(F.col("_d"), F.lit(0.0)).alias("delta"),
             )
         )
+        n_delta = n_lvl
         per_level.append(delta.filter(F.col("id") != F.col("lm")))
     # deeper levels' deltas (levels[1:] minus what the loop already added):
     # every level except 0 contributes its delta; the loop emitted levels
@@ -1193,7 +1257,7 @@ def personalized_pagerank(
     # scale-adaptive width (see _static_loop_frame): links on src, the
     # seed-annotated vertex frame on id
     links, _, drop_links = _static_loop_frame(e.join(deg, "src"), "src")
-    v, _, drop_v = _static_loop_frame(
+    v, n_v, drop_v = _static_loop_frame(
         vertices.select("id")
         .join(sd.withColumn("_is_seed", F.lit(True)), "id", "left_outer")
         .crossJoin(F.broadcast(k))
@@ -1206,20 +1270,24 @@ def personalized_pagerank(
         "id",
     )
     sinks = v.join(deg, v["id"] == deg["src"], "left_anti").select("id").persist()
+    # per-round frames are |V|-bounded — broadcast-gate them on the
+    # measured vertex count so small graphs probe the statics in place
+    # (see pagerank / maybe_broadcast)
     ranks = v.select("id", "s", F.col("s").alias("rank"))
     for _ in range(iterations):
+        cur = ranks.select("id", "rank")
         contribs = (
-            links.join(ranks.select("id", "rank"), links["src"] == ranks["id"])
+            links.join(_maybe_broadcast(cur, n_v), links["src"] == cur["id"])
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("received"))
         )
         dangling = (
-            ranks.join(sinks, "id", "left_semi")
+            ranks.join(_maybe_broadcast(sinks, n_v), "id", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         ranks = (
-            v.join(contribs, "id", "left_outer")
+            v.join(_maybe_broadcast(contribs, n_v), "id", "left_outer")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",

@@ -2850,6 +2850,13 @@ class Planner:
                 K = 4
                 # entry checkpoint + emptiness probe in one job
                 cur, n_cur = materialize_count(cur)
+                # union SUMS its branches' partition counts and the
+                # checkpoint preserves them, so without a narrow coalesce
+                # the loop width multiplies by K per chunk (measured:
+                # 1024 -> 4096 -> 5460 tasks by chunk 3). The extends are
+                # narrow (broadcast-side joins / same-width shuffles), so
+                # the entry checkpoint's width is the whole loop's width.
+                entry_parts = max(1, cur.rdd.getNumPartitions())
                 depth = 1
                 while n_cur != 0:
                     base = depth
@@ -2861,12 +2868,7 @@ class Planner:
                     u = chunk[0]
                     for c in chunk[1:]:
                         u = u.unionByName(c)
-                    # union SUMS its branches' partition counts and the
-                    # checkpoint preserves them, so without this narrow
-                    # coalesce the loop width multiplies by K per chunk
-                    # (measured: 1024 -> 4096 -> 5460 tasks by chunk 3)
-                    base_parts = max(1, cur.rdd.getNumPartitions() // K)
-                    u, n_u = materialize_count(u.coalesce(base_parts * K))
+                    u, n_u = materialize_count(u.coalesce(entry_parts))
                     if depth >= lo:
                         # this chunk's output rows: depths max(lo, base+1)..depth
                         levels.append(
@@ -2875,11 +2877,13 @@ class Planner:
                             else u
                         )
                     cur = u.filter(F.size(F.col(ids_col)) == F.lit(depth))
-                    # the chunk count comes free with its checkpoint: an
-                    # empty chunk means a drained frontier (skip the
-                    # probe); otherwise one cheap scan of the cached chunk
-                    # decides whether the deepest level still has rows
-                    n_cur = 0 if n_u == 0 else (0 if cur.isEmpty() else 1)
+                    # loop on the chunk count alone (it comes free with
+                    # the checkpoint): when the walk drains mid-chunk the
+                    # next chunk extends an empty frontier — K trivial
+                    # joins and one near-free checkpoint — which costs
+                    # less than a per-chunk deepest-level isEmpty probe
+                    # job on EVERY chunk did
+                    n_cur = n_u
 
         if not levels:
             if step is not None:
