@@ -494,9 +494,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     input partition and every downstream explode/agg runs single-threaded —
     a local-test artifact, not a property of the operators (at real scale
     the scan has thousands of splits). Repartitioning by doc_id costs one
-    tiny shuffle and restores parallelism for the text pipelines."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tiny shuffle and restores parallelism for the text pipelines.
+
+    The repartition is GATED on the scan's planned split count (r8): when
+    the source already carries at least the session's parallelism in
+    splits — the 100 TB shape — the exchange is a pure waste (guide §2.4:
+    remove shuffles outright) and the scan partitioning is kept."""
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
+def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Gated parallelism restore for the single-file local test tables: a
+    hash repartition on ``key`` ONLY when the scan plans fewer splits than
+    the session's parallelism. At real scale the source has thousands of
+    splits and the exchange would be pure waste (guide §2.4)."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:
+        pass
+    return df.repartition(par, key)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,9 +835,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup_portable,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     return semantic_dedup_portable(
         emb, n_centroids="sqrt", threshold_micro=400000
     ).select("vec_id", "label")
@@ -1475,7 +1491,7 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.similarity import knn_brute
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
     return knn_brute(emb.where("vec_id <> 0"), q, k=10)
 
@@ -1491,7 +1507,7 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_join_lsh_portable,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     # 8-plane bands (256 buckets/band) + a deterministic per-bucket cap of
     # 32 (row_number over md5(id) — reproduced bit-for-bit by the oracle's
     # identical window) so one dense bucket can never degrade the candidate
@@ -1507,9 +1523,11 @@ def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cypher_for_apache_spark_spark.operators.dedup import cosine_dup_pairs
 
     emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .where("vec_id < 500")
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        _spread(
+            spark,
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id < 500"),
+            "vec_id",
+        )
     )
     return cosine_dup_pairs(emb, threshold=0.4)
 
@@ -1525,9 +1543,7 @@ def _q_cosine_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_dup_pairs_lsh_portable,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     return cosine_dup_pairs_lsh_portable(
         emb, threshold_micro=400000, planes=6, bands=8, bucket_cap=64
     )
@@ -1544,9 +1560,7 @@ def _q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_dup_pairs_lsh_portable,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     pairs = cosine_dup_pairs_lsh_portable(
         emb, threshold_micro=400000, planes=6, bands=8, bucket_cap=64
     ).withColumnRenamed("sim_micro", "sim")
@@ -1602,9 +1616,7 @@ def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_search,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     cb = pq_codebooks(emb, n_codes=16, sub_dim=8)
     q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
     return pq_search(emb.where("vec_id <> 0"), q, cb, k=10)
@@ -1647,9 +1659,7 @@ def _q_pq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     # coarse on purpose (8 codes x 16-dim subspaces): cluster members
     # collide into shared codes, so the dedup actually drops rows
     cb = pq_codebooks(emb, n_codes=8, sub_dim=16)
@@ -1672,9 +1682,7 @@ def _q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_seed_centroids,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
     cents = portable_seed_centroids(emb, n_centroids="sqrt")
     q = emb.where("vec_id = 0").select("embedding").first()["embedding"]
     return ivf_search_portable(
@@ -1904,16 +1912,14 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python Brandes cross-check in tests/test_algorithms.py)."""
     from pyspark.sql import functions as F
 
-    from cypher_for_apache_spark_spark.operators.algorithms import _edges, betweenness
+    from cypher_for_apache_spark_spark.operators.algorithms import (
+        _edges, _mirror, betweenness,
+    )
     from cypher_for_apache_spark_spark.sources.tpch import ORDER
 
     g = _graph(spark, sf_dir)
     e = _edges(g, rel_types=["NEXT"])
-    srcs = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .dropDuplicates()
-    )
+    srcs = _mirror(e, [F.col("src")], [F.col("dst")], ["id"]).dropDuplicates()
     out = betweenness(e, srcs, max_hops=3)
     return out.select((F.col("id") - F.lit(ORDER)).alias("orderkey"), "betweenness")
 

@@ -23,6 +23,28 @@ from cypher_for_apache_spark_spark.materialize import (
 )
 
 
+def _mirror(df: DataFrame, fwd, bwd, names) -> DataFrame:
+    """Union of two row-orientations of ``df`` in ONE pass.
+
+    ``fwd``/``bwd`` are per-orientation Column lists, ``names`` the output
+    column names. The classic ``df.select(fwd).unionAll(df.select(bwd))``
+    shape reads the input subtree TWICE (two scans of the parquet source,
+    or two passes over a checkpoint) and the union SUMS its branches'
+    partition counts, doubling downstream task fan-out; exploding a
+    2-element struct array instead is one pass, one set of partitions,
+    and stays inside whole-stage codegen (GenerateExec). Row multiset is
+    identical — every input row contributes exactly one fwd and one bwd
+    row either way (guide §2.3/§2.4: read once, keep partition counts
+    flat)."""
+    arr = F.array(
+        F.struct(*[c.alias(n) for c, n in zip(fwd, names)]),
+        F.struct(*[c.alias(n) for c, n in zip(bwd, names)]),
+    )
+    return df.select(F.explode(arr).alias("_mir")).select(
+        *[F.col(f"_mir.{n}").alias(n) for n in names]
+    )
+
+
 def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> DataFrame:
     e = graph.scan_rels(rel_types, out_id="_eid", out_src="src", out_dst="dst")
     if e is None:
@@ -35,7 +57,12 @@ def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> Data
         )
     e = e.select("src", "dst")
     if undirected:
-        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = _mirror(
+            e,
+            [F.col("src"), F.col("dst")],
+            [F.col("dst"), F.col("src")],
+            ["src", "dst"],
+        )
     return e
 
 
@@ -61,27 +88,38 @@ def pagerank(
     # hash-partitioned at scale-adaptive width so each round's joins only
     # exchange the (small) changing rank frame (see _static_loop_frame)
     links, _, drop_links = _static_loop_frame(e.join(out_deg, "src"), "src")
-    v, n, drop_v = _static_loop_frame(_vertices(graph), "id")
-
-    # referenced every iteration for the dangling-mass term
-    sinks = v.join(out_deg, v.id == out_deg.src, "left_anti").select("id").persist()
+    # the sink (dangling) flag rides as a boolean column of the static
+    # vertex frame — and through it of every round's rank frame — so the
+    # per-iteration dangling-mass probe is a narrow filter+aggregate over
+    # the round's checkpoint instead of a semi-join against a separately
+    # persisted sink frame (one fewer join and broadcast build per round)
+    v, n, drop_v = _static_loop_frame(
+        _vertices(graph)
+        .join(
+            out_deg.select(F.col("src").alias("id"), F.lit(True).alias("_has")),
+            "id",
+            "left_outer",
+        )
+        .select("id", F.col("_has").isNull().alias("_sink")),
+        "id",
+    )
 
     # every per-round frame is bounded by |V| (ranks/contribs: one row per
-    # vertex; sinks: a subset) — when that MEASURED count is small the
-    # round's joins probe the cached statics in place instead of
-    # exchanging the changing side every iteration (see maybe_broadcast)
-    ranks = v.select("id", F.lit(1.0).alias("rank"))
+    # vertex) — when that MEASURED count is small the round's joins probe
+    # the cached statics in place instead of exchanging the changing side
+    # every iteration (see maybe_broadcast)
+    ranks = v.select("id", F.lit(1.0).alias("rank"), "_sink")
     for _ in range(iterations):
+        cur = ranks.select("id", "rank")
         contribs = (
-            links.join(_maybe_broadcast(ranks, n), links.src == ranks.id)
+            links.join(_maybe_broadcast(cur, n), links.src == cur.id)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("_deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("received"))
         )
         # dangling (sink) mass as a broadcast 1-row frame — no driver action
-        dangling = (
-            ranks.join(_maybe_broadcast(sinks, n), "id", "left_semi")
-            .agg((F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("_dangling"))
+        dangling = ranks.filter(F.col("_sink")).agg(
+            (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("_dangling")
         )
         ranks = (
             v.join(_maybe_broadcast(contribs, n), "id", "left_outer")
@@ -93,6 +131,7 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("received"), F.lit(0.0)) + F.col("_dangling"))
                 ).alias("rank"),
+                "_sink",
             )
         )
         # truncate lineage per iteration; the stats reset keeps the
@@ -101,8 +140,7 @@ def pagerank(
         ranks = _checkpoint(ranks)
     drop_links()
     drop_v()
-    sinks.unpersist()
-    return ranks
+    return ranks.select("id", "rank")
 
 
 def connected_components(
@@ -176,11 +214,9 @@ def connected_components_edges(
     e0 = cur_e
 
     def _incident() -> DataFrame:
-        return (
-            e0.select(F.col("src").alias("id"))
-            .unionByName(e0.select(F.col("dst").alias("id")))
-            .dropDuplicates()
-        )
+        return _mirror(
+            e0, [F.col("src")], [F.col("dst")], ["id"]
+        ).dropDuplicates()
     # per-round contraction maps, composed once at the end — a per-round
     # compose would cost a |V|-sized join + checkpoint every round, while
     # the maps shrink geometrically and the late ones broadcast
@@ -194,8 +230,11 @@ def connected_components_edges(
         if n_e == 0:
             break
         v_bound = 2 * n_e
-        und = cur_e.unionByName(
-            cur_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        und = _mirror(
+            cur_e,
+            [F.col("src"), F.col("dst")],
+            [F.col("dst"), F.col("src")],
+            ["src", "dst"],
         )
         # each super-vertex adopts min(self, neighbours)
         lbl = (
@@ -338,9 +377,12 @@ def degrees(graph: PropertyGraph, rel_types=()) -> DataFrame:
     degree table (r8: 2 scans + 2 joins -> 1 scan + 1 join; results
     identical — both shapes count the same multiset)."""
     e = _edges(graph, rel_types)
-    both = e.select(
-        F.col("src").alias("id"), F.lit(1).alias("_o"), F.lit(0).alias("_i")
-    ).unionAll(e.select(F.col("dst").alias("id"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
+    both = _mirror(
+        e,
+        [F.col("src"), F.lit(1), F.lit(0)],
+        [F.col("dst"), F.lit(0), F.lit(1)],
+        ["id", "_o", "_i"],
+    )
     d = both.groupBy("id").agg(
         F.sum("_o").alias("out_degree"), F.sum("_i").alias("in_degree")
     )
@@ -391,8 +433,11 @@ def k_core(
     # probed in place every round — no exchange, no sort, parallel probe —
     # instead of a full sort-merge pass per round
     adj, _, drop_adj = _static_loop_frame(
-        canon.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionByName(
-            canon.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        _mirror(
+            canon,
+            [F.col("src"), F.col("dst")],
+            [F.col("dst"), F.col("src")],
+            ["id", "nbr"],
         ),
         "id",
         rows_per_part=250_000,
@@ -559,8 +604,7 @@ def clustering_coefficient_edges(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     deg = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
+        _mirror(e, [F.col("src")], [F.col("dst")], ["id"])
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -613,8 +657,11 @@ def label_propagation_edges(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # the adjacency is equi-joined on nbr every round — cache it
     # hash-partitioned on that key (see _static_loop_frame)
     adj, _, drop_adj = _static_loop_frame(
-        e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionAll(
-            e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        _mirror(
+            e,
+            [F.col("src"), F.col("dst")],
+            [F.col("dst"), F.col("src")],
+            ["id", "nbr"],
         ),
         "nbr",
     )
@@ -769,9 +816,7 @@ def strongly_connected_components(
     # every per-round frame below fuses its checkpoint with the emptiness
     # probe (one job instead of two — see materialize_count)
     nodes, n_nodes = _checkpoint_count(
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .dropDuplicates()
+        _mirror(e, [F.col("src")], [F.col("dst")], ["id"]).dropDuplicates()
     )
     out_parts: List[DataFrame] = []
     for _ in range(max_rounds):
@@ -783,14 +828,20 @@ def strongly_connected_components(
         # anti-join rounds instead of one full FW-BW peel per root
         # (a directed chain is otherwise O(n) peeling rounds)
         while True:
+            # a node survives the trim iff it has BOTH an out- and an
+            # in-edge: one mirrored pass + max-flag aggregation (one
+            # shuffle) instead of two dropDuplicates exchanges + a join
             live = (
-                e.select("src")
-                .dropDuplicates()
-                .join(
-                    e.select(F.col("dst").alias("src")).dropDuplicates(),
-                    "src",
+                _mirror(
+                    e,
+                    [F.col("src"), F.lit(1), F.lit(0)],
+                    [F.col("dst"), F.lit(0), F.lit(1)],
+                    ["id", "_o", "_i"],
                 )
-                .select(F.col("src").alias("id"))
+                .groupBy("id")
+                .agg(F.max("_o").alias("_ho"), F.max("_i").alias("_hi"))
+                .filter((F.col("_ho") == 1) & (F.col("_hi") == 1))
+                .select("id")
             )
             dead, n_dead = _checkpoint_count(nodes.join(live, "id", "left_anti"))
             if n_dead == 0:
@@ -950,8 +1001,11 @@ def landmark_distances(
     """
     e = edges.select("src", "dst")
     if undirected:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e = _mirror(
+            e,
+            [F.col("src"), F.col("dst")],
+            [F.col("dst"), F.col("src")],
+            ["src", "dst"],
         )
     # per-round join output is |live sources| x frontier expansions, so the
     # static width must scale with the landmark count (capped) — a single
@@ -1035,8 +1089,11 @@ def betweenness(
     (id, betweenness) for nodes with a positive score, rounded to 6."""
     e = edges.select("src", "dst")
     if undirected:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e = _mirror(
+            e,
+            [F.col("src"), F.col("dst")],
+            [F.col("dst"), F.col("src")],
+            ["src", "dst"],
         )
     # both sweeps equi-join e on src every level of every wave — cache it
     # hash-partitioned on that key (see _static_loop_frame); width scales
@@ -1245,11 +1302,9 @@ def personalized_pagerank(
     """
     e = _checkpoint(edges.select("src", "dst").dropDuplicates())
     if vertices is None:
-        vertices = (
-            e.select(F.col("src").alias("id"))
-            .unionAll(e.select(F.col("dst").alias("id")))
-            .dropDuplicates()
-        )
+        vertices = _mirror(
+            e, [F.col("src")], [F.col("dst")], ["id"]
+        ).dropDuplicates()
     sd = seeds.select(F.col(seeds.columns[0]).alias("id")).dropDuplicates()
     k = sd.agg(F.count(F.lit(1)).alias("_k"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
@@ -1257,23 +1312,32 @@ def personalized_pagerank(
     # scale-adaptive width (see _static_loop_frame): links on src, the
     # seed-annotated vertex frame on id
     links, _, drop_links = _static_loop_frame(e.join(deg, "src"), "src")
+    # like pagerank: the sink flag rides as a column of the static vertex
+    # frame and every round's rank frame, so the dangling probe is a
+    # filter+aggregate over the round's checkpoint — no per-round
+    # semi-join against a persisted sink frame
     v, n_v, drop_v = _static_loop_frame(
         vertices.select("id")
         .join(sd.withColumn("_is_seed", F.lit(True)), "id", "left_outer")
+        .join(
+            deg.select(F.col("src").alias("id"), F.lit(True).alias("_has")),
+            "id",
+            "left_outer",
+        )
         .crossJoin(F.broadcast(k))
         .select(
             "id",
             F.when(F.col("_is_seed"), 1.0 / F.col("_k"))
             .otherwise(F.lit(0.0))
             .alias("s"),
+            F.col("_has").isNull().alias("_sink"),
         ),
         "id",
     )
-    sinks = v.join(deg, v["id"] == deg["src"], "left_anti").select("id").persist()
     # per-round frames are |V|-bounded — broadcast-gate them on the
     # measured vertex count so small graphs probe the statics in place
     # (see pagerank / maybe_broadcast)
-    ranks = v.select("id", "s", F.col("s").alias("rank"))
+    ranks = v.select("id", "s", F.col("s").alias("rank"), "_sink")
     for _ in range(iterations):
         cur = ranks.select("id", "rank")
         contribs = (
@@ -1282,9 +1346,8 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("received"))
         )
-        dangling = (
-            ranks.join(_maybe_broadcast(sinks, n_v), "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        dangling = ranks.filter(F.col("_sink")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         ranks = (
             v.join(_maybe_broadcast(contribs, n_v), "id", "left_outer")
@@ -1300,10 +1363,10 @@ def personalized_pagerank(
                         + F.col("_dm") * F.col("s")
                     )
                 ).alias("rank"),
+                "_sink",
             )
         )
         ranks = _checkpoint(ranks)
     drop_links()
-    sinks.unpersist()
     drop_v()
     return ranks.select("id", "rank")

@@ -40,6 +40,21 @@ from cypher_for_apache_spark_spark.materialize import materialize, materialize_c
 from cypher_for_apache_spark_spark.plans.record import Record
 
 
+def _mirror_rows(df: DataFrame, fwd: Sequence[Column], bwd: Sequence[Column],
+                 names: Sequence[str]) -> DataFrame:
+    """Union of two row-orientations of ``df`` in ONE pass: explode a
+    2-element struct array instead of ``select(fwd).unionByName(select(bwd))``,
+    which scans the input subtree twice and SUMS the branches' partition
+    counts (same fold as operators.algorithms._mirror; guide §2.3/§2.4)."""
+    arr = F.array(
+        F.struct(*[c.alias(n) for c, n in zip(fwd, names)]),
+        F.struct(*[c.alias(n) for c, n in zip(bwd, names)]),
+    )
+    return df.select(F.explode(arr).alias("_mir")).select(
+        *[F.col(f"_mir.{n}").alias(n) for n in names]
+    )
+
+
 class CypherPlanningError(ValueError):
     pass
 
@@ -1620,7 +1635,7 @@ class Planner:
             elif rel.direction == "in":
                 step = rdf.select(back)
             else:
-                step = rdf.select(trip).unionByName(rdf.select(back))
+                step = _mirror_rows(rdf, trip, back, ["_near", "_far", "_rid"])
             if hi is None or hi > 1:
                 # joined once per BFS round — materialize or Spark rescans
                 # (checkpoint + size probe fused into one job)
@@ -1984,7 +1999,7 @@ class Planner:
             elif rel.direction == "in":
                 step = rdf.select(back)
             else:
-                step = rdf.select(trip).unionByName(rdf.select(back))
+                step = _mirror_rows(rdf, trip, back, ["_near", "_far", "_rid"])
             if hi > 1:
                 # joined once per depth — materialize (checkpoint + size
                 # probe in one job) and broadcast-gate the step side like
@@ -2741,10 +2756,13 @@ class Planner:
             elif rel.direction == "in":
                 step = orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col, False)
             else:
-                step = orient(
-                    rdf, rmeta.src_col, rmeta.dst_col, rmeta.id_col, True
-                ).unionByName(
-                    orient(rdf, rmeta.dst_col, rmeta.src_col, rmeta.id_col, False)
+                step = _mirror_rows(
+                    rdf,
+                    [F.col(rmeta.src_col), F.col(rmeta.dst_col),
+                     F.col(rmeta.id_col), F.lit(True)],
+                    [F.col(rmeta.dst_col), F.col(rmeta.src_col),
+                     F.col(rmeta.id_col), F.lit(False)],
+                    ["_near", "_far", "_rid", "_fwd"],
                 )
             if self.cache_varlength_scans and (hi is None or hi > 1):
                 # the same oriented scan is joined up to ``hi`` times —
