@@ -805,7 +805,8 @@ def cosine_dup_pairs_lsh(
         seed=seed,
         bands=bands,
         max_bucket=max_bucket,
-    ).filter(F.col("_ida") < F.col("_idb"))
+        directed=False,
+    )
     va = df.select(
         F.col(id_col).alias("_ida"), as_double(F.col(vec_col)).alias("_va")
     ).withColumn("_na", norm(F.col("_va")))

@@ -126,11 +126,14 @@ def lsh_candidates(
     seed: int = 42,
     bands: int = 4,
     max_bucket: int = 1024,
+    directed: bool = True,
 ) -> DataFrame:
     """Distinct directed candidate pairs ``(_ida, _idb)`` that collide in at
     least one LSH band. Shared by ``knn_join_lsh`` (top-k per id, needs both
-    directions) and ``cosine_dup_pairs_lsh`` (undirected — filters to
-    ``_ida < _idb``). See ``knn_join_lsh`` for the scale rationale of
+    directions) and ``cosine_dup_pairs_lsh`` (undirected —
+    ``directed=False`` bakes ``_ida < _idb`` into the join condition so
+    each pair is emitted once, not both orientations with half discarded
+    downstream). See ``knn_join_lsh`` for the scale rationale of
     multi-band OR-amplification and the per-bucket cap."""
     from pyspark.sql import Window as W
 
@@ -164,12 +167,17 @@ def lsh_candidates(
     capped = materialize(capped)
     x = capped.alias("x")
     y = capped.alias("y")
+    id_cond = (
+        F.col("x._id") != F.col("y._id")
+        if directed
+        else F.col("x._id") < F.col("y._id")
+    )
     return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x._id") != F.col("y._id")),
+            & id_cond,
         )
         .select(F.col("x._id").alias("_ida"), F.col("y._id").alias("_idb"))
         .dropDuplicates()
@@ -519,11 +527,19 @@ def lsh_candidates_portable(
     bands: int = 4,
     scale: int = 1000,
     bucket_cap: Optional[int] = None,
+    directed: bool = True,
 ) -> DataFrame:
     """Directed candidate pairs ``(_ida, _idb)`` colliding in >= 1 portable
     LSH band. Same banded equi-join shape as ``lsh_candidates`` (bounded
     key width, never all-pairs); signatures are integer projections against
     the md5-derived ±1 planes, so every bucket id is cross-engine exact.
+
+    ``directed=False`` bakes ``_ida < _idb`` into the join condition for
+    undirected callers (near-dup pair listings): the self-join then emits
+    each colliding pair ONCE instead of emitting both orientations and
+    discarding half downstream — half the join output rows feeding the
+    distinct (identical pair set, guide §2.3: don't compute rows you
+    throw away).
 
     ``bucket_cap``: keep at most this many members per (band, bucket),
     chosen by ``row_number() OVER (PARTITION BY band, bucket ORDER BY
@@ -557,12 +573,17 @@ def lsh_candidates_portable(
     banded = materialize(banded)
     x = banded.alias("x")
     y = banded.alias("y")
+    id_cond = (
+        F.col("x._id") != F.col("y._id")
+        if directed
+        else F.col("x._id") < F.col("y._id")
+    )
     return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x._id") != F.col("y._id")),
+            & id_cond,
         )
         .select(F.col("x._id").alias("_ida"), F.col("y._id").alias("_idb"))
         .dropDuplicates()
@@ -642,8 +663,9 @@ def cosine_dup_pairs_lsh_portable(
     (id_a < id_b, sim_micro >= threshold_micro) from portable LSH
     candidates — the integer threshold compare makes the predicate exact."""
     cand = lsh_candidates_portable(
-        df, vec_col, id_col, planes, dim, bands, scale, bucket_cap
-    ).filter(F.col("_ida") < F.col("_idb"))
+        df, vec_col, id_col, planes, dim, bands, scale, bucket_cap,
+        directed=False,
+    )
     a, b = _quantized_sides(df, vec_col, id_col, scale)
     return (
         cand.join(a, "_ida")
