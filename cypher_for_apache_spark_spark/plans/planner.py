@@ -2002,13 +2002,19 @@ class Planner:
                 step = _mirror_rows(rdf, trip, back, ["_near", "_far", "_rid"])
             if hi > 1:
                 # joined once per depth — materialize (checkpoint + size
-                # probe in one job) and broadcast-gate the step side like
-                # the other var-length paths: the checkpointed scan is
-                # opaque to AQE's stats, so without the hint every depth
-                # re-exchanges and re-sorts it for a sort-merge join
-                step, n_step = materialize_count(step)
-                if n_step <= 2_000_000:
-                    step = F.broadcast(step)
+                # probe in one job). Deliberately NOT broadcast-hinted,
+                # unlike the other var-length loops: sigma-BFS keeps walk
+                # multiplicity un-collapsed at the LAST depth (see the
+                # groupBy note below), so the final join's output is
+                # path-count-bound — orders of magnitude above the
+                # frontier. A broadcast hash join pins that expansion's
+                # parallelism to the (small) stream side's partitioning,
+                # serializing exactly the most expensive stage; the
+                # sort-merge shape spreads it across the shuffle width and
+                # lets AQE split skewed keys (measured on
+                # all_shortest_shared_part, 9M output pairs at sf0.1:
+                # broadcast 5.6 s vs SMJ 2.9 s, both 32 cores).
+                step, _ = materialize_count(step)
         else:
             step = None
 
