@@ -45,6 +45,28 @@ def _mirror(df: DataFrame, fwd, bwd, names) -> DataFrame:
     )
 
 
+def _loop_width(df: DataFrame, rows: int, rows_per_part: int = 25_000) -> int:
+    """Partition width for a loop's per-round aggregation, derived from the
+    MEASURED row count of the round's frames (the termination probes).
+
+    AQE coalesces post-shuffle partitions by BYTES (64 MB advisory), but the
+    multi-source loops' per-round frames are slim long-key rows doing
+    CPU-heavy work — a 150k-row (lm, id) frontier is ~3 MB, so AQE collapses
+    every round's aggregation, anti-join and checkpoint into ONE task and the
+    whole sweep serializes (measured: 0.6-0.9 s per level single-threaded on
+    betweenness at sf0.1). An explicit ``repartition(w, keys)`` before the
+    round's aggregation pins ~25k rows per task instead; the width is
+    measured-count-derived and capped at the configured shuffle parallelism,
+    so at cluster scale big rounds keep the configured width (never fewer
+    partitions than AQE would pick for slim frames, never an unbounded
+    fan-out)."""
+    try:
+        cap = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        cap = 200
+    return int(min(cap, max(1, (rows + rows_per_part - 1) // rows_per_part)))
+
+
 def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> DataFrame:
     e = graph.scan_rels(rel_types, out_id="_eid", out_src="src", out_dst="dst")
     if e is None:
@@ -1031,6 +1053,10 @@ def landmark_distances(
                 "src",
             )
             .select("lm", F.col("dst").alias("id"))
+            # explicit measured-width exchange: the dedup/anti/checkpoint
+            # stage after this shuffle is CPU-bound on slim rows, which
+            # AQE's byte-based coalescing would serialize (see _loop_width)
+            .repartition(_loop_width(e, n_frontier), "lm", "id")
             .dropDuplicates()
             .join(
                 _maybe_broadcast(visited.select("lm", "id"), n_visited),
@@ -1163,6 +1189,10 @@ def _brandes_wave(
                 "src",
             )
             .select("lm", F.col("dst").alias("id"), "sigma")
+            # explicit measured-width exchange before the aggregation: AQE's
+            # byte-based coalescing serializes the slim CPU-bound sigma sum
+            # + anti-join + checkpoint into one task (see _loop_width)
+            .repartition(_loop_width(e, n_frontier), "lm", "id")
             .join(_maybe_broadcast(visited, n_visited), ["lm", "id"], "left_anti")
             .groupBy("lm", "id")
             .agg(F.sum("sigma").alias("sigma"))
@@ -1204,6 +1234,9 @@ def _brandes_wave(
             )
             .join(e, "src")
             .join(_maybe_broadcast(succ, n_delta), ["lm", "dst"])
+            # measured-width exchange before the dependency aggregation
+            # (same serialization hazard as the forward sweep)
+            .repartition(_loop_width(e, n_lvl), "lm", "src")
             .groupBy("lm", F.col("src").alias("id"))
             .agg(
                 F.sum(F.col("_sv") / F.col("_sw") * (F.lit(1.0) + F.col("_dw"))).alias(
