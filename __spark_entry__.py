@@ -974,6 +974,7 @@ def _q_random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — the walk SAMPLER itself is verified, not just row counts."""
     from pyspark.sql import functions as F
 
+    from cypher_for_apache_spark_spark.materialize import materialize
     from cypher_for_apache_spark_spark.operators.algorithms import _mirror, random_walks
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -989,6 +990,11 @@ def _q_random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     e = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # the self-join feeds TWO consumers (the walk statics inside
+    # random_walks and the starts set below) — materialize it once, or
+    # each consumer re-derives the join (measured 1.1 s recompute for the
+    # starts pass alone at sf0.1)
+    e = materialize(e)
     # both orientations in ONE pass over the co-purchase self-join (the
     # unionAll shape re-derived the join per branch; identical multiset)
     adj = _mirror(
@@ -1138,6 +1144,7 @@ def _q_harmonic_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-landmark frontier expansion level by level."""
     from pyspark.sql import functions as F
 
+    from cypher_for_apache_spark_spark.materialize import materialize
     from cypher_for_apache_spark_spark.operators.algorithms import (
         _mirror, harmonic_closeness,
     )
@@ -1155,6 +1162,10 @@ def _q_harmonic_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # the self-join feeds TWO consumers (the BFS statics inside
+    # harmonic_closeness and the landmark set below) — materialize it
+    # once, or each consumer re-derives the join
+    edges = materialize(edges)
     # endpoint-id set in ONE pass over the co-purchase self-join (the
     # unionAll shape re-derived the join per branch; identical id set)
     lms = (
