@@ -137,6 +137,26 @@ def static_loop_frame(df: DataFrame, key: str, rows_per_part: int = 2_000_000,
     return p, rows, p.unpersist
 
 
+def loop_width(df: DataFrame, rows: int, rows_per_part: int = 25_000) -> int:
+    """Partition width for a loop's per-round aggregation, derived from a
+    MEASURED row count (the loops' termination probes).
+
+    AQE coalesces post-shuffle partitions by BYTES (64 MB advisory), but
+    iterative loops' per-round frames are slim long-key rows doing CPU-heavy
+    work — a 150k-row (src, end) frontier is ~3 MB, so AQE collapses every
+    round's aggregation, anti-join and checkpoint into ONE task and the loop
+    serializes (measured 0.6-0.9 s per round single-threaded at sf0.1). An
+    explicit ``repartition(loop_width(df, n), *keys)`` before the round's
+    aggregation pins ~25k rows per task instead; capped at the configured
+    shuffle parallelism so big rounds at cluster scale keep the configured
+    width."""
+    try:
+        cap = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        cap = 200
+    return int(min(cap, max(1, (rows + rows_per_part - 1) // rows_per_part)))
+
+
 def maybe_broadcast(df: DataFrame, rows, limit: int = 1_000_000):
     """Broadcast-hint a per-round delta frame when its MEASURED row count
     is small. Checkpointed frames carry no usable stats, so Catalyst plans

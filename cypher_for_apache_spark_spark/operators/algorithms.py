@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from cypher_for_apache_spark_spark.graph import PropertyGraph
 from cypher_for_apache_spark_spark.materialize import (
+    loop_width as _loop_width,
     materialize as _checkpoint,
     materialize_count as _checkpoint_count,
     maybe_broadcast as _maybe_broadcast,
@@ -43,28 +44,6 @@ def _mirror(df: DataFrame, fwd, bwd, names) -> DataFrame:
     return df.select(F.explode(arr).alias("_mir")).select(
         *[F.col(f"_mir.{n}").alias(n) for n in names]
     )
-
-
-def _loop_width(df: DataFrame, rows: int, rows_per_part: int = 25_000) -> int:
-    """Partition width for a loop's per-round aggregation, derived from the
-    MEASURED row count of the round's frames (the termination probes).
-
-    AQE coalesces post-shuffle partitions by BYTES (64 MB advisory), but the
-    multi-source loops' per-round frames are slim long-key rows doing
-    CPU-heavy work — a 150k-row (lm, id) frontier is ~3 MB, so AQE collapses
-    every round's aggregation, anti-join and checkpoint into ONE task and the
-    whole sweep serializes (measured: 0.6-0.9 s per level single-threaded on
-    betweenness at sf0.1). An explicit ``repartition(w, keys)`` before the
-    round's aggregation pins ~25k rows per task instead; the width is
-    measured-count-derived and capped at the configured shuffle parallelism,
-    so at cluster scale big rounds keep the configured width (never fewer
-    partitions than AQE would pick for slim frames, never an unbounded
-    fan-out)."""
-    try:
-        cap = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    except Exception:
-        cap = 200
-    return int(min(cap, max(1, (rows + rows_per_part - 1) // rows_per_part)))
 
 
 def _edges(graph: PropertyGraph, rel_types=(), undirected: bool = False) -> DataFrame:

@@ -36,7 +36,11 @@ from cypher_for_apache_spark_spark.functions.compiler import (
 )
 from cypher_for_apache_spark_spark.graph import PropertyGraph
 from cypher_for_apache_spark_spark.header import EntityMeta, Header, fresh
-from cypher_for_apache_spark_spark.materialize import materialize, materialize_count
+from cypher_for_apache_spark_spark.materialize import (
+    loop_width,
+    materialize,
+    materialize_count,
+)
 from cypher_for_apache_spark_spark.plans.record import Record
 
 
@@ -1653,7 +1657,10 @@ class Planner:
 
         srcs = rec.df.select(F.col(src_meta.id_col).alias(src_c)).distinct()
         if hi is None or hi > 1:
-            srcs = materialize(srcs)
+            # the count seeds the per-round measured-width exchanges below
+            srcs, n_prev = materialize_count(srcs)
+        else:
+            n_prev = None
         zero = srcs.select(
             src_c,
             F.array().cast("array<long>").alias(ids_col),
@@ -1700,7 +1707,15 @@ class Planner:
                 if single:
                     # one representative shortest path per pair: min() over
                     # the rel-id list (arrays are orderable) — map-side
-                    # partial aggregation, cheaper than a row_number window
+                    # partial aggregation, cheaper than a row_number window.
+                    # Explicit measured-width exchange first: AQE's
+                    # byte-based coalescing serializes the slim CPU-bound
+                    # aggregate + anti-join + checkpoint into one task
+                    # (see loop_width)
+                    if n_prev:
+                        cur = cur.repartition(
+                            loop_width(cur, n_prev), src_c, end_c
+                        )
                     cur = cur.groupBy(src_c, end_c).agg(F.min(ids_col).alias(ids_col))
                 if lo == 0 or depth > 1:
                     cur = cur.join(visited, [src_c, end_c], "left_anti")
@@ -1709,6 +1724,7 @@ class Planner:
                 if more:
                     # checkpoint + emptiness probe in one job
                     cur, n_cur = materialize_count(cur)
+                    n_prev = n_cur
                 if hi is None and n_cur == 0:
                     # unbounded (*..): the visited-pruned frontier only
                     # shrinks once reachability saturates — at most
