@@ -136,8 +136,19 @@ def load_tpch_graph(
     # keeps pruning; at 100 TB this is a one-off write back to parquet — see
     # reference caching guidance,
     # documentation/asciidoc/caching-and-performance.adoc).
+    # Both derived tables pin their build exchange at the configured
+    # shuffle width: AQE coalesces these exchanges by BYTES, but the
+    # window sort / dedup + columnar cache encode behind them are
+    # CPU-bound per row, so a few-MB input serialized the whole build
+    # into one task (measured 2x on the rebuild either way at sf0.1;
+    # every cache-cleared rerun pays it).
+    try:
+        _width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        _width = 200
     nxt = (
-        orders.select(
+        orders.repartition(_width, "o_custkey")
+        .select(
             "o_orderkey",
             F.lead("o_orderkey").over(w).alias("next_orderkey"),
         )
@@ -152,6 +163,7 @@ def load_tpch_graph(
 
     supplies = (
         lineitem.select("l_suppkey", "l_partkey")
+        .repartition(_width, "l_suppkey", "l_partkey")
         .dropDuplicates()
         .select(
             (F.col("l_suppkey") * F.lit(1 << 24) + F.col("l_partkey") + F.lit(R_SUPPLIES)).alias("id"),
