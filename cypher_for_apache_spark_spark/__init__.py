@@ -19,9 +19,15 @@ Public API::
     df = g.cypher("MATCH (a:Person)-[:KNOWS]->(b) RETURN a.name, b.name").df
 """
 
-from cypher_for_apache_spark_spark.session import CypherSession
+from cypher_for_apache_spark_spark.session import CypherSession, build_spark_session
 from cypher_for_apache_spark_spark.graph import PropertyGraph, NodeTable, RelationshipTable
 
-__all__ = ["CypherSession", "PropertyGraph", "NodeTable", "RelationshipTable"]
+__all__ = [
+    "CypherSession",
+    "PropertyGraph",
+    "NodeTable",
+    "RelationshipTable",
+    "build_spark_session",
+]
 
 __version__ = "0.1.0"

@@ -2844,12 +2844,18 @@ class Planner:
             grown = (ids_col, end_col) + (
                 (nodes_col, dirs_col) if want_path else ()
             )
+            # extend() preserves the carried (non-grown) column set, so the
+            # schema walk behind ``cur.columns`` — a py4j round trip plus a
+            # JSON schema parse PER LEVEL — is paid once here instead of at
+            # every level of the unroll/fixpoint (~40 redundant walks on a
+            # depth-40 chain, pure driver-side plan-build cost)
+            carried_cols = [c for c in cur.columns if c not in grown]
 
             def extend(cur: DataFrame) -> DataFrame:
                 nxt = cur.join(step, F.col(end_col) == F.col("_near")).filter(
                     ~F.array_contains(F.col(ids_col), F.col("_rid"))
                 )
-                sel = [c for c in cur.columns if c not in grown]
+                sel = list(carried_cols)
                 sel.append(
                     F.concat(F.col(ids_col), F.array(F.col("_rid"))).alias(ids_col)
                 )

@@ -4,17 +4,21 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("cypher-spark-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.crossJoin.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .getOrCreate()
+    # built through the library's session builder so the suite exercises
+    # the product configuration — including the static
+    # dataFrameDebugging=false conf (3x faster driver-side plan builds;
+    # the suite is dominated by exactly that work)
+    from cypher_for_apache_spark_spark import build_spark_session
+
+    s = build_spark_session(
+        master="local[4]",
+        app_name="cypher-spark-tests",
+        extra_confs={
+            "spark.sql.shuffle.partitions": "4",
+            "spark.sql.session.timeZone": "UTC",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "4g",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
