@@ -1003,7 +1003,10 @@ def _q_random_walks_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("dst"), F.col("src")],
         ["src", "dst"],
     )
-    starts = adj.select("src").filter(F.col("src") % 97 == 0).dropDuplicates()
+    # no dropDuplicates here: random_walks() dedups its start set as part
+    # of its own state checkpoint — the query-side one was a second full
+    # exchange+aggregate over the identical set (r9)
+    starts = adj.select("src").filter(F.col("src") % 97 == 0)
     out = random_walks(adj, starts, walk_length=3, walks_per_node=2)
     return out.select(
         F.col("start").cast("long").alias("start"),
@@ -1167,11 +1170,12 @@ def _q_harmonic_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, or each consumer re-derives the join
     edges = materialize(edges)
     # endpoint-id set in ONE pass over the co-purchase self-join (the
-    # unionAll shape re-derived the join per branch; identical id set)
-    lms = (
-        _mirror(edges, [F.col("src")], [F.col("dst")], ["id"])
-        .filter(F.col("id") % 499 == 0)
-        .dropDuplicates()
+    # unionAll shape re-derived the join per branch; identical id set).
+    # No dropDuplicates here: landmark_distances dedups its landmark set
+    # as part of its own checkpoint — a query-side one would be a second
+    # full exchange+aggregate over the identical set (r9)
+    lms = _mirror(edges, [F.col("src")], [F.col("dst")], ["id"]).filter(
+        F.col("id") % 499 == 0
     )
     return harmonic_closeness(edges, lms, max_hops=3, undirected=True)
 
@@ -1944,7 +1948,10 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     e = _edges(g, rel_types=["NEXT"])
-    srcs = _mirror(e, [F.col("src")], [F.col("dst")], ["id"]).dropDuplicates()
+    # no dropDuplicates here: betweenness() dedups its source set as part
+    # of its own checkpoint — the query-side one was a second full
+    # exchange+aggregate over the identical set (r9)
+    srcs = _mirror(e, [F.col("src")], [F.col("dst")], ["id"])
     out = betweenness(e, srcs, max_hops=3)
     return out.select((F.col("id") - F.lit(ORDER)).alias("orderkey"), "betweenness")
 

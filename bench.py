@@ -112,8 +112,17 @@ def _build_session(cpus: str) -> SparkSession:
             # in 1g, and once UseCodeCacheFlushing starts evicting, hot
             # nested-loop methods run interpreted (measured: the cosine
             # pair scan bimodally 1.7s vs 41s across otherwise identical
-            # solo runs)
-            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
+            # solo runs).
+            # G1HeapRegionSize=32m (the JVM max): at 48g heap the default
+            # region is 16m, so every >8m object is humongous — and the
+            # iterative loops' single-partition cached static blocks plus
+            # localCheckpoint block arrays are exactly that size class.
+            # Humongous churn caused multi-second G1 stalls landing on
+            # random reps (measured r9: cc_order_chains 5.5-28.6s across
+            # identical reps with 0.3-1.6s GC inside; with 32m regions
+            # 4.9-6.1s with <0.2s GC — both variance and floor improve)
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
+            "-XX:G1HeapRegionSize=32m",
         )
         # the generated-class cache defaults to 100 entries; 41 warmed query
         # shapes à several codegen units thrash the LRU and the biggest

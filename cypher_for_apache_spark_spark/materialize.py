@@ -87,6 +87,48 @@ def materialize_count(df: DataFrame):
         return m, m.count()
 
 
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """Lineage-truncating checkpoint whose blocks are computed by the
+    FIRST downstream action instead of an eager count job of its own.
+
+    For a frame that a loop materializes and then IMMEDIATELY consumes in
+    the round's next materialization (CC's label map feeding the edge
+    rewrite), the eager checkpoint pays a whole extra Spark action per
+    round just to compute blocks the very next job would have computed
+    anyway. The lazy form folds both into one action: the consumer's job
+    computes the RDD, the checkpoint caches + truncates at that moment,
+    and every later reference (the next round, the final composition)
+    reads the cached blocks. Use ONLY where the first consuming action has
+    a single evaluation path over the frame (e.g. a shared/reused
+    broadcast build): concurrent first consumers of an unmaterialized
+    lazy checkpoint would race to compute it (per-block locks make that
+    a wait locally, but a cluster can compute a partition twice)."""
+    try:
+        return _reset_stats(df.localCheckpoint(eager=False))
+    except Exception:
+        return materialize(df)
+
+
+def materialize_agg(df: DataFrame, *aggs):
+    """``materialize`` + a scalar aggregate over the SAME single action.
+
+    The pagerank-family loops need one scalar per round (the dangling-mass
+    sum) in addition to the round's checkpoint. Computing it as a 1-row
+    frame cost a separate aggregation job plus a broadcast build every
+    iteration; here the lazy checkpoint is materialized BY the aggregate
+    action itself (computing every partition of the checkpoint RDD caches
+    its blocks and truncates lineage, exactly like materialize_count's
+    RDD count), so the scalar comes out of the job the loop already pays.
+    Returns ``(frame, first_row_of_agg)``."""
+    try:
+        ckpt = df.localCheckpoint(eager=False)
+        row = ckpt.agg(*aggs).collect()[0]
+        return _reset_stats(ckpt), row
+    except Exception:
+        m = materialize(df)
+        return m, m.agg(*aggs).collect()[0]
+
+
 def static_loop_frame(df: DataFrame, key: str, rows_per_part: int = 2_000_000,
                       multiplier: int = 1):
     """Materialize a frame that an iterative loop equi-joins on ``key``

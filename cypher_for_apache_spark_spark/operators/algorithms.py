@@ -18,7 +18,9 @@ from cypher_for_apache_spark_spark.graph import PropertyGraph
 from cypher_for_apache_spark_spark.materialize import (
     loop_width as _loop_width,
     materialize as _checkpoint,
+    materialize_agg as _checkpoint_agg,
     materialize_count as _checkpoint_count,
+    materialize_lazy as _checkpoint_lazy,
     maybe_broadcast as _maybe_broadcast,
     static_loop_frame as _static_loop_frame,
 )
@@ -110,6 +112,16 @@ def pagerank(
     # the cached statics in place instead of exchanging the changing side
     # every iteration (see maybe_broadcast)
     ranks = v.select("id", F.lit(1.0).alias("rank"), "_sink")
+    # the dangling (sink) mass rides as a DRIVER SCALAR: each round's
+    # checkpoint action also returns the sink-rank sum (materialize_agg —
+    # one job for both), and the next round's rank expression embeds it
+    # as a literal. The former shape paid a separate 1-row aggregation
+    # job + broadcast build + BroadcastNestedLoopJoin per iteration for
+    # the same double. One cheap upfront aggregate over the cached static
+    # v seeds the first round (every initial rank is 1.0).
+    d_sum = (
+        ranks.filter(F.col("_sink")).agg(F.sum("rank")).collect()[0][0] or 0.0
+    )
     for _ in range(iterations):
         cur = ranks.select("id", "rank")
         contribs = (
@@ -118,27 +130,24 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("received"))
         )
-        # dangling (sink) mass as a broadcast 1-row frame — no driver action
-        dangling = ranks.filter(F.col("_sink")).agg(
-            (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias("_dangling")
+        ranks = v.join(_maybe_broadcast(contribs, n), "id", "left_outer").select(
+            "id",
+            (
+                F.lit(1 - damping)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("received"), F.lit(0.0))
+                    + F.lit(d_sum / float(n))
+                )
+            ).alias("rank"),
+            "_sink",
         )
-        ranks = (
-            v.join(_maybe_broadcast(contribs, n), "id", "left_outer")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(1 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("received"), F.lit(0.0)) + F.col("_dangling"))
-                ).alias("rank"),
-                "_sink",
-            )
+        # truncate lineage per iteration (stats reset as before) AND pull
+        # next round's dangling sum out of the same materialization job
+        ranks, row = _checkpoint_agg(
+            ranks, F.sum(F.when(F.col("_sink"), F.col("rank")))
         )
-        # truncate lineage per iteration; the stats reset keeps the
-        # join-multiplied sizeInBytes estimate from compounding across
-        # iterations (see _reset_stats)
-        ranks = _checkpoint(ranks)
+        d_sum = row[0] or 0.0
     drop_links()
     drop_v()
     return ranks.select("id", "rank")
@@ -252,7 +261,17 @@ def connected_components_edges(
             lbl = lbl.join(
                 _maybe_broadcast(jump, v_bound), lbl.comp == jump._jid, "left_outer"
             ).select("id", F.coalesce("_jcomp", "comp").alias("comp"))
-        lbl = _checkpoint(lbl)
+        # LAZY checkpoint in the broadcast regime: the rewrite below is
+        # the map's first consumer, and with la/lb broadcast the two
+        # exchanges canonicalize to ONE reused build — a single
+        # evaluation path, so the rewrite's checkpoint_count action
+        # computes + caches the label-map blocks and the round runs ONE
+        # Spark action instead of two; later rounds and the final
+        # composition read the cached blocks (see materialize_lazy). In
+        # the big-wave SMJ fallback the two join sides would race the
+        # unmaterialized checkpoint (possible duplicate compute on a
+        # cluster), so that regime keeps the eager form.
+        lbl = _checkpoint_lazy(lbl) if v_bound <= 1_000_000 else _checkpoint(lbl)
         # rewrite edges on the contracted graph. Both endpoint lookups
         # join the SAME checkpointed label map — alias it twice instead of
         # projecting two renamed copies, so the two broadcast exchanges
@@ -1118,15 +1137,23 @@ def betweenness(
         e.dropDuplicates(), "src", multiplier=min(n_lms, 64)
     )
     if source_batches <= 1:
-        waves = [lms]
+        # single wave: the source set IS the checkpointed lms frame, so its
+        # count is already known — _brandes_wave skips the redundant lvl0
+        # re-checkpoint (a narrow select over a checkpoint needs no new one)
+        waves = [(lms, n_lms)]
     else:
         waves = [
-            lms.filter(F.pmod(F.xxhash64("lm"), F.lit(source_batches)) == F.lit(w))
+            (
+                lms.filter(
+                    F.pmod(F.xxhash64("lm"), F.lit(source_batches)) == F.lit(w)
+                ),
+                None,
+            )
             for w in range(source_batches)
         ]
     parts: List[DataFrame] = []
-    for wave in waves:
-        d = _brandes_wave(e, wave, max_hops)
+    for wave, n_wave in waves:
+        d = _brandes_wave(e, wave, max_hops, n_wave)
         if d is not None:
             parts.append(d)
     drop_e()
@@ -1149,16 +1176,23 @@ def betweenness(
 
 
 def _brandes_wave(
-    e: DataFrame, lms: DataFrame, max_hops: Optional[int]
+    e: DataFrame, lms: DataFrame, max_hops: Optional[int],
+    n_lms: Optional[int] = None,
 ) -> Optional[DataFrame]:
     """One Brandes forward+reverse sweep over a wave of sources: returns
     per-(source, node) dependency rows (lm, id, sigma, delta) unioned over
     levels, or None when the wave produced no paths. ``e`` must already be
-    deduplicated/checkpointed (shared across waves by the caller)."""
+    deduplicated/checkpointed (shared across waves by the caller).
+    ``n_lms``: the wave's row count when the caller already measured it
+    (the single-wave case passes its checkpoint's fused count, skipping a
+    whole re-checkpoint action over a narrow select of that checkpoint)."""
     frontier = lms.select(
         "lm", F.col("lm").alias("id"), F.lit(1.0).alias("sigma")
     )
-    lvl0, n_frontier = _checkpoint_count(frontier)
+    if n_lms is None:
+        lvl0, n_frontier = _checkpoint_count(frontier)
+    else:
+        lvl0, n_frontier = frontier, n_lms
     levels: List[DataFrame] = [lvl0]
     visited = lvl0.select("lm", "id")
     level_counts: List[int] = [n_frontier]
@@ -1358,6 +1392,12 @@ def personalized_pagerank(
     # measured vertex count so small graphs probe the statics in place
     # (see pagerank / maybe_broadcast)
     ranks = v.select("id", "s", F.col("s").alias("rank"), "_sink")
+    # dangling mass as a driver scalar, fused into each round's
+    # checkpoint action — same shape as pagerank (see materialize_agg);
+    # the initial sum is one cheap aggregate over the cached static v
+    d_sum = (
+        ranks.filter(F.col("_sink")).agg(F.sum("rank")).collect()[0][0] or 0.0
+    )
     for _ in range(iterations):
         cur = ranks.select("id", "rank")
         contribs = (
@@ -1366,27 +1406,23 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("received"))
         )
-        dangling = ranks.filter(F.col("_sink")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        ranks = v.join(_maybe_broadcast(contribs, n_v), "id", "left_outer").select(
+            "id",
+            "s",
+            (
+                F.lit(1 - damping) * F.col("s")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("received"), F.lit(0.0))
+                    + F.lit(d_sum) * F.col("s")
+                )
+            ).alias("rank"),
+            "_sink",
         )
-        ranks = (
-            v.join(_maybe_broadcast(contribs, n_v), "id", "left_outer")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                "s",
-                (
-                    F.lit(1 - damping) * F.col("s")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("received"), F.lit(0.0))
-                        + F.col("_dm") * F.col("s")
-                    )
-                ).alias("rank"),
-                "_sink",
-            )
+        ranks, row = _checkpoint_agg(
+            ranks, F.sum(F.when(F.col("_sink"), F.col("rank")))
         )
-        ranks = _checkpoint(ranks)
+        d_sum = row[0] or 0.0
     drop_links()
     drop_v()
     return ranks.select("id", "rank")

@@ -356,36 +356,39 @@ def line_dedup(
         lines.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") > max_count)
-        .select("_h")
+        .select("_h", F.lit(True).alias("_hv"))
     )
-    kept = lines.join(F.broadcast(heavy), "_h", "left_anti")
-    n_total = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), F.lit(delimiter), -1)).cast("long").alias(
-            "_n_total"
-        ),
-    )
-    out = (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
-                    lambda s: s["_line"],
+    # one reassembly aggregation over ALL line instances (broadcast
+    # LEFT-join marks heavy lines; collect_list drops the NULLed-out heavy
+    # structs) instead of [broadcast anti-join -> groupBy -> right-join
+    # against a third full text scan computing per-doc totals]: every doc
+    # has >= 1 line row (split of "" is [""]), so the group covers
+    # all-lines-removed docs too and n_total is just count(*) of the
+    # group. Removes one parquet scan of the text column, its split pass,
+    # and the final doc-id exchange+join from the plan (guide §2.4).
+    flagged = lines.join(F.broadcast(heavy), "_h", "left")
+    out = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_hv").isNull(), F.struct("_pos", "_line"))
+                    )
                 ),
-                delimiter,
-            ).alias("text"),
-            F.count(F.lit(1)).alias("n_lines_kept"),
-        )
-        .join(n_total, id_col, "right")
+                lambda s: s["_line"],
+            ),
+            delimiter,
+        ).alias("text"),
+        F.count(F.when(F.col("_hv").isNull(), F.lit(1))).alias("n_lines_kept"),
+        F.count(F.lit(1)).alias("_n_total"),
     )
     return out.select(
         id_col,
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
-        (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_lines_removed"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        (F.col("_n_total") - F.col("n_lines_kept")).cast("long").alias(
+            "n_lines_removed"
+        ),
     )
 
 

@@ -113,6 +113,11 @@ def main():
             "hash_match": hash_match,
             "spark_rows": len(sdf),
             "oracle_rows": len(ddf),
+            # NOTE: single-sample wall of a correctness sweep sharing the
+            # box with nothing controlled — NOT a perf baseline (ADVICE
+            # r8: the committed r8 artifact's sec fields drifted up to
+            # 10x under whole-box noise with zero code change). Kept for
+            # sweep-progress visibility only.
             "sec": round(time.time() - t0, 2),
             "err": "; ".join(problems) or None,
         }

@@ -79,6 +79,7 @@ def main() -> None:
             gc.collect()
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+            B._drain_jit(spark, max_wait=8.0)
             group = f"prof:{name}:{rep}"
             spark.sparkContext.setJobGroup(group, name)
             t0 = time.time()
