@@ -431,6 +431,16 @@ def register_tck_procedure(session, sig: str, rows: List[List[str]]) -> None:
     )
 
 
+# initial-graph memo: the 870-scenario in-repo corpus uses only ~130
+# distinct init-statement texts (216 scenarios share the empty graph
+# alone), and a built PropertyGraph is read-only — the engine never
+# mutates element tables — so rebuilding the same fixture graph per
+# scenario paid ~740 redundant createDataFrame round-trip sets per suite
+# run for identical frames. Keyed on the session id + the exact
+# statement text; entries are tiny local-relation frames.
+_GRAPH_MEMO: Dict[Tuple[int, str], object] = {}
+
+
 def run_scenario(session, spark, scenario: Scenario, tck_root: Optional[str] = None) -> None:
     """Execute one scenario; raises AssertionError (or the engine error)
     on mismatch."""
@@ -443,7 +453,12 @@ def run_scenario(session, spark, scenario: Scenario, tck_root: Optional[str] = N
     init = list(scenario.init)
     if scenario.named_graph:
         init.insert(0, named_graph_statements(scenario.named_graph, tck_root))
-    graph = graph_from_create(spark, ";".join(init))
+    stmts = ";".join(init)
+    memo_key = (id(spark), stmts)
+    graph = _GRAPH_MEMO.get(memo_key)
+    if graph is None:
+        graph = graph_from_create(spark, stmts)
+        _GRAPH_MEMO[memo_key] = graph
     graph._session = session
     if scenario.expect_error:
         try:
