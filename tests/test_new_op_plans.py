@@ -67,10 +67,16 @@ def test_line_dedup_broadcasts_heavy_set(docs):
     from cypher_for_apache_spark_spark.operators.text import line_dedup
 
     plan = _plan(line_dedup(docs, delimiter=" ", max_count=5))
-    # heavy-hitter anti-join must be broadcast (the set is bounded by
-    # corpus_lines/max_count); surviving text shuffles only once, for the
-    # per-doc reassembly groupBy
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # heavy-hitter set must attach via a broadcast join (bounded by
+    # corpus_lines/max_count). r9: the attach is a LEFT OUTER flag join
+    # feeding ONE conditional reassembly aggregation — the old shape's
+    # anti-join + separate per-doc-total scan + doc-id re-join are gone,
+    # so the text column is scanned exactly twice (hash pass + reassembly
+    # pass), never three times
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert plan.count("Scan parquet") == 2
+    # reassembly is the single text shuffle: no join after the groupBy
+    assert "SortMergeJoin" not in plan
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark):
